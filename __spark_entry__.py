@@ -3,8 +3,7 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
@@ -13,26 +12,40 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _prepare(spark: SparkSession) -> None:
+    """Apply session confs the engine needs when the driver owns the
+    SparkSession (nanos-timestamp parquet reads, UTC determinism)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (q1 pricing summary) on sf0.001."""
+    _prepare(spark)
+    from last_minute_legends_spark.plans.queries import QUERIES
+
+    return QUERIES["q1_pricing_summary"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from last_minute_legends_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL for each SQL-expressible query key."""
+    from last_minute_legends_spark.plans.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,30 @@
+"""Query registry: SURVEY §2 inventory wired to (spark, sf_dir).
+
+``QUERIES`` maps every implemented query key to a callable
+``(SparkSession, sf_dir) -> DataFrame``; ``ORACLE_SQL`` maps the
+SQL-expressible subset to DuckDB-runnable ANSI SQL over the same
+parquet tables (the driver's correctness gate). Keys without an
+oracle entry get a rows-only check (non-SQL-expressible operators:
+streaming, LSH candidates, mapInPandas features).
+"""
+
+from __future__ import annotations
+
+from last_minute_legends_spark.plans import olap
+
+_MODULES = [olap]
+
+# Families land incrementally; keep imports soft so a broken module
+# never takes down the whole registry.
+for _name in ("events_analytics", "dedup_q", "ann_q", "text_q", "multimodal_q", "stream_q"):
+    try:
+        _mod = __import__(f"last_minute_legends_spark.plans.{_name}", fromlist=[_name])
+        _MODULES.append(_mod)
+    except ImportError:
+        pass
+
+QUERIES = {}
+ORACLE_SQL = {}
+for _m in _MODULES:
+    QUERIES.update(getattr(_m, "SPARK", {}))
+    ORACLE_SQL.update({k: v for k, v in getattr(_m, "SQL", {}).items() if v})

@@ -9,8 +9,13 @@ factory applies scale-oriented defaults once:
   static shuffle-partition count is always wrong for some stage.
 - Arrow execution for any pandas interchange (multimodal ops).
 - Broadcast threshold raised so every star-schema dimension
-  (region/nation/supplier/part/customer at per-executor-safe sizes)
-  broadcast-joins instead of shuffling the fact table.
+  (region/nation/supplier at per-executor-safe sizes) broadcast-joins
+  instead of shuffling the fact table.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the driver testdata
+  stores ``events.ts`` as parquet TIMESTAMP(NANOS), which Spark cannot
+  read natively (PARQUET_TYPE_ILLEGAL); with this flag it surfaces as
+  int64 nanoseconds and ``sources/tables.py`` normalizes it to a
+  proper timestamp (exact integer math, no double rounding).
 """
 
 from __future__ import annotations
@@ -25,15 +30,16 @@ def get_spark(app_name: str = "last_minute_legends_spark",
     """Build (or fetch) the tuned SparkSession.
 
     Local test runs use ``local[$SPARK_GRAFT_CPUS]`` (default all
-    cores); on a real cluster the master comes from spark-submit and
-    the builder's master setting is ignored.
+    cores). On a real cluster, spark-submit supplies the master via
+    the ``spark.master`` conf / MASTER env — in that case we do NOT
+    call ``.master()`` (a programmatic master would override
+    spark-submit and force local mode).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -41,8 +47,14 @@ def get_spark(app_name: str = "last_minute_legends_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Only force a master when none was provided externally (tests,
+    # bare `python` runs). Under spark-submit / cluster launchers the
+    # master is already in the environment and must win.
+    if not (os.environ.get("MASTER") or os.environ.get("SPARK_MASTER")
+            or "spark.master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")):
+        builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()

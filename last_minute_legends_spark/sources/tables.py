@@ -7,6 +7,13 @@ its movie catalog ≙ ``part``, consumers ≙ ``customer``, user-activity
 topics ≙ ``events`` partitioned by ``event_type``
 (cf. /root/reference/UserEvents.py:59-162).
 
+``events.ts`` arrives as parquet TIMESTAMP(NANOS); with
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) it
+reads as int64 nanoseconds. The loader normalizes it to a proper
+timestamp via exact integer division to microseconds (``ts div
+1000``), which matches DuckDB's own nanos→micros truncation — so
+Spark results and the DuckDB oracle see identical timestamps.
+
 Scale notes: plain ``spark.read.parquet`` keeps predicate pushdown and
 column pruning available to Catalyst — no eager caching here. At
 100 TB each table is a partitioned parquet dataset; the same reader
@@ -16,23 +23,29 @@ works unchanged (directory = dataset root).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-# Dimensions small enough to broadcast at any realistic scale factor
-# (region/nation are fixed-size; supplier/part/customer grow with SF but
-# stay << fact tables — AQE + the raised autoBroadcastJoinThreshold
-# decide at runtime, we only *hint* for the fixed-size ones).
+# Fixed-size dimensions that are always broadcast-safe; the larger
+# SF-scaled dims (supplier/part/customer) are left to AQE + the raised
+# autoBroadcastJoinThreshold to decide at runtime.
 BROADCAST_DIMS = ("region", "nation")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # int64 nanos → timestamp (micros), exact integer math; keep
+        # the raw nanos around as ts_ns for integer-domain window math.
+        df = (df.withColumn("ts_ns", F.col("ts"))
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    return df
 
 
 class Catalog:
