@@ -1,0 +1,375 @@
+"""Event-stream analytics (SURVEY §2.2) — the reference's consumer
+segmentation surface (user-activity events → sessions, funnels, RFM
+segments, pivots) re-expressed as batch DataFrame plans over the
+driver ``events`` table. Streaming variants live in plans/stream_q.py.
+
+Reference context: event model /root/reference/UserEvents.py:59-162
+(sign_in/item_view/added_to_cart/checkout ≙ event_type values here);
+incremental publish diff /root/reference/services/spark_batch_processor.py:83-102;
+price parsing :50-66.
+
+Determinism conventions: timestamps exported as epoch microseconds
+(exact integers both engines); session gap math in truncated epoch
+seconds, identical in Spark (`cast("long")`) and DuckDB
+(`epoch_us(ts)//1000000`); window orderings always tiebroken by
+event_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from last_minute_legends_spark.functions.prices import (
+    compose_price_string,
+    extract_trailing_price,
+)
+from last_minute_legends_spark.operators.asof import asof_join
+from last_minute_legends_spark.operators.funnel import funnel_counts
+from last_minute_legends_spark.operators.incremental import new_records
+from last_minute_legends_spark.operators.segmentation import rfm_segments
+from last_minute_legends_spark.operators.sessions import sessionize
+from last_minute_legends_spark.sources.tables import Catalog
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# --- events_by_type -----------------------------------------------------
+
+def events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 4) AS avg_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- events_windowed: 1-hour tumbling windows ---------------------------
+
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type", "n_events", "sum_value",
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+EVENTS_WINDOWED_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start_us, event_type
+"""
+
+
+# --- sessionization: 30-min-gap sessions --------------------------------
+
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    s = sessionize(ev, gap_minutes=30)
+    return (
+        s.groupBy("user_id", F.col("session_id").alias("session_seq"))
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SESSIONIZATION_SQL = """
+WITH x AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) // 1000000
+                     - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, ts,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM x
+)
+SELECT user_id, session_seq,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+# --- funnel: view → click → purchase ------------------------------------
+
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+FUNNEL_SQL = """
+WITH u AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+    FROM events GROUP BY user_id
+)
+SELECT count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS n_view,
+       count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                  THEN 1 END) AS n_click,
+       count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                   AND t2 IS NOT NULL AND t2 >= t1 THEN 1 END) AS n_purchase
+FROM u
+"""
+
+
+# --- user_segmentation: RFM ---------------------------------------------
+
+def user_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    seg = rfm_segments(ev, as_of="2024-02-01", freq_hi=15, monetary_hi=1500.0)
+    return seg.select(
+        "user_id",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        "frequency", "monetary", "segment",
+    ).orderBy("user_id")
+
+
+USER_SEGMENTATION_SQL = """
+SELECT user_id,
+       date_diff('day', CAST(max(ts) AS DATE), DATE '2024-02-01') AS recency_days,
+       count(*) AS frequency,
+       round(sum(value), 2) AS monetary,
+       CASE WHEN count(*) >= 15 AND round(sum(value), 2) >= 1500.0 THEN 'champion'
+            WHEN count(*) >= 15 THEN 'loyal'
+            WHEN round(sum(value), 2) >= 1500.0 THEN 'big_spender'
+            WHEN date_diff('day', CAST(max(ts) AS DATE), DATE '2024-02-01') <= 7
+                 THEN 'recent'
+            ELSE 'standard' END AS segment
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --- user_pivot: per-user event-type count matrix -----------------------
+
+def user_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    p = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count().na.fill(0)
+    for t in EVENT_TYPES:
+        p = p.withColumnRenamed(t, f"n_{t}")
+    return p.orderBy("user_id")
+
+
+USER_PIVOT_SQL = """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- json_props: JSON field extraction ----------------------------------
+
+def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type, count(*) AS n_events,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- new_records: incremental anti-join diff ----------------------------
+
+def new_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders
+    candidates = orders.filter(F.col("o_orderdate") >= "1999-01-01").select(
+        "o_orderkey", "o_custkey"
+    )
+    published = orders.filter(F.col("o_orderdate") < "1999-01-01")
+    return new_records(candidates, published, key="o_custkey").orderBy("o_orderkey")
+
+
+NEW_RECORDS_SQL = """
+SELECT o_orderkey, o_custkey
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+  AND NOT EXISTS (SELECT 1 FROM orders p
+                  WHERE p.o_orderdate < TIMESTAMP '1999-01-01'
+                    AND p.o_custkey = o.o_custkey)
+ORDER BY o_orderkey
+"""
+
+
+# --- price_extraction ---------------------------------------------------
+
+def price_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = Catalog(spark, sf_dir).part
+    composed = part.select(
+        "p_partkey",
+        compose_price_string(F.col("p_retailprice")).alias("price_str"),
+    )
+    return composed.select(
+        "p_partkey",
+        F.round(extract_trailing_price(F.col("price_str")), 2).alias("price_usd"),
+    ).orderBy("p_partkey")
+
+
+PRICE_EXTRACTION_SQL = """
+SELECT p_partkey,
+       round(CAST(regexp_extract(
+           CAST(CAST(round(p_retailprice * 100, 0) AS BIGINT) AS VARCHAR)
+               || 'USD$' || CAST(p_retailprice AS VARCHAR),
+           '\\$(.+)$', 1) AS DOUBLE), 2) AS price_usd
+FROM part ORDER BY p_partkey
+"""
+
+
+# --- asof_join: purchase → most recent prior view -----------------------
+
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("view_ts")
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["view_ts"],
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.unix_micros("view_ts_asof").alias("last_view_us"),
+    ).orderBy("event_id")
+
+
+ASOF_JOIN_SQL = """
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       epoch_us(max(v.ts)) AS last_view_us
+FROM events p
+LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
+ORDER BY p.event_id
+"""
+
+
+# --- range_join: views within 1 hour before each purchase ---------------
+
+def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return (
+        joined.groupBy("event_id", "user_id")
+        .agg(F.count("v_id").alias("n_views_1h"))
+        .orderBy("event_id")
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT p.event_id, p.user_id, count(v.event_id) AS n_views_1h
+FROM events p
+LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+ORDER BY p.event_id
+"""
+
+
+SPARK = {
+    "events_by_type": events_by_type,
+    "events_windowed": events_windowed,
+    "sessionization": sessionization,
+    "funnel": funnel,
+    "user_segmentation": user_segmentation,
+    "user_pivot": user_pivot,
+    "json_props": json_props,
+    "new_records": new_records_q,
+    "price_extraction": price_extraction,
+    "asof_join": asof_join_q,
+    "range_join": range_join_q,
+}
+
+SQL = {
+    "events_by_type": EVENTS_BY_TYPE_SQL,
+    "events_windowed": EVENTS_WINDOWED_SQL,
+    "sessionization": SESSIONIZATION_SQL,
+    "funnel": FUNNEL_SQL,
+    "user_segmentation": USER_SEGMENTATION_SQL,
+    "user_pivot": USER_PIVOT_SQL,
+    "json_props": JSON_PROPS_SQL,
+    "new_records": NEW_RECORDS_SQL,
+    "price_extraction": PRICE_EXTRACTION_SQL,
+    "asof_join": ASOF_JOIN_SQL,
+    "range_join": RANGE_JOIN_SQL,
+}
