@@ -35,7 +35,15 @@ def asof_join(
     latest right event with ``right.ts <= left.ts`` and equal key ``on``.
 
     Rows from ``right`` at exactly the same timestamp sort before the
-    left row (i.e. are eligible matches).
+    left row (i.e. are eligible matches) — covered by
+    tests/test_operators.py::test_asof_same_ts_matches.
+
+    Determinism note: if MULTIPLE right rows share (key, ts), which
+    one supplies the value is tie-broken by the union sort only up to
+    (ts, side); callers needing a total order should pre-aggregate
+    the right side to one row per (key, ts) (e.g. max of the value
+    col) — the plans in this repo export the matched *timestamp*,
+    which is identical across ties.
     """
     lcols = [c for c in left.columns]
     l = (

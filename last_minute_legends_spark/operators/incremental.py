@@ -20,7 +20,15 @@ from pyspark.sql import functions as F
 def new_records(candidates: DataFrame, published: DataFrame, key: str,
                 published_key: str | None = None) -> DataFrame:
     """Rows of ``candidates`` whose ``key`` never appears in
-    ``published[published_key]``."""
+    ``published[published_key]``.
+
+    NULL-key policy (explicit, diverges from the reference's
+    ``~col.isin(existing)`` which silently drops NULL-key rows):
+    a NULL key never equi-matches, so NULL-key candidates are
+    retained — i.e. NULL keys count as NEW. Callers wanting the
+    reference's behavior add ``.filter(col(key).isNotNull())``.
+    Covered by tests/test_operators.py::test_incremental_null_policy.
+    """
     pk = published_key or key
     pub = published.select(F.col(pk).alias("__pub_key")).distinct()
     return candidates.join(

@@ -1,0 +1,101 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``brute_topk``: exact cosine top-k — the correctness baseline. The
+  query side is tiny and broadcast, so the scan side never shuffles;
+  cost is one pass over the candidates per batch of queries.
+- ``ivf_topk``: IVF-style approximate search. A fixed, deterministic
+  centroid set partitions the candidates into buckets (argmax-cosine
+  assignment); each query probes its ``n_probe`` nearest buckets.
+  At 100 TB the bucket assignment is a write-time partitioning
+  (partitionBy(bucket) parquet), so a probe reads only
+  n_probe/n_centroids of the data — here expressed over the same
+  table to keep the operator self-contained.
+
+All vector math is native expressions (functions/vectors.py); cosine
+sums run sequentially left-to-right, matching DuckDB's
+list_dot_product for oracle comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from last_minute_legends_spark.functions.vectors import cosine, norm, to_double_array
+
+
+def with_unit_vectors(emb: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """(id, v: array<double>, nrm: double) — norm precomputed once."""
+    v = to_double_array(F.col(vec_col))
+    return emb.select(F.col(id_col).alias("id"), v.alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+
+
+def brute_topk(queries: DataFrame, candidates: DataFrame, k: int = 10) -> DataFrame:
+    """Exact top-k: (q_id, rn, c_id, cosine) — queries/candidates as
+    produced by with_unit_vectors. Queries are broadcast."""
+    q = queries.select(
+        F.col("id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = candidates.select(
+        F.col("id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = F.broadcast(q).join(c).withColumn(
+        "cos", cosine(F.col("qv"), F.col("qn"), F.col("cv"), F.col("cn"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "rn", "c_id", F.round("cos", 4).alias("cosine"))
+    )
+
+
+def assign_buckets(candidates: DataFrame, centroids: DataFrame) -> DataFrame:
+    """argmax-cosine centroid per candidate (deterministic tiebreak on
+    centroid id). Centroids are broadcast — no shuffle of the big side."""
+    c = candidates.select("id", "v", "nrm")
+    cent = centroids.select(
+        F.col("id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = c.join(F.broadcast(cent)).withColumn(
+        "cos", cosine(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "v", "nrm", F.col("cent_id").alias("bucket"))
+    )
+
+
+def ivf_topk(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
+             k: int = 10, n_probe: int = 2) -> DataFrame:
+    """Approximate top-k probing n_probe buckets per query."""
+    bucketed = assign_buckets(candidates, centroids)
+    cent = centroids.select(
+        F.col("id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    q = queries.select(
+        F.col("id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    q_scored = q.join(F.broadcast(cent)).withColumn(
+        "cos", cosine(F.col("qv"), F.col("qn"), F.col("cv"), F.col("cn"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "qv", "qn", F.col("cent_id").alias("bucket"))
+    )
+    scored = F.broadcast(probes).join(bucketed, "bucket").withColumn(
+        "cos", cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "rn", F.col("id").alias("c_id"), F.round("cos", 4).alias("cosine"))
+    )

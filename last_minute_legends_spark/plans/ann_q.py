@@ -1,0 +1,76 @@
+"""Similarity-search queries over the ``embeddings`` table (SURVEY §2.4).
+
+Query set: vec_id < 5 (broadcast side); candidates: vec_id >= 5.
+Brute force is the oracle-checked exact baseline; IVF probes the
+2 nearest of 8 fixed centroids (vec_id 0..7 double as the "trained"
+centroid set — deterministic, no RNG) and is rows-only checked, with
+recall vs brute force asserted in tests/test_ann.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from last_minute_legends_spark.operators.similarity import (
+    brute_topk,
+    ivf_topk,
+    with_unit_vectors,
+)
+from last_minute_legends_spark.sources.tables import Catalog
+
+TOP_K = 10
+N_QUERIES = 5
+N_CENTROIDS = 8
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_unit_vectors(Catalog(spark, sf_dir).embeddings)
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("id") < N_QUERIES)
+    candidates = vecs.filter(F.col("id") >= N_QUERIES)
+    return brute_topk(queries, candidates, k=TOP_K).orderBy("q_id", "rn")
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+    FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+), ranked AS (
+    SELECT q_id, c_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+    FROM scored
+)
+SELECT q_id, rn, c_id, round(cos, 4) AS cosine
+FROM ranked WHERE rn <= {TOP_K}
+ORDER BY q_id, rn
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("id") < N_QUERIES)
+    candidates = vecs.filter(F.col("id") >= N_QUERIES)
+    centroids = vecs.filter(F.col("id") < N_CENTROIDS)
+    return ivf_topk(queries, candidates, centroids, k=TOP_K, n_probe=2).orderBy(
+        "q_id", "rn"
+    )
+
+
+SPARK = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+}
+
+SQL = {
+    "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+    "ann_ivf_topk": None,  # approximate: rows-only + recall unit test
+}

@@ -1,0 +1,128 @@
+"""Dedup queries over the ``documents`` table (SURVEY §2.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from last_minute_legends_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from last_minute_legends_spark.functions.vectors import cosine, norm, to_double_array
+from last_minute_legends_spark.sources.tables import Catalog
+
+JACCARD_THRESHOLD = 0.8
+COSINE_THRESHOLD = 0.40
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return exact_duplicates(docs).orderBy("fp")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+       count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY fp HAVING count(*) > 1
+ORDER BY fp
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return jaccard_pairs(docs, threshold=JACCARD_THRESHOLD).orderBy("doc_a", "doc_b")
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH tok AS (
+    SELECT doc_id,
+           string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+    FROM tok, UNNEST(generate_series(1, len(w) - 2)) t(i)
+), sz AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+FROM (
+    SELECT doc_a, doc_b,
+           inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+)
+WHERE jaccard >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD).orderBy("doc_a", "doc_b")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    e = emb.select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(
+        "cos", cosine(F.col("va"), F.col("na"), F.col("vb"), F.col("nb"))
+    )
+    return (
+        pairs.filter(F.col("cos") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+)
+SELECT vec_a, vec_b, round(c, 4) AS cosine
+FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS c
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+WHERE c >= {COSINE_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+SPARK = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+}
+
+SQL = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": None,   # LSH banding: rows-only check
+    "dedup_simhash": None,       # simhash banding: rows-only check
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
+}

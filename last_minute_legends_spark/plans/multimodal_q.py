@@ -1,0 +1,61 @@
+"""Multimodal plumbing queries (SURVEY §2.6): documents' text bytes
+stand in for opaque media payloads — the binary-column schema,
+metadata typing, and Arrow-batched mapInPandas path are the real
+deliverable; the media decode itself is stubbed deterministically
+(operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from last_minute_legends_spark.operators.multimodal import extract_features
+from last_minute_legends_spark.sources.tables import Catalog
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    n_bytes = F.octet_length("text").cast("long")
+    magic = F.lower(F.hex(F.substring(F.col("text"), 1, 4)))
+    kind = (
+        F.when(n_bytes > 300, F.lit("large"))
+        .when(n_bytes > 150, F.lit("medium"))
+        .otherwise(F.lit("small"))
+    )
+    return docs.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        magic.alias("magic"),
+        kind.alias("kind"),
+    ).orderBy("doc_id")
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       lower(hex(substr(text, 1, 4))) AS magic,
+       CASE WHEN strlen(text) > 300 THEN 'large'
+            WHEN strlen(text) > 150 THEN 'medium'
+            ELSE 'small' END AS kind
+FROM documents ORDER BY doc_id
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    with_payload = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return extract_features(with_payload).orderBy("doc_id")
+
+
+SPARK = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_features": multimodal_features,
+}
+
+SQL = {
+    "multimodal_meta": MULTIMODAL_META_SQL,
+    "multimodal_features": None,  # mapInPandas byte features: rows-only
+}

@@ -1,0 +1,147 @@
+"""Text-analysis queries over the ``documents`` table (SURVEY §2.5).
+
+All native column expressions (whole-stage codegen); the regex
+patterns are ASCII-only so Java regex (Spark) and RE2 (DuckDB)
+agree on every match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from last_minute_legends_spark.functions.text import (
+    BPE_RE,
+    STOPWORDS_DE,
+    STOPWORDS_EN,
+    STOPWORDS_FR,
+    count_matches,
+    normalize_text,
+)
+from last_minute_legends_spark.sources.tables import Catalog
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    low = F.lower(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        count_matches(low, STOPWORDS_EN).alias("n_en"),
+        count_matches(low, STOPWORDS_DE).alias("n_de"),
+        count_matches(low, STOPWORDS_FR).alias("n_fr"),
+    )
+    pred = (
+        F.when((F.col("n_en") >= F.col("n_de")) & (F.col("n_en") >= F.col("n_fr"))
+               & (F.col("n_en") > 0), F.lit("en"))
+        .when((F.col("n_de") >= F.col("n_fr")) & (F.col("n_de") > 0), F.lit("de"))
+        .when(F.col("n_fr") > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return d.withColumn("pred_lang", pred).orderBy("doc_id")
+
+
+TEXT_LANGID_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_EN}')) AS BIGINT) AS n_en,
+           CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_DE}')) AS BIGINT) AS n_de,
+           CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_FR}')) AS BIGINT) AS n_fr
+    FROM documents
+)
+SELECT doc_id, n_en, n_de, n_fr,
+       CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en > 0 THEN 'en'
+            WHEN n_de >= n_fr AND n_de > 0 THEN 'de'
+            WHEN n_fr > 0 THEN 'fr'
+            ELSE 'und' END AS pred_lang
+FROM d ORDER BY doc_id
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    n_chars = F.length("text").cast("long")
+    n_tokens = count_matches(F.col("text"), r"\S+")
+    n_punct = count_matches(F.col("text"), r"[^A-Za-z0-9\s]")
+    n_stop = count_matches(F.lower(F.col("text")), STOPWORDS_EN)
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+        * (F.lit(1.0) - punct_ratio)
+        * (F.lit(0.5) + F.lit(0.5) * stop_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+           CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_EN}')) AS BIGINT) AS n_stop
+    FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+       round(n_stop / greatest(n_tokens, 1), 4) AS stop_ratio,
+       round(least(1.0, n_tokens / 50.0)
+             * (1.0 - n_punct / greatest(n_chars, 1))
+             * (0.5 + 0.5 * (n_stop / greatest(n_tokens, 1))), 4) AS quality_score
+FROM d ORDER BY doc_id
+"""
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        count_matches(F.col("text"), r"\S+").alias("n_ws_tokens"),
+        count_matches(F.col("text"), BPE_RE).alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKENS_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
+    ).orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+SPARK = {
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+    "text_tokens": text_tokens,
+    "text_fingerprint": text_fingerprint,
+}
+
+SQL = {
+    "text_langid": TEXT_LANGID_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_tokens": TEXT_TOKENS_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+}

@@ -1,0 +1,126 @@
+"""Operator-family unit tests on planted data — proves semantics the
+sparse synthetic tables can't (gap edges, dup detection, ordered
+funnels, as-of tie handling, ANN recall)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_planted(spark):
+    from last_minute_legends_spark.operators.dedup import exact_duplicates
+
+    docs = _docs(spark, [
+        (1, "the quick brown fox"),
+        (2, "The  quick   brown fox  "),   # normalizes to the same
+        (3, "a different document"),
+    ])
+    out = exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 2 and out[0].keeper_doc_id == 1
+
+
+def test_jaccard_and_minhash_find_near_dup(spark):
+    from last_minute_legends_spark.operators.dedup import (
+        jaccard_pairs, minhash_lsh_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("delta", "delta2", 1)
+    docs = _docs(spark, [(1, base), (2, near), (3, "zz yy xx ww vv uu tt ss")])
+    jp = {(r.doc_a, r.doc_b) for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    mp = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in jp
+    assert (1, 2) in mp
+    assert all(p == (1, 2) for p in jp)
+
+
+def test_simhash_identical_zero_hamming(spark):
+    from last_minute_legends_spark.operators.dedup import simhash_pairs
+
+    docs = _docs(spark, [
+        (1, "one two three four five six"),
+        (2, "one two three four five six"),
+        (3, "totally different words here entirely"),
+    ])
+    out = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs).collect()}
+    assert out.get((1, 2)) == 0
+    assert (1, 3) not in out
+
+
+def test_sessionize_gap_edges(spark):
+    from last_minute_legends_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 100, t0),
+        (2, 100, t0 + dt.timedelta(minutes=10)),
+        (3, 100, t0 + dt.timedelta(minutes=40)),          # exactly 30min gap → same
+        (4, 100, t0 + dt.timedelta(minutes=40, seconds=1) + dt.timedelta(minutes=30)),
+        (5, 200, t0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r.event_id: r.session_id for r in sessionize(ev, 30).collect()}
+    assert out[1] == out[2] == out[3] == 1   # 30-min gap is NOT > threshold
+    assert out[4] == 2                        # 30min+1s gap starts a new session
+    assert out[5] == 1
+
+
+def test_funnel_ordering(spark):
+    from last_minute_legends_spark.operators.funnel import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def e(i, u, typ, mins):
+        return (i, u, typ, t0 + dt.timedelta(minutes=mins))
+
+    rows = [
+        e(1, 1, "view", 0), e(2, 1, "click", 5), e(3, 1, "purchase", 9),
+        e(4, 2, "click", 0), e(5, 2, "view", 5),      # click BEFORE view
+        e(6, 3, "view", 0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts timestamp")
+    out = funnel_counts(ev, ["view", "click", "purchase"]).collect()[0]
+    assert out.n_view == 3
+    assert out.n_click == 1      # only user 1 converted in order
+    assert out.n_purchase == 1
+
+
+def test_asof_same_ts_matches(spark):
+    from last_minute_legends_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 10, t0)], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, t0, t0)], "user_id long, ts timestamp, view_ts timestamp"
+    )
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                    value_cols=["view_ts"]).collect()
+    assert out[0].view_ts_asof == t0   # equal-ts right row IS eligible (<=)
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    from last_minute_legends_spark.plans.ann_q import (
+        ann_bruteforce_topk, ann_ivf_topk,
+    )
+
+    bf = {(r.q_id, r.c_id) for r in ann_bruteforce_topk(spark, sf_dir).collect()}
+    ivf = {(r.q_id, r.c_id) for r in ann_ivf_topk(spark, sf_dir).collect()}
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
+
+
+def test_incremental_null_policy(spark):
+    from last_minute_legends_spark.operators.incremental import new_records
+
+    cand = spark.createDataFrame([(1, 100), (2, None), (3, 300)], "id long, k long")
+    pub = spark.createDataFrame([(100,)], "k long")
+    out = {r.id for r in new_records(cand, pub, key="k").collect()}
+    # NULL keys count as new (documented policy; reference's isin drops them)
+    assert out == {2, 3}
