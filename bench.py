@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Headline-query benchmark.
+
+Runs representative SURVEY §2 queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect overhead). One warmup query amortizes JVM/codegen
+startup out of the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    "topn_per_group",
+    "rollup_agg",
+    "events_by_type",
+    "events_windowed",
+    "sessionization",
+    "funnel",
+    "user_segmentation",
+    "asof_join",
+    "range_join",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding",
+    "ann_bruteforce_topk",
+    "text_quality",
+    "text_fingerprint",
+    "multimodal_features",
+    "catalog_text_etl",
+]
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from last_minute_legends_spark.session import get_spark
+    from last_minute_legends_spark.plans.queries import QUERIES
+
+    spark = get_spark("llm-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        df = QUERIES[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    # warmup: JVM + codegen + parquet footer caches
+    QUERIES["q6_forecast_revenue"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        try:
+            timings[name] = round(run(name), 3)
+        except Exception as exc:  # never lose the whole bench to one query
+            timings[name] = -1.0
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(json.dumps({
+        "metric": "headline_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

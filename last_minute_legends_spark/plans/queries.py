@@ -16,7 +16,8 @@ _MODULES = [olap]
 
 # Families land incrementally; keep imports soft so a broken module
 # never takes down the whole registry.
-for _name in ("events_analytics", "dedup_q", "ann_q", "text_q", "multimodal_q", "stream_q"):
+for _name in ("events_analytics", "dedup_q", "ann_q", "text_q", "multimodal_q",
+               "stream_q"):
     try:
         _mod = __import__(f"last_minute_legends_spark.plans.{_name}", fromlist=[_name])
         _MODULES.append(_mod)
