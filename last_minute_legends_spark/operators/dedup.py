@@ -1,23 +1,35 @@
 """Deduplication operators for LLM training-data pipelines.
 
-Four tiers, all candidate generation by *equi-join* (never an
+Five tiers, all candidate generation by *equi-join* (never an
 all-pairs cross join — the cardinal rule at 100 TB):
 
 - exact:      md5(normalized text) hash-groupBy — one shuffle.
-- n-gram Jaccard: shared-shingle blocked self-join. Pairs sharing at
-  least one shingle meet in a shuffle partition; Jaccard is exact
-  integer math (|∩| / (|A|+|B|-|∩|)).
+- n-gram Jaccard: exact all-pairs-similarity via *prefix filtering*
+  (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07;
+  Xiao et al., PPJoin, WWW'08): each doc indexes only its
+  |A| − ⌈t·|A|⌉ + 1 globally-rarest shingles; any pair with
+  Jaccard ≥ t provably collides on one of them, so the candidate
+  self-join touches rare keys only — hot (high-df) shingles are
+  structurally excluded from the join. A verify pass recomputes the
+  exact intersection for candidates, so the result is identical to
+  the naive shared-shingle join at a fraction of its pair mass.
 - MinHash+LSH: 32 xxhash64 permutations → 8 bands × 4 rows; banded
   equi-join produces candidates, full-shingle join verifies. Bounded
   false-negative rate, shuffle-partitionable, never O(n²).
 - SimHash:    64-bit majority-vote signature over token hashes
   (nested aggregate expressions, all JVM-side); 16-bit band
   equi-join for candidates; bit_count(xor) Hamming verify.
+- Embedding:  sign-bit random-hyperplane LSH (Charikar, STOC'02)
+  over an array<float> embedding column; banded signature equi-join
+  for candidates, exact cosine verify.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from last_minute_legends_spark.functions.text import (
@@ -25,10 +37,25 @@ from last_minute_legends_spark.functions.text import (
     word_shingles,
     words,
 )
+from last_minute_legends_spark.functions.vectors import cosine
 
 N_PERM = 32          # minhash permutations
 N_BANDS = 8          # → 4 rows per band
 ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition to an explicit defaultParallelism-by-id layout.
+
+    CPU-heavy narrow stages (shingling, signature passes) serialize on
+    a low-split scan (one small parquet file locally; few or skewed
+    splits at scale). The explicit partition count keeps AQE from
+    coalescing the tiny byte size back to one partition — the point is
+    CPU spread, not byte balance. The shuffle moves only the raw
+    input rows, strictly less than the exploded data every consumer
+    shuffles right after."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -47,38 +74,94 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded rows, distinct per doc."""
-    return docs.select(
+    """(doc_id, shingle) exploded rows, distinct per doc.
+
+    The input is repartitioned by id first: shingling is CPU-heavy
+    narrow compute, and a low-split scan (one small parquet file
+    locally; few/skewed splits at scale) would serialize it. The
+    shuffle moves only raw text — strictly less than the exploded
+    shingle shuffle every consumer performs right after."""
+    return _spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    )
+
+
+def doc_shingle_profiles(docs: DataFrame, threshold: float,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 3) -> DataFrame:
+    """Per-doc prefix-filter profile: (doc_id, n_sh, sh_arr, pref_arr).
+
+    ``sh_arr`` is the doc's full distinct-shingle set sorted
+    rare-first (global document frequency ascending, shingle value
+    tiebreak); ``pref_arr`` is its first p = |A| − ⌈t·|A|⌉ + 1
+    elements — the prefix-filter index (Bayardo et al. WWW'07 /
+    PPJoin WWW'08).
+
+    Prefix principle (provable): if |A∩B| ≥ α then the
+    (|A|−α+1)-prefix of A and of B under ANY shared total order must
+    intersect. Jaccard ≥ t implies |A∩B| ≥ ⌈t·max(|A|,|B|)⌉ ≥ ⌈t·|A|⌉,
+    so pairs at threshold always collide inside the prefixes — with
+    the rare-first order, on a LOW-df shingle. ⌈t·|A|⌉ is computed
+    with a −1e-9 nudge so float error can only LENGTHEN the prefix
+    (extra candidates are harmless; a short prefix would lose recall).
+
+    Two shuffles total: df count by shingle, then one groupBy(doc_id)
+    that assembles order, sizes, and prefix in a single aggregation.
+    """
+    sh = _shingle_sets(docs, id_col, text_col, n)
+    df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    plen = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)) + 1
+    ).cast("int")
+    return (
+        sh.join(df_tbl, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "s"))),
+                lambda x: x["s"],
+            ).alias("sh_arr"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+        .withColumn("pref_arr", F.slice(F.col("sh_arr"), F.lit(1), plen))
     )
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
                   id_col: str = "doc_id", text_col: str = "text",
                   n: int = 3) -> DataFrame:
-    """All pairs with n-gram Jaccard >= threshold.
+    """All pairs with n-gram Jaccard >= threshold — EXACT, via prefix
+    filtering.
 
-    Candidate generation is the shared-shingle equi-join: only pairs
-    with |∩| >= 1 are ever materialized, and high-threshold pairs by
-    definition share many shingles. Jaccard is exact integer division
-    so Spark and the SQL oracle agree bit-for-bit.
+    Candidates come from a self-join over each doc's rare-shingle
+    prefix only (see doc_shingle_profiles): lossless at the threshold,
+    and the join never touches high-df shingles, so one common phrase
+    can't blow up a shuffle partition (the naive shared-shingle join
+    emits df² rows per shingle — the skew bomb this replaces). The
+    verify pass computes the exact |∩| per candidate pair with
+    array_intersect over the full shingle arrays — an equi-join on
+    doc ids, no exploded rows — so Jaccard is exact integer division
+    and Spark and the SQL oracle agree bit-for-bit.
     """
-    sh = _shingle_sets(docs, id_col, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    prof = doc_shingle_profiles(docs, threshold, id_col, text_col, n)
+    pref = prof.select("doc_id", F.explode("pref_arr").alias("s"))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
         a.join(b, (F.col("a.s") == F.col("b.s"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    pa = prof.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sa"),
+                     F.col("n_sh").alias("na"))
+    pb = prof.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sb"),
+                     F.col("n_sh").alias("nb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
+        cand.join(pa, "doc_a").join(pb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
@@ -162,7 +245,7 @@ aggregate(
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — 64-bit signature per document."""
-    toks = docs.select(
+    toks = _spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.transform(
             F.array_distinct(words(F.col(text_col))), lambda t: F.xxhash64(t)
@@ -202,4 +285,101 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+N_PLANES = 64        # sign-LSH signature bits
+EMB_BANDS = 8        # → 8 bits per band
+
+
+def random_hyperplanes(spark: SparkSession, n_planes: int = N_PLANES,
+                       dim: int = 64, seed: int = 1) -> DataFrame:
+    """(plane_id, w: array<double>) — deterministic Gaussian random
+    hyperplanes, derived from sha256(seed, plane, dim) via Box–Muller
+    (reproducible across runs/machines; no RNG state). Tiny: broadcast
+    to every executor, never shuffled."""
+    def unit(tag: str) -> float:
+        h = hashlib.sha256(tag.encode()).digest()
+        # (0, 1]: avoid log(0) in Box–Muller
+        return (int.from_bytes(h[:8], "big") + 1) / 2.0**64
+
+    rows = []
+    for p in range(n_planes):
+        w = [
+            math.sqrt(-2.0 * math.log(unit(f"{seed}:{p}:{d}:u1")))
+            * math.cos(2.0 * math.pi * unit(f"{seed}:{p}:{d}:u2"))
+            for d in range(dim)
+        ]
+        rows.append((p, w))
+    return spark.createDataFrame(rows, "plane_id int, w array<double>")
+
+
+def embedding_signatures(emb: DataFrame, planes: DataFrame,
+                         id_col: str = "id", vec_col: str = "v") -> DataFrame:
+    """(id, sig) — 64-bit sign-bit signature: bit p = [dot(v, plane_p) > 0].
+    One broadcast join + one groupBy; bit_or assembles the word without
+    arithmetic overflow (bit 63 is the sign bit)."""
+    dot_pw = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("w"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    # repartition: the signature pass is CPU-bound (n_planes dots per
+    # vector); a single-split scan would serialize it on one core.
+    bits = _spread(emb, id_col).join(F.broadcast(planes)).select(
+        F.col(id_col).alias("id"),
+        F.when(dot_pw > 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("bit"),
+        "plane_id",
+    )
+    return bits.groupBy("id").agg(
+        F.expr("bit_or(shiftleft(bit, plane_id))").alias("sig")
+    )
+
+
+def embedding_lsh_pairs(emb: DataFrame, planes: DataFrame,
+                        threshold: float = 0.95,
+                        n_bands: int = EMB_BANDS) -> DataFrame:
+    """Near-dup embedding pairs (cosine >= threshold) via sign-LSH.
+
+    Candidates: pairs equal in at least one 8-bit signature band —
+    an equi-join on (band, value), never all-pairs. A random pair
+    (cos≈0) collides per band w.p. 2⁻⁸, so expected candidates are
+    ~3% of n²/2; a near-dup at cos c collides per bit w.p.
+    1 − arccos(c)/π (0.856 at c=0.95, 0.955 at c=0.99), giving band
+    recall p⁸ and overall 1−(1−p⁸)⁸ (≥ 0.93 at 0.95, ≥ 0.9999 at
+    0.99). Verify is the EXACT cosine, so false candidates never leak
+    into the output. ``emb`` as produced by
+    operators.similarity.with_unit_vectors: (id, v, nrm).
+    """
+    bits_per_band = N_PLANES // n_bands
+    mask = (1 << bits_per_band) - 1
+    sig = embedding_signatures(emb, planes)
+    bands = F.array(*[
+        F.struct(
+            F.lit(k).alias("band"),
+            (F.shiftright("sig", bits_per_band * k)
+             .bitwiseAND(F.lit(mask))).alias("bv"),
+        )
+        for k in range(n_bands)
+    ])
+    exploded = sig.select("id", F.explode(bands).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.bv").alias("bv")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"))
+        .distinct()
+    )
+    va = emb.select(F.col("id").alias("vec_a"), F.col("v").alias("va"),
+                    F.col("nrm").alias("na"))
+    vb = emb.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"))
+    return (
+        cand.join(va, "vec_a").join(vb, "vec_b")
+        .withColumn("cos", cosine(F.col("va"), F.col("na"),
+                                  F.col("vb"), F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
     )

@@ -3,19 +3,26 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from last_minute_legends_spark.operators.dedup import (
+    embedding_lsh_pairs,
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
+    random_hyperplanes,
     simhash_pairs,
 )
-from last_minute_legends_spark.functions.vectors import cosine, norm, to_double_array
+from last_minute_legends_spark.operators.similarity import with_unit_vectors
 from last_minute_legends_spark.sources.tables import Catalog
 
 JACCARD_THRESHOLD = 0.8
-COSINE_THRESHOLD = 0.40
+# Near-dup semantics per SURVEY §2.3: embedding-cosine >= 0.95. (An
+# earlier revision used 0.40, which only matched the random-noise tail
+# of the synthetic embeddings — at that level LSH pruning is
+# information-theoretically impossible: a cos=0.4 pair collides per
+# sign bit w.p. 0.63 vs 0.50 for random pairs. 0.95 is the real
+# near-dup operating point, where sign-LSH prunes ~97% of pairs.)
+COSINE_THRESHOLD = 0.95
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,21 +83,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = Catalog(spark, sf_dir).embeddings
-    e = emb.select(
-        "vec_id", to_double_array(F.col("embedding")).alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-                 F.col("nrm").alias("na"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-                 F.col("nrm").alias("nb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(
-        "cos", cosine(F.col("va"), F.col("na"), F.col("vb"), F.col("nb"))
-    )
-    return (
-        pairs.filter(F.col("cos") >= COSINE_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
-        .orderBy("vec_a", "vec_b")
+    """Sign-LSH candidates + exact-cosine verify — never all-pairs.
+    The DuckDB oracle stays the exact all-pairs SQL (cheap at sf0.01),
+    so any LSH recall loss at the threshold would surface as a hash
+    mismatch; a planted-dup unit test covers recall independently."""
+    emb = with_unit_vectors(Catalog(spark, sf_dir).embeddings)
+    planes = random_hyperplanes(spark)
+    return embedding_lsh_pairs(emb, planes, threshold=COSINE_THRESHOLD).orderBy(
+        "vec_a", "vec_b"
     )
 
 

@@ -39,6 +39,76 @@ def test_jaccard_and_minhash_find_near_dup(spark):
     assert all(p == (1, 2) for p in jp)
 
 
+def test_prefix_filter_excludes_hot_shingle(spark):
+    """A shingle shared by EVERY doc must not generate candidates on
+    its own (it sorts last in the rare-first prefix order), while a
+    real near-dup pair is still found — the skew-bomb guard."""
+    from last_minute_legends_spark.operators.dedup import (
+        doc_shingle_profiles, jaccard_pairs,
+    )
+
+    hot = "common shared phrase"   # one 3-gram present in every doc
+    rows = [(i, f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d")
+            for i in range(1, 21)]
+    base = f"{hot} alpha beta gamma delta epsilon zeta"
+    rows += [(100, base), (101, base + " extraword")]
+    docs = _docs(spark, rows)
+
+    prof = doc_shingle_profiles(docs, 0.5)
+    hot_in_prefix = prof.filter(
+        F.array_contains(F.col("pref_arr"), hot)
+    ).count()
+    assert hot_in_prefix == 0, "hot shingle leaked into the prefix index"
+
+    pairs = {(r.doc_a, r.doc_b) for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (100, 101) in pairs
+    assert all(p == (100, 101) for p in pairs)
+
+
+def test_embedding_lsh_finds_planted_dups(spark):
+    """Planted near-identical vectors are recovered by sign-LSH and
+    match the exact brute-force pair set at the same threshold."""
+    from last_minute_legends_spark.operators.dedup import (
+        embedding_lsh_pairs, random_hyperplanes,
+    )
+    from last_minute_legends_spark.operators.similarity import with_unit_vectors
+
+    import hashlib
+
+    def detvec(tag, dim=64):
+        # deterministic pseudo-random vector from sha256 — no RNG state
+        return [
+            (int.from_bytes(hashlib.sha256(f"{tag}:{d}".encode()).digest()[:8],
+                            "big") / 2.0**64) * 2 - 1
+            for d in range(dim)
+        ]
+
+    rows = [(i, detvec(f"base{i}")) for i in range(40)]
+    # three planted near-dups: clone + tiny perturbation (cos > 0.99)
+    for src, dup_id in ((0, 100), (7, 107), (21, 121)):
+        v = list(rows[src][1])
+        v[0] += 0.01
+        rows.append((dup_id, v))
+    emb = with_unit_vectors(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    )
+    planes = random_hyperplanes(spark)
+    got = {(r.vec_a, r.vec_b)
+           for r in embedding_lsh_pairs(emb, planes, threshold=0.95).collect()}
+    assert {(0, 100), (7, 107), (21, 121)} <= got
+    # verify step is exact cosine, so nothing below threshold leaks in
+    from last_minute_legends_spark.functions.vectors import cosine
+    a = emb.select(F.col("id").alias("vec_a"), F.col("v").alias("va"),
+                   F.col("nrm").alias("na"))
+    b = emb.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"),
+                   F.col("nrm").alias("nb"))
+    exact = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(
+        "cos", cosine(F.col("va"), F.col("na"), F.col("vb"), F.col("nb"))
+    ).filter(F.col("cos") >= 0.95)
+    expect = {(r.vec_a, r.vec_b) for r in exact.collect()}
+    assert got == expect
+
+
 def test_simhash_identical_zero_hamming(spark):
     from last_minute_legends_spark.operators.dedup import simhash_pairs
 
