@@ -221,9 +221,9 @@ def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_PROPS_SQL = """
 SELECT event_type, count(*) AS n_events,
-       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+       min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
 

@@ -10,19 +10,26 @@ streaming, LSH candidates, mapInPandas features).
 
 from __future__ import annotations
 
+import sys
+
 from last_minute_legends_spark.plans import olap
 
 _MODULES = [olap]
 
-# Families land incrementally; keep imports soft so a broken module
-# never takes down the whole registry.
+# Keep imports soft ONLY for genuinely optional modules — but never
+# silently: a typo'd import would otherwise drop a whole family from
+# the registry and the correctness gate would report nothing for it.
 for _name in ("events_analytics", "dedup_q", "ann_q", "text_q", "multimodal_q",
-               "stream_q"):
+               "stream_q", "sql_q"):
     try:
         _mod = __import__(f"last_minute_legends_spark.plans.{_name}", fromlist=[_name])
         _MODULES.append(_mod)
-    except ImportError:
-        pass
+    except ImportError as exc:
+        print(
+            f"WARNING: query family plans.{_name} failed to import "
+            f"({exc!r}) — its queries are MISSING from the registry",
+            file=sys.stderr,
+        )
 
 QUERIES = {}
 ORACLE_SQL = {}

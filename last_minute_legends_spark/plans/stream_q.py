@@ -1,13 +1,20 @@
 """Streaming + semi-structured ETL queries (SURVEY §2.2 tail).
 
-All three are rows-only entries (non-SQL-expressible): real
-Structured Streaming runs and a distributed text-block parser.
+``stream_json_parse`` is the oracle-checked batch twin of the
+reference's Kafka parse stage; the stream_* entries are rows-only
+(real Structured Streaming runs) and ``catalog_text_etl`` is the
+distributed text-block parser.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from last_minute_legends_spark.sources.streams import (
+    events_as_json,
+    parse_event_json,
+)
 from last_minute_legends_spark.sources.tables import Catalog
 from last_minute_legends_spark.sources.text_catalog import (
     compose_item_lines,
@@ -23,6 +30,42 @@ def catalog_text_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_item_blocks(lines).orderBy("item_id")
 
 
+def stream_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-parse parity, oracle-checked: events rendered to the wire
+    JSON shape (≙ the reference publisher's topic values), parsed back
+    through the declared-schema ``from_json`` stage
+    (/root/reference/services/spark_streaming_processor.py:27-50), then
+    aggregated. The oracle computes the same aggregate DIRECTLY from
+    the base table, so any round-trip/parse infidelity (types, micros,
+    nulls) hash-mismatches."""
+    events = Catalog(spark, sf_dir).events
+    parsed = parse_event_json(events_as_json(events))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("props").isNotNull(), 1)).alias("n_props"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_JSON_PARSE_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(props) AS n_props,
+       round(sum(value), 2) AS sum_value,
+       min(epoch_us(ts)) AS first_us,
+       max(epoch_us(ts)) AS last_us
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from last_minute_legends_spark.streaming.pipeline import run_windowed_pipeline
 
@@ -36,12 +79,14 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPARK = {
+    "stream_json_parse": stream_json_parse,
     "catalog_text_etl": catalog_text_etl,
     "stream_pipeline": stream_pipeline,
     "stream_sessionize": stream_sessionize,
 }
 
 SQL = {
+    "stream_json_parse": STREAM_JSON_PARSE_SQL,
     "catalog_text_etl": None,
     "stream_pipeline": None,
     "stream_sessionize": None,

@@ -1,84 +1,120 @@
-"""Structured Streaming pipeline: file source → watermark → windowed
-aggregation → sink.
+"""Structured Streaming pipeline: JSON file source → from_json parse →
+watermark → windowed aggregation → parquet sink.
 
 Reference parity: /root/reference/services/spark_streaming_processor.py
-:44-55 reads Kafka, parses with a declared schema (:27-36), and lands
-in a warehouse sink. Re-expressed Spark-first: the source here is a
-file stream (Kafka needs a broker; the file source exercises the
-identical unbounded-DataFrame plan — swap ``readStream.parquet`` for
-``readStream.format("kafka")`` + ``from_json`` in production), the
-aggregation is a watermarked 1-hour tumbling window, and the sink is
-the in-memory table sink (≙ warehouse append).
+:44-50 reads Kafka and parses the string payload with a declared
+schema (:27-36). Re-expressed Spark-first: the source here is a
+directory of JSON lines read as an unbounded (value: string) stream —
+byte-for-byte the Kafka value shape — fed through the SAME
+``parse_event_json`` stage a Kafka deployment would use
+(sources/streams.py; swap ``file_json_stream`` for ``kafka_stream``
+and nothing downstream changes). The aggregation is a watermarked
+1-hour tumbling window in APPEND mode and the sink is a parquet
+directory (≙ warehouse append): each window lands exactly once when
+the watermark closes it, and the result is read back as a distributed
+DataFrame — no driver-side collect.
+
+Watermark flushing: append mode only emits a window once the
+watermark passes its end, so after the real files two sentinel events
+(max_ts + 3h, + 6h) advance the watermark past every real window;
+sentinel rows are filtered from the result.
 
 At scale: watermark bounds state; the windowed agg is a streaming
 shuffle on (window, event_type) with partial aggregation per
-micro-batch; sink append is idempotent per window once the watermark
-closes it.
+micro-batch; the parquet sink append is idempotent per window.
 """
 
 from __future__ import annotations
 
+import datetime
 import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from last_minute_legends_spark.sources.streams import (
+    events_as_json,
+    file_json_stream,
+    parse_event_json,
+)
 from last_minute_legends_spark.sources.tables import load_table
 
-EVENT_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
-    "value double, props string"
+SENTINEL_TYPE = "sentinel"
+
+RESULT_SCHEMA = (
+    "window_start_us long, event_type string, n_events long, sum_value double"
 )
 
 
-def stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the events table as a parquet landing directory
-    (nanos normalized to proper timestamps) for the file stream."""
+def stage_events_json(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events table as a directory of Kafka-value-shaped
+    JSON lines for the file stream; returns the staging root
+    (``<root>/in`` = topic, ``<root>/out`` = sink, ``<root>/ckpt`` =
+    checkpoints)."""
     staging = tempfile.mkdtemp(prefix="llm_spark_stream_")
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    events.write.mode("overwrite").parquet(f"{staging}/in")
+    events = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    events_as_json(events).write.mode("overwrite").text(f"{staging}/in")
     return staging
+
+
+_EVENT_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def append_sentinels(spark: SparkSession, staging: str, max_ts,
+                     hours: tuple[int, ...] = (3, 6)) -> None:
+    """Write watermark-advancing sentinel events (one file each is a
+    micro-batch) so event-time state flushes deterministically."""
+    for i, h in enumerate(hours):
+        sentinel = spark.createDataFrame(
+            [(-(i + 1), max_ts + datetime.timedelta(hours=h),
+              -1, SENTINEL_TYPE, 0.0, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        events_as_json(sentinel).write.mode("append").text(f"{staging}/in")
 
 
 def run_windowed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the full streaming pipeline to completion on the staged
-    events and return the final windowed aggregate as a DataFrame."""
-    staging = stage_events_dir(spark, sf_dir)
-    name = f"stream_counts_{uuid.uuid4().hex[:8]}"
-    try:
-        stream = (
-            spark.readStream.schema(EVENT_SCHEMA)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(f"{staging}/in")
+    events and return the windowed aggregate read back from the
+    parquet sink (distributed — the sink directory is the pipeline's
+    output dataset and outlives this call)."""
+    staging = stage_events_json(spark, sf_dir)
+    raw_events = parse_event_json(spark.read.text(f"{staging}/in"))
+    max_ts = raw_events.agg(F.max("ts").alias("m")).collect()[0].m
+
+    stream = parse_event_json(file_json_stream(spark, f"{staging}/in"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
         )
-        agg = (
-            stream.withWatermark("ts", "1 hour")
-            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.round(F.sum("value"), 2).alias("sum_value"),
-            )
-            .select(
-                F.unix_micros(F.col("w.start")).alias("window_start_us"),
-                "event_type", "n_events", "sum_value",
-            )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type", "n_events", "sum_value",
         )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        # materialize off the memory sink so the result outlives cleanup
-        return spark.createDataFrame(
-            spark.table(name).collect(),
-            "window_start_us long, event_type string, n_events long, sum_value double",
-        )
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", f"{staging}/out")
+        .option("checkpointLocation", f"{staging}/ckpt")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    append_sentinels(spark, staging, max_ts)
+    q.processAllAvailable()
+    q.stop()
+
+    out = (
+        spark.read.schema(RESULT_SCHEMA).parquet(f"{staging}/out")
+        .filter(F.col("event_type") != SENTINEL_TYPE)
+    )
+    # input topic + checkpoints are consumed; the sink dir stays (it IS
+    # the output dataset the returned DataFrame scans)
+    shutil.rmtree(f"{staging}/in", ignore_errors=True)
+    shutil.rmtree(f"{staging}/ckpt", ignore_errors=True)
+    return out

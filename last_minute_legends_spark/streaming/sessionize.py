@@ -7,6 +7,13 @@ past the gap closes the open session and starts a new one; the
 event-time timeout (watermark passing last_ts + gap) flushes sessions
 with no successor event.
 
+The source is the same Kafka-value-shaped JSON file stream as
+streaming/pipeline.py, fed through the declared-schema
+``parse_event_json`` stage (sources/streams.py) — swap in
+``kafka_stream`` and nothing downstream changes. The sink is a
+parquet directory read back as a distributed DataFrame — no
+driver-side collect.
+
 Batch-mode parity: the same gap rule as operators/sessions.py —
 tests/test_streaming.py asserts the streaming session count equals
 the batch sessionization count.
@@ -19,7 +26,6 @@ lifetime, so state size ~ active users, not history.
 from __future__ import annotations
 
 import shutil
-import uuid
 from collections.abc import Iterator
 
 import pandas as pd
@@ -28,7 +34,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from last_minute_legends_spark.streaming.pipeline import stage_events_dir
+from last_minute_legends_spark.sources.streams import (
+    file_json_stream,
+    parse_event_json,
+)
+from last_minute_legends_spark.streaming.pipeline import (
+    append_sentinels,
+    stage_events_json,
+)
 
 GAP_MINUTES = 30
 _GAP_US = GAP_MINUTES * 60 * 1_000_000
@@ -82,49 +95,44 @@ def _sessionize_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
 
 
 def run_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drive the stateful sessionizer over the staged event files in
-    three micro-batches (data, then two watermark-advancing sentinel
-    files) so every real session closes deterministically."""
-    staging = stage_events_dir(spark, sf_dir)
-    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    try:
-        events = spark.read.parquet(f"{staging}/in")
-        max_ts = events.agg(F.max("ts").alias("m")).collect()[0].m
+    """Drive the stateful sessionizer over the staged JSON event files
+    in three micro-batch groups (data, then two watermark-advancing
+    sentinel files) so every real session closes deterministically;
+    result is read back from the parquet sink (distributed)."""
+    staging = stage_events_json(spark, sf_dir)
+    raw_events = parse_event_json(spark.read.text(f"{staging}/in"))
+    max_ts = raw_events.agg(F.max("ts").alias("m")).collect()[0].m
 
-        stream = (
-            spark.readStream.schema(
-                "event_id long, ts timestamp, user_id long, event_type string, "
-                "value double, props string"
-            )
-            .parquet(f"{staging}/in")
+    stream = parse_event_json(file_json_stream(spark, f"{staging}/in"))
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
-        sessions = (
-            stream.withWatermark("ts", "1 hour")
-            .groupBy("user_id")
-            .applyInPandasWithState(
-                _sessionize_group,
-                outputStructType=OUTPUT_SCHEMA,
-                stateStructType=STATE_SCHEMA,
-                outputMode="append",
-                timeoutConf=GroupStateTimeout.EventTimeTimeout,
-            )
-        )
-        q = sessions.writeStream.format("memory").queryName(name).outputMode("append").start()
-        q.processAllAvailable()
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", f"{staging}/out")
+        .option("checkpointLocation", f"{staging}/ckpt")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    # sentinel batches: advance the watermark far past every real
+    # session's gap deadline so event-time timeouts flush them
+    append_sentinels(spark, staging, max_ts)
+    q.processAllAvailable()
+    q.stop()
 
-        # sentinel batches: advance the watermark far past every real
-        # session's gap deadline so event-time timeouts flush them
-        for hours, fname in ((3, "sent1"), (6, "sent2")):
-            sentinel = spark.createDataFrame(
-                [(-1, max_ts + pd.Timedelta(hours=hours), SENTINEL_USER, "sentinel", 0.0, "{}")],
-                "event_id long, ts timestamp, user_id long, event_type string, "
-                "value double, props string",
-            )
-            sentinel.write.mode("append").parquet(f"{staging}/in")
-            q.processAllAvailable()
-        q.stop()
-
-        out = spark.table(name).filter(F.col("user_id") != SENTINEL_USER)
-        return spark.createDataFrame(out.collect(), OUTPUT_SCHEMA)
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    out = (
+        spark.read.schema(OUTPUT_SCHEMA).parquet(f"{staging}/out")
+        .filter(F.col("user_id") != SENTINEL_USER)
+    )
+    shutil.rmtree(f"{staging}/in", ignore_errors=True)
+    shutil.rmtree(f"{staging}/ckpt", ignore_errors=True)
+    return out

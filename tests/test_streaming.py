@@ -1,7 +1,91 @@
 """Streaming + text-catalog ETL tests: real streaming runs via the
 file source with processAllAvailable, plus batch/streaming parity."""
 
+import pytest
+
 from pyspark.sql import functions as F
+
+
+def test_event_json_roundtrip_exact(spark, sf_dir):
+    """events → wire JSON → from_json parse must be lossless (ids,
+    micros-exact timestamps, doubles, null props)."""
+    from last_minute_legends_spark.sources.streams import (
+        events_as_json, parse_event_json,
+    )
+    from last_minute_legends_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    back = parse_event_json(events_as_json(events))
+    diff = events.exceptAll(back).count() + back.exceptAll(events).count()
+    assert diff == 0, f"{diff} rows changed in JSON round-trip"
+
+
+def test_user_activity_schema_parse(spark):
+    """The reference's declared-schema parse: payload fields land
+    typed, absent optional fields land NULL, malformed rows null out."""
+    from last_minute_legends_spark.sources.streams import parse_user_activity
+
+    raw = spark.createDataFrame(
+        [
+            ('{"timestamp":"2024-01-01T00:00:00","event_name":"item_view",'
+             '"user_id":"u1","item_id":"i9"}',),
+            ('{"timestamp":"2024-01-01T00:00:01","event_name":"checkout_to_cart",'
+             '"user_id":"u2","cart_id":"c3","payment_method":"card",'
+             '"list_price":8.99}',),
+            ("not json at all",),
+        ],
+        "value string",
+    )
+    rows = parse_user_activity(raw).collect()
+    by_user = {r.user_id: r for r in rows}
+    assert by_user["u1"].item_id == "i9" and by_user["u1"].cart_id is None
+    assert by_user["u2"].payment_method == "card"
+    assert abs(by_user["u2"].list_price - 8.99) < 1e-6
+    assert sum(1 for r in rows if r.user_id is None) == 1  # malformed → nulls
+
+
+def test_kafka_builder_gated(spark):
+    """kafka_stream either constructs (package present) or raises the
+    documented RuntimeError — never a raw JVM stack."""
+    from last_minute_legends_spark.sources.streams import (
+        kafka_available, kafka_stream,
+    )
+
+    if kafka_available(spark):
+        df = kafka_stream(spark, "localhost:9092", "t")
+        assert df.schema["value"].dataType.typeName() == "string"
+    else:
+        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            kafka_stream(spark, "localhost:9092", "t")
+
+
+def test_avro_roundtrip_gated(spark, sf_dir):
+    """Avro encode/decode round-trip of events through the in-repo
+    .avsc fixture; skipped when spark-avro isn't on the classpath."""
+    from last_minute_legends_spark.sources.avro_io import (
+        avro_available, decode_avro_events, encode_avro, load_schema,
+    )
+    from last_minute_legends_spark.sources.tables import load_table
+
+    # schema fixtures must parse as valid JSON regardless of the jar
+    import json
+    assert json.loads(load_schema("events_wire"))["name"] == "EventWire"
+    assert json.loads(load_schema("user_activity"))["name"] == "UserActivity"
+
+    if not avro_available(spark):
+        pytest.skip("spark-avro package not on the classpath")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+        "event_type", "value", "props",
+    )
+    wire = encode_avro(events, list(events.columns), load_schema("events_wire"))
+    back = decode_avro_events(wire)
+    orig = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    assert orig.exceptAll(back).count() + back.exceptAll(orig).count() == 0
 
 
 def test_catalog_etl_roundtrip(spark, sf_dir):
