@@ -53,6 +53,66 @@ def brute_topk(queries: DataFrame, candidates: DataFrame, k: int = 10) -> DataFr
     )
 
 
+def train_centroids(vecs: DataFrame, k: int = 8, iters: int = 3,
+                    sample_mod: int | None = None) -> DataFrame:
+    """Deterministic Lloyd k-means over (id, v, nrm) vectors → a
+    k-row (id, v, nrm) centroid set.
+
+    - Seeds: the k id-rank-striped vectors (positions ⌊i·n/k⌋ in id
+      order) — spread across the id space, no RNG.
+    - Iterations: argmax-cosine assignment (broadcast centroids, big
+      side never shuffles beyond the id-window) → per-bucket dimension
+      means (posexplode + groupBy — a shuffle of k·dim tiny rows) →
+      re-formed centroid arrays, components rounded to 8 dp so
+      float summation order can't make training run-to-run unstable.
+    - ``sample_mod``: train on the deterministic id-hash sample
+      ``xxhash64(id) % sample_mod == 0`` — at 100 TB you train on a
+      bounded sample and assign the full set afterwards.
+
+    Collecting k centroid rows is model-parameter extraction (k≈8),
+    not a data-path collect — same shape as MLlib's KMeansModel.
+    """
+    train = vecs
+    if sample_mod:
+        train = train.filter(F.pmod(F.xxhash64(F.col("id")), sample_mod) == 0)
+    w = Window.orderBy("id")
+    n = train.count()
+    stride = max(n // k, 1)
+    cent = (
+        train.withColumn("rn", F.row_number().over(w))
+        .filter(((F.col("rn") - 1) % stride == 0) & (F.col("rn") <= stride * k))
+        .select((((F.col("rn") - 1) / stride).cast("int")).alias("id"),
+                "v", "nrm")
+    )
+    for _ in range(iters):
+        assigned = assign_buckets(train, cent)
+        means = (
+            assigned.select("bucket", F.posexplode("v").alias("pos", "x"))
+            .groupBy("bucket", "pos")
+            .agg(F.round(F.avg("x"), 8).alias("m"))
+            .groupBy("bucket")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("v")
+            )
+            .select(F.col("bucket").alias("id"), "v")
+            .withColumn("nrm", norm(F.col("v")))
+        )
+        # empty buckets keep their previous centroid
+        prev = cent.select("id", F.col("v").alias("pv"), F.col("nrm").alias("pn"))
+        cent = (
+            prev.join(means, "id", "left")
+            .select(
+                "id",
+                F.coalesce("v", "pv").alias("v"),
+                F.coalesce("nrm", "pn").alias("nrm"),
+            )
+        )
+    return cent
+
+
 def assign_buckets(candidates: DataFrame, centroids: DataFrame) -> DataFrame:
     """argmax-cosine centroid per candidate (deterministic tiebreak on
     centroid id). Centroids are broadcast — no shuffle of the big side."""

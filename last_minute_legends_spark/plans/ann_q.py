@@ -2,9 +2,9 @@
 
 Query set: vec_id < 5 (broadcast side); candidates: vec_id >= 5.
 Brute force is the oracle-checked exact baseline; IVF probes the
-2 nearest of 8 fixed centroids (vec_id 0..7 double as the "trained"
-centroid set — deterministic, no RNG) and is rows-only checked, with
-recall vs brute force asserted in tests/test_ann.py.
+2 nearest of 8 Lloyd-trained centroids (deterministic k-means —
+id-striped seeds, 3 iterations, no RNG) and is rows-only checked,
+with recall >= 0.9 vs brute force asserted in tests.
 """
 
 from __future__ import annotations
@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from last_minute_legends_spark.operators.similarity import (
     brute_topk,
     ivf_topk,
+    train_centroids,
     with_unit_vectors,
 )
 from last_minute_legends_spark.sources.tables import Catalog
@@ -59,7 +60,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     queries = vecs.filter(F.col("id") < N_QUERIES)
     candidates = vecs.filter(F.col("id") >= N_QUERIES)
-    centroids = vecs.filter(F.col("id") < N_CENTROIDS)
+    centroids = train_centroids(candidates, k=N_CENTROIDS, iters=3)
     return ivf_topk(queries, candidates, centroids, k=TOP_K, n_probe=2).orderBy(
         "q_id", "rn"
     )
