@@ -44,10 +44,13 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_embedding",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
     "text_quality",
     "text_fingerprint",
     "multimodal_features",
     "catalog_text_etl",
+    "stream_json_parse",
+    "sql_surface",
 ]
 
 

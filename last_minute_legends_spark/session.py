@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark import SparkConf
 from pyspark.sql import SparkSession
 
 
@@ -52,9 +53,12 @@ def get_spark(app_name: str = "last_minute_legends_spark",
         .config("spark.ui.enabled", "false")
     )
     # Only force a master when none was provided externally (tests,
-    # bare `python` runs). Under spark-submit / cluster launchers the
-    # master is already in the environment and must win.
-    if not (os.environ.get("MASTER") or os.environ.get("SPARK_MASTER")
-            or "spark.master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")):
+    # bare `python` runs). spark-submit injects its --master into the
+    # driver's default SparkConf (env vars like MASTER are NOT set in
+    # the driver process — PYSPARK_SUBMIT_ARGS only exists under the
+    # pyspark shell wrapper), so probe SparkConf; an active session
+    # also implies a master and must not be overridden to local.
+    if (SparkSession.getActiveSession() is None
+            and not SparkConf().contains("spark.master")):
         builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()
