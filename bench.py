@@ -32,6 +32,7 @@ HEADLINE = [
     "q18_large_volume_customer",
     "topn_per_group",
     "rollup_agg",
+    "cube_agg",
     "events_by_type",
     "events_windowed",
     "sessionization",
@@ -39,14 +40,18 @@ HEADLINE = [
     "user_segmentation",
     "asof_join",
     "range_join",
+    "events_quantiles",
+    "moving_avg",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding",
+    "dedup_clusters",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "text_quality",
     "text_fingerprint",
+    "text_tfidf_topterms",
     "multimodal_features",
     "catalog_text_etl",
     "stream_json_parse",

@@ -288,6 +288,54 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     )
 
 
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """(id, cluster_id) — connected components of the near-dup pair
+    graph; cluster_id = min member id (the canonical keeper).
+
+    Iterative min-label propagation (the MapReduce CC family, cf.
+    Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): each round every node takes the min of its own and its
+    neighbors' labels — one equi-join + one groupBy per round,
+    converging in O(component diameter) rounds (near-dup clusters are
+    shallow). Per-round state is localCheckpoint'ed to truncate
+    lineage (checkpoint to durable storage on a cluster); the only
+    driver-side value is the scalar changed-count that detects the
+    fixpoint — label data never leaves the executors.
+    """
+    und = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    labels = (
+        und.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("label"))
+    )
+    for _ in range(max_iter):
+        msgs = und.join(labels, und["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "label"
+        )
+        nbr = msgs.groupBy("id").agg(F.min("label").alias("nbr_min"))
+        new = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"),
+                        F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.select("id", F.col("label").alias("old")).alias("o"), "id")
+            .filter(F.col("label") < F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 N_PLANES = 64        # sign-LSH signature bits
 EMB_BANDS = 8        # → 8 bits per band
 

@@ -115,7 +115,9 @@ def train_centroids(vecs: DataFrame, k: int = 8, iters: int = 3,
 
 def assign_buckets(candidates: DataFrame, centroids: DataFrame) -> DataFrame:
     """argmax-cosine centroid per candidate (deterministic tiebreak on
-    centroid id). Centroids are broadcast — no shuffle of the big side."""
+    centroid id). Centroids are broadcast — no shuffle of the big side;
+    the argmax is a max_by aggregation (map-side combinable), not a
+    sort-window, so the only full pass is one partial-agg shuffle."""
     c = candidates.select("id", "v", "nrm")
     cent = centroids.select(
         F.col("id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
@@ -123,11 +125,13 @@ def assign_buckets(candidates: DataFrame, centroids: DataFrame) -> DataFrame:
     scored = c.join(F.broadcast(cent)).withColumn(
         "cos", cosine(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn"))
     )
-    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cent_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "v", "nrm", F.col("cent_id").alias("bucket"))
+    # max of (cos, -cent_id) = highest cosine, then LOWEST centroid id
+    return scored.groupBy("id").agg(
+        F.any_value(F.col("v")).alias("v"),
+        F.any_value(F.col("nrm")).alias("nrm"),
+        F.max_by(
+            F.col("cent_id"), F.struct(F.col("cos"), (-F.col("cent_id")).alias("nid"))
+        ).alias("bucket"),
     )
 
 

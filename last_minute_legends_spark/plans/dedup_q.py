@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from last_minute_legends_spark.operators.dedup import (
+    connected_components,
     embedding_lsh_pairs,
     exact_duplicates,
     jaccard_pairs,
@@ -82,6 +83,62 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS (not just pairs): connected components over
+    the exact Jaccard pair graph — the keeper-selection step a real
+    dedup pipeline runs after pair generation. cluster_id = min doc id
+    in the component (the canonical keeper)."""
+    docs = Catalog(spark, sf_dir).documents
+    pairs = jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return (
+        connected_components(pairs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# Transitive closure via recursive min-label reachability — exact CC
+# twin of the Spark label propagation (UNION dedups → terminates).
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE tok AS (
+    SELECT doc_id,
+           string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+    FROM tok, UNNEST(generate_series(1, len(w) - 2)) t(i)
+), sz AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT doc_a, doc_b
+    FROM (
+        SELECT doc_a, doc_b,
+               inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+    )
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+), nodes AS (
+    SELECT DISTINCT src AS id FROM edges
+), reach(id, lab) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(lab) AS cluster_id
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH candidates + exact-cosine verify — never all-pairs.
     The DuckDB oracle stays the exact all-pairs SQL (cheap at sf0.01),
@@ -117,6 +174,7 @@ SPARK = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_clusters": dedup_clusters,
 }
 
 SQL = {
@@ -125,4 +183,5 @@ SQL = {
     "dedup_minhash_lsh": None,   # LSH banding: rows-only check
     "dedup_simhash": None,       # simhash banding: rows-only check
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
 }

@@ -346,6 +346,75 @@ ORDER BY p.event_id
 """
 
 
+# --- events_quantiles: exact percentiles per event type ------------------
+
+def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of value per event type. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear
+    interpolation definition, so values hash-match at 4 dp. At scale
+    exact percentiles sort within groups — swap to
+    ``percentile_approx`` (t-digest) when a bounded error is fine."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+            F.round(F.min("value"), 4).alias("v_min"),
+            F.round(F.max("value"), 4).alias("v_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       round(min(value), 4) AS v_min,
+       round(max(value), 4) AS v_max
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- moving_avg: sliding row-frame window per user ------------------------
+
+def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 5-row moving average of purchase values (ROWS BETWEEN
+    4 PRECEDING AND CURRENT ROW), deterministic order (ts, event_id).
+    One shuffle on user_id shared by the window; the frame is
+    incremental per row — no per-row rescans."""
+    ev = Catalog(spark, sf_dir).events.filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id", "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.round(F.avg("value").over(w), 4).alias("avg_5"),
+            F.count(F.lit(1)).over(w).alias("n_window"),
+        )
+        .orderBy("event_id")
+    )
+
+
+MOVING_AVG_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       round(avg(value) OVER w, 4) AS avg_5,
+       count(*) OVER w AS n_window
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 SPARK = {
     "events_by_type": events_by_type,
     "events_windowed": events_windowed,
@@ -358,6 +427,8 @@ SPARK = {
     "price_extraction": price_extraction,
     "asof_join": asof_join_q,
     "range_join": range_join_q,
+    "events_quantiles": events_quantiles,
+    "moving_avg": moving_avg,
 }
 
 SQL = {
@@ -372,4 +443,6 @@ SQL = {
     "price_extraction": PRICE_EXTRACTION_SQL,
     "asof_join": ASOF_JOIN_SQL,
     "range_join": RANGE_JOIN_SQL,
+    "events_quantiles": EVENTS_QUANTILES_SQL,
+    "moving_avg": MOVING_AVG_SQL,
 }

@@ -438,6 +438,39 @@ ORDER BY returnflag, linestatus
 """
 
 
+# --- cube_agg: GROUP BY CUBE over orders ---------------------------------
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (orderstatus, orderpriority): every grouping-set
+    combination in one pass — Spark expands grouping sets map-side, so
+    it's still a single shuffle with partial aggregation."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("orderpriority"),
+            "n_orders", "sum_price",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY orderstatus, orderpriority
+"""
+
+
 SPARK = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -451,6 +484,7 @@ SPARK = {
     "q22_idle_customers": q22_idle_customers,
     "topn_per_group": topn_per_group,
     "rollup_agg": rollup_agg,
+    "cube_agg": cube_agg,
 }
 
 SQL = {
@@ -466,4 +500,5 @@ SQL = {
     "q22_idle_customers": Q22_SQL,
     "topn_per_group": TOPN_SQL,
     "rollup_agg": ROLLUP_SQL,
+    "cube_agg": CUBE_SQL,
 }

@@ -132,11 +132,73 @@ FROM documents ORDER BY doc_id
 """
 
 
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: tf(term,doc) · ln(N/df(term)),
+    deterministic tiebreak (score desc, term asc).
+
+    Plan shape: one shuffle for tf (doc,term), one tiny shuffle for df
+    (term), df joined back on term, corpus size N broadcast as a
+    1-row frame, window on doc_id for the top-3. At 100 TB the df
+    table is the only global state and it's per-term — millions of
+    rows, broadcastable or shuffle-joined, never per-document."""
+    docs = Catalog(spark, sf_dir).documents
+    from last_minute_legends_spark.functions.text import words
+
+    toks = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.select(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "rn", "term", F.round("score", 4).alias("score"))
+        .orderBy("doc_id", "rn")
+    )
+
+
+TEXT_TFIDF_SQL = """
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+    SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+), scored AS (
+    SELECT doc_id, term, tf * ln(n_docs::DOUBLE / df) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+    SELECT doc_id, term, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+    FROM scored
+)
+SELECT doc_id, rn, term, round(score, 4) AS score
+FROM ranked WHERE rn <= 3
+ORDER BY doc_id, rn
+"""
+
+
 SPARK = {
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
+    "text_tfidf_topterms": text_tfidf_topterms,
 }
 
 SQL = {
@@ -144,4 +206,5 @@ SQL = {
     "text_quality": TEXT_QUALITY_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_tfidf_topterms": TEXT_TFIDF_SQL,
 }

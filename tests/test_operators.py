@@ -109,6 +109,22 @@ def test_embedding_lsh_finds_planted_dups(spark):
     assert got == expect
 
 
+def test_connected_components_chain_and_islands(spark):
+    """A transitive chain A-B-C plus a separate pair and a long path
+    must resolve to min-id cluster labels (propagation crosses hops)."""
+    from last_minute_legends_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),            # chain → cluster 1
+         (10, 11),                  # island pair → cluster 10
+         (23, 22), (21, 22), (20, 21), (24, 23)],  # path 20..24 → cluster 20
+        "doc_a long, doc_b long",
+    )
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+
+
 def test_simhash_identical_zero_hamming(spark):
     from last_minute_legends_spark.operators.dedup import simhash_pairs
 
