@@ -1,0 +1,77 @@
+"""Physical-plan assertions (SURVEY §5c): the scale properties the
+docstrings claim must be visible in the plans Catalyst actually
+produces — broadcasts where promised, pushdown reaching the scan,
+pruned reads, and NEVER a shuffle cartesian or a row-at-a-time
+Python UDF anywhere in the registry.
+"""
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# streaming entries execute eagerly (real stream runs) and
+# dedup_clusters materializes its fixpoint at construction time; their
+# plan strings are just result scans, so they're skipped here (covered
+# by tests/test_streaming.py and the CC unit test).
+_SKIP = {"stream_pipeline", "stream_sessionize", "dedup_clusters"}
+
+
+def _batch_keys():
+    from last_minute_legends_spark.plans.queries import QUERIES
+
+    return sorted(k for k in QUERIES if k not in _SKIP)
+
+
+@pytest.mark.parametrize("name", _batch_keys())
+def test_no_shuffle_cartesian_or_row_udf(spark, sf_dir, name):
+    """CartesianProduct = all-pairs shuffle join (the 100 TB killer);
+    BatchEvalPython = row-at-a-time Python UDF (the 10-100x slow path).
+    Neither may appear in any registered batch plan. (Broadcast
+    nested-loop joins against bounded broadcast sides — query vectors,
+    hyperplanes, 1-row corpus stats — are intentional and allowed.)"""
+    from last_minute_legends_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name}: shuffle cartesian in plan"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    from last_minute_legends_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "dimension joins should broadcast"
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    from last_minute_legends_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThan" in pushed or "IsNotNull" in pushed, (
+        f"no filters reached the parquet scan: [{pushed}]"
+    )
+
+
+def test_q1_prunes_unused_columns(spark, sf_dir):
+    """ReadSchema must not include lineitem columns q1 never touches."""
+    from last_minute_legends_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert "l_comment" not in plan, "unpruned scan: l_comment is read"
+    assert "l_partkey" not in plan, "unpruned scan: l_partkey is read"
+
+
+def test_asof_join_single_user_shuffle(spark, sf_dir):
+    """The union-sort as-of join must not contain a join operator at
+    all — it is windows over one user partitioning."""
+    from last_minute_legends_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["asof_join"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "as-of should be union+window, not a join"
+    )
