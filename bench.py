@@ -42,6 +42,8 @@ HEADLINE = [
     "range_join",
     "events_quantiles",
     "moving_avg",
+    "events_sketches",
+    "rollup_timeseries",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

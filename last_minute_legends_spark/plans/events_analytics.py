@@ -415,6 +415,84 @@ ORDER BY event_id
 """
 
 
+# --- events_sketches: HLL + t-digest approximate aggregates ---------------
+
+def events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates — the 100 TB answer when exact distinct
+    counts / percentiles are too expensive: HyperLogLog++ distinct
+    users (approx_count_distinct, ~2% standard error, constant memory)
+    and an approximate p95 (positional quantile summary, 1e4 accuracy).
+    Rows-only checked (sketches are estimate-valued by design); the
+    error bound vs the exact answers is asserted in
+    tests/test_operators.py::test_sketches_error_bounds."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.95, 10000).alias("approx_p95"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- rollup_timeseries: multi-resolution continuous aggregate -------------
+
+def rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: hour AND day resolutions in ONE pass
+    via GROUPING SETS over pre-computed time buckets (one shuffle with
+    map-side partial aggregation — not two scans + union). The
+    resolution of each output row is explicit ('hour'/'day'), bucket
+    exported as epoch micros."""
+    ev = Catalog(spark, sf_dir).events
+    bucketed = ev.select(
+        "event_type", "value",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("bucket_hour_us"),
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("bucket_day_us"),
+    )
+    agged = (
+        bucketed.groupingSets(
+            [["bucket_hour_us", "event_type"], ["bucket_day_us", "event_type"]],
+            "bucket_hour_us", "bucket_day_us", "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return (
+        agged.select(
+            F.when(F.col("bucket_hour_us").isNotNull(), F.lit("hour"))
+            .otherwise(F.lit("day")).alias("resolution"),
+            F.coalesce("bucket_hour_us", "bucket_day_us").alias("bucket_us"),
+            "event_type", "n_events", "sum_value",
+        )
+        .orderBy("resolution", "bucket_us", "event_type")
+    )
+
+
+ROLLUP_TIMESERIES_SQL = """
+WITH bucketed AS (
+    SELECT event_type, value,
+           epoch_us(date_trunc('hour', ts)) AS bucket_hour_us,
+           epoch_us(date_trunc('day', ts))  AS bucket_day_us
+    FROM events
+), agged AS (
+    SELECT bucket_hour_us, bucket_day_us, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM bucketed
+    GROUP BY GROUPING SETS ((bucket_hour_us, event_type),
+                            (bucket_day_us, event_type))
+)
+SELECT CASE WHEN bucket_hour_us IS NOT NULL THEN 'hour' ELSE 'day' END AS resolution,
+       COALESCE(bucket_hour_us, bucket_day_us) AS bucket_us,
+       event_type, n_events, sum_value
+FROM agged
+ORDER BY resolution, bucket_us, event_type
+"""
+
+
 SPARK = {
     "events_by_type": events_by_type,
     "events_windowed": events_windowed,
@@ -429,6 +507,8 @@ SPARK = {
     "range_join": range_join_q,
     "events_quantiles": events_quantiles,
     "moving_avg": moving_avg,
+    "events_sketches": events_sketches,
+    "rollup_timeseries": rollup_timeseries,
 }
 
 SQL = {
@@ -445,4 +525,6 @@ SQL = {
     "range_join": RANGE_JOIN_SQL,
     "events_quantiles": EVENTS_QUANTILES_SQL,
     "moving_avg": MOVING_AVG_SQL,
+    "events_sketches": None,   # sketch estimates: rows-only + error-bound test
+    "rollup_timeseries": ROLLUP_TIMESERIES_SQL,
 }

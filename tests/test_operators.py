@@ -243,6 +243,34 @@ def test_ann_ivf_recall_uniform(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall@10 below blind-scan floor: {recall}"
 
 
+def test_sketches_error_bounds(spark, sf_dir):
+    """HLL distinct users within 5% of exact; approx p95 between the
+    exact p90 and p99 (positional-quantile guarantee is rank-based)."""
+    from last_minute_legends_spark.plans.events_analytics import (
+        events_sketches,
+    )
+    from last_minute_legends_spark.sources.tables import load_table
+
+    sk = {r.event_type: r for r in events_sketches(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.90)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for et, e in exact.items():
+        rel = abs(sk[et].approx_users - e.users) / e.users
+        assert rel <= 0.05, f"{et}: HLL error {rel:.3f} > 5%"
+        assert e.p90 <= sk[et].approx_p95 <= e.p99, (
+            f"{et}: approx p95 {sk[et].approx_p95} outside [p90, p99]"
+        )
+
+
 def test_incremental_null_policy(spark):
     from last_minute_legends_spark.operators.incremental import new_records
 
