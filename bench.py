@@ -55,6 +55,7 @@ HEADLINE = [
     "text_fingerprint",
     "text_tfidf_topterms",
     "multimodal_features",
+    "multimodal_framesample",
     "catalog_text_etl",
     "stream_json_parse",
     "sql_surface",

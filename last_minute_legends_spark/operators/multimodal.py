@@ -73,3 +73,84 @@ def extract_features(binary_df: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias(payload_col)
     )
     return src.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_offset long, frame_bytes long, "
+    "frame_checksum long"
+)
+
+
+def sample_frames(binary_df: DataFrame, frame_size: int = 64,
+                  stride: int = 4, id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Frame sampling over opaque video-ish payloads: chunk each
+    payload into fixed-size frames and keep every ``stride``-th one —
+    a 1→N mapInPandas (one input row fans out to its sampled frames,
+    still a single Arrow pass, no shuffle). With a real codec the
+    chunker becomes keyframe extraction; the per-frame feature here is
+    the deterministic byte checksum stand-in."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                n_frames = (len(raw) + frame_size - 1) // frame_size
+                for fi in range(0, n_frames, stride):
+                    off = fi * frame_size
+                    chunk = raw[off:off + frame_size]
+                    rows.append(
+                        (doc_id, fi, off, len(chunk), sum(chunk) % (1 << 31))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_offset",
+                         "frame_bytes", "frame_checksum"],
+            )
+
+    src = binary_df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias(payload_col)
+    )
+    return src.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, src_bytes long, out_width int, out_height int, "
+    "out_bytes long"
+)
+
+
+def resize_images(binary_df: DataFrame, out_width: int = 64,
+                  out_height: int = 64, id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Image resize plumbing: the decode→resize→re-encode step is
+    stubbed (``decode_media`` raises; no image libs in this
+    container), so the output byte size is the deterministic
+    3-bytes-per-pixel stand-in — but the operator's Spark shape
+    (Arrow batches in, typed rows out, blobs never shuffled) is the
+    real production plan."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    decode_media(raw)
+                except NotImplementedError:
+                    pass
+                rows.append(
+                    (doc_id, len(raw), out_width, out_height,
+                     out_width * out_height * 3)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "src_bytes", "out_width", "out_height",
+                         "out_bytes"],
+            )
+
+    src = binary_df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias(payload_col)
+    )
+    return src.mapInPandas(gen, schema=RESIZE_SCHEMA)

@@ -10,7 +10,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from last_minute_legends_spark.operators.multimodal import extract_features
+from last_minute_legends_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+)
 from last_minute_legends_spark.sources.tables import Catalog
 
 
@@ -50,12 +53,48 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(with_payload).orderBy("doc_id")
 
 
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 4th 64-byte 'frame' of each payload — the 1→N fan-out
+    shape a video keyframe sampler has at scale. The oracle checks the
+    fan-out geometry (index/offset/size); the per-frame checksum stays
+    operator-internal, covered by the unit test."""
+    docs = Catalog(spark, sf_dir).documents
+    with_payload = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return (
+        sample_frames(with_payload, frame_size=64, stride=4)
+        .select("doc_id", "frame_idx", "frame_offset", "frame_bytes")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+# The frame chunking is byte arithmetic, so it IS SQL-expressible — a
+# generate_series oracle keeps even this mapInPandas path hash-checked.
+MULTIMODAL_FRAMESAMPLE_SQL = """
+WITH doc AS (
+    SELECT doc_id, strlen(text) AS n
+    FROM documents
+    WHERE strlen(text) > 0
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i * 64 AS BIGINT) AS frame_offset,
+       CAST(least(64, n - i * 64) AS BIGINT) AS frame_bytes
+FROM doc, UNNEST(generate_series(0, CAST(ceil(n / 64.0) AS BIGINT) - 1)) t(i)
+WHERE i % 4 = 0
+ORDER BY doc_id, frame_idx
+"""
+
+
 SPARK = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_framesample": multimodal_framesample,
 }
 
 SQL = {
     "multimodal_meta": MULTIMODAL_META_SQL,
     "multimodal_features": None,  # mapInPandas byte features: rows-only
+    "multimodal_framesample": MULTIMODAL_FRAMESAMPLE_SQL,
 }

@@ -271,6 +271,31 @@ def test_sketches_error_bounds(spark, sf_dir):
         )
 
 
+def test_frame_sampling_and_resize(spark):
+    """sample_frames: correct fan-out (every stride-th fixed-size
+    chunk, short tail preserved, exact checksums); resize_images:
+    deterministic stub dims with the decode stub exercised."""
+    from last_minute_legends_spark.operators.multimodal import (
+        resize_images, sample_frames,
+    )
+
+    payloads = [(1, bytes(range(256)) * 2), (2, b"abc"), (3, b"")]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    frames = {(r.doc_id, r.frame_idx): r
+              for r in sample_frames(df, frame_size=100, stride=2).collect()}
+    # doc 1: 512 bytes → frames 0..5, sampled {0,2,4}; tail frame 5 unsampled
+    assert {(1, 0), (1, 2), (1, 4), (2, 0)} == set(frames)
+    assert frames[(1, 0)].frame_bytes == 100
+    assert frames[(1, 4)].frame_bytes == 100
+    assert frames[(2, 0)].frame_bytes == 3
+    payload1 = bytes(range(256)) * 2
+    assert frames[(1, 0)].frame_checksum == sum(payload1[:100]) % (1 << 31)
+    assert frames[(1, 2)].frame_checksum == sum(payload1[200:300]) % (1 << 31)
+    rs = {r.doc_id: r for r in resize_images(df, 32, 16).collect()}
+    assert rs[1].src_bytes == 512 and rs[1].out_bytes == 32 * 16 * 3
+    assert rs[3].src_bytes == 0
+
+
 def test_incremental_null_policy(spark):
     from last_minute_legends_spark.operators.incremental import new_records
 
