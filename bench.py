@@ -28,7 +28,12 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_margin",
     "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
     "q18_large_volume_customer",
     "topn_per_group",
     "rollup_agg",

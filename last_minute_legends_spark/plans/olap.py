@@ -438,6 +438,223 @@ ORDER BY returnflag, linestatus
 """
 
 
+# --- q7: nation-pair volume shipping (TPC-H Q7, adapted columns) --------
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional trade volume between two nations by ship year.
+    Both nation joins broadcast; the OR pair-filter prunes before the
+    fact join; year() stays on the shuffle key side."""
+    cat = Catalog(spark, sf_dir)
+    n1 = cat.nation.select(F.col("n_nationkey").alias("s_nk"),
+                           F.col("n_name").alias("supp_nation"))
+    n2 = cat.nation.select(F.col("n_nationkey").alias("c_nk"),
+                           F.col("n_name").alias("cust_nation"))
+    li = cat.lineitem.filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    joined = (
+        li.join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# --- q8: market share (TPC-H Q8, adapted columns) -----------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_3's share of PROMO-part volume sold into EUROPE by order
+    year — conditional aggregation over one joined frame (no second
+    scan for the numerator)."""
+    cat = Catalog(spark, sf_dir)
+    region = cat.region.filter(F.col("r_name") == "EUROPE")
+    nat_c = cat.nation.join(F.broadcast(region),
+                            F.col("n_regionkey") == F.col("r_regionkey"))
+    nat_s = cat.nation.select(F.col("n_nationkey").alias("s_nk"),
+                              F.col("n_name").alias("supp_nation"))
+    part = cat.part.filter(F.col("p_type") == "PROMO")
+    joined = (
+        cat.lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    vol = _rev()
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                      .otherwise(F.lit(0.0))) / F.sum(vol), 4
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --- q9: product margin by nation/year (TPC-H Q9, adapted: retailprice
+# stands in for ps_supplycost — no partsupp table in this schema) --------
+
+def q9_product_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    part = cat.part.filter(F.col("p_name").like("%widget%"))
+    nat = cat.nation.select(F.col("n_nationkey").alias("s_nk"),
+                            F.col("n_name").alias("nation"))
+    margin = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    joined = (
+        cat.lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("s_nk"))
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        joined.groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(margin), 2).alias("sum_margin"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_margin
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+# --- q15: top supplier (TPC-H Q15) --------------------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with max 3-month revenue: the revenue "view" is one
+    aggregation; the max is a 1-row broadcast joined back — no window
+    over the whole supplier set, no second scan of lineitem."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mr"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mr"))
+        .join(cat.supplier, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --- q17: small-quantity revenue (TPC-H Q17, adapted: brand filter) ------
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average weekly revenue from orders of less than half the
+    part's average quantity — the correlated avg becomes a per-part
+    aggregate joined back (shuffle on partkey shared by both sides)."""
+    cat = Catalog(spark, sf_dir)
+    part = cat.part.filter(F.col("p_brand") == "Brand#1")
+    li = cat.lineitem.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(part_avg, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly"))
+    )
+
+
+Q17_SQL = """
+SELECT round(sum(l1.l_extendedprice) / 7.0, 2) AS avg_weekly
+FROM lineitem l1
+JOIN part ON p_partkey = l1.l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l1.l_quantity < (
+      SELECT 0.5 * avg(l2.l_quantity)
+      FROM lineitem l2
+      WHERE l2.l_partkey = l1.l_partkey
+  )
+"""
+
+
 # --- cube_agg: GROUP BY CUBE over orders ---------------------------------
 
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,6 +702,11 @@ SPARK = {
     "topn_per_group": topn_per_group,
     "rollup_agg": rollup_agg,
     "cube_agg": cube_agg,
+    "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q9_product_margin": q9_product_margin,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity": q17_small_quantity,
 }
 
 SQL = {
@@ -501,4 +723,9 @@ SQL = {
     "topn_per_group": TOPN_SQL,
     "rollup_agg": ROLLUP_SQL,
     "cube_agg": CUBE_SQL,
+    "q7_nation_volume": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_product_margin": Q9_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity": Q17_SQL,
 }
