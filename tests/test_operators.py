@@ -296,6 +296,56 @@ def test_frame_sampling_and_resize(spark):
     assert rs[3].src_bytes == 0
 
 
+def test_salted_join_equivalence(spark):
+    """Salted join must be row-identical to the plain join on skewed
+    data (one key holds 90% of rows), for inner and left joins."""
+    from last_minute_legends_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(i, 1 if i < 900 else i, f"v{i}") for i in range(1000)],
+        "row_id long, k long, payload string",
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (950, "cold"), (2, "unmatched-right")],
+        "k long, label string",
+    )
+    for how in ("inner", "left"):
+        plain = left.join(right, "k", how).select("row_id", "k", "payload", "label")
+        salted = salted_join(left, right, key="k", discriminator="row_id",
+                             salt_n=8, how=how).select("row_id", "k", "payload", "label")
+        assert plain.exceptAll(salted).count() == 0
+        assert salted.exceptAll(plain).count() == 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge-join with
+    no Exchange on either side, and match the plain-join result."""
+    from last_minute_legends_spark.sources.bucketed import (
+        read_bucketed, write_bucketed,
+    )
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000, 3).selectExpr("id AS k", "id * 7 AS vb")
+    try:
+        write_bucketed(a, "bk_a", "k", 4, str(tmp_path / "bk_a"))
+        write_bucketed(b, "bk_b", "k", 4, str(tmp_path / "bk_b"))
+        # hint forces SMJ: these test tables are small enough that the
+        # planner would otherwise (correctly) broadcast instead
+        joined = (
+            read_bucketed(spark, "bk_a").hint("merge")
+            .join(read_bucketed(spark, "bk_b"), "k")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles:\n" + plan
+        expect = a.join(b, "k")
+        assert joined.exceptAll(expect).count() == 0
+        assert expect.exceptAll(joined).count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
 def test_incremental_null_policy(spark):
     from last_minute_legends_spark.operators.incremental import new_records
 
