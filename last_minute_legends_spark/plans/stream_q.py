@@ -78,11 +78,18 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_sessionize(spark, sf_dir)
 
 
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from last_minute_legends_spark.streaming.pipeline import run_enriched_pipeline
+
+    return run_enriched_pipeline(spark, sf_dir)
+
+
 SPARK = {
     "stream_json_parse": stream_json_parse,
     "catalog_text_etl": catalog_text_etl,
     "stream_pipeline": stream_pipeline,
     "stream_sessionize": stream_sessionize,
+    "stream_enrich": stream_enrich,
 }
 
 SQL = {
@@ -90,4 +97,5 @@ SQL = {
     "catalog_text_etl": None,
     "stream_pipeline": None,
     "stream_sessionize": None,
+    "stream_enrich": None,   # streaming run: rows-only + parity test
 }

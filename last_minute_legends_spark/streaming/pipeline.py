@@ -118,3 +118,62 @@ def run_windowed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(f"{staging}/in", ignore_errors=True)
     shutil.rmtree(f"{staging}/ckpt", ignore_errors=True)
     return out
+
+
+ENRICH_SCHEMA = (
+    "window_start_us long, nation string, n_events long, sum_value double"
+)
+
+
+def run_enriched_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the
+    customer→nation dimension (a broadcast hash join re-planned per
+    micro-batch — the static side may be refreshed between batches)
+    before the watermarked window. The reference enriches its stream
+    against the warehouse the same way; at scale the dimension is a
+    broadcast, so the stream side never shuffles for the join."""
+    staging = stage_events_json(spark, sf_dir)
+    raw_events = parse_event_json(spark.read.text(f"{staging}/in"))
+    max_ts = raw_events.agg(F.max("ts").alias("m")).collect()[0].m
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(load_table(spark, sf_dir, "nation"),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey").alias("user_id"),
+                F.col("n_name").alias("nation"))
+    )
+    stream = parse_event_json(file_json_stream(spark, f"{staging}/in"))
+    agg = (
+        stream.join(F.broadcast(dim), "user_id", "left")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"),
+                 F.coalesce("nation", F.lit("UNKNOWN")).alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "nation", "n_events", "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", f"{staging}/out")
+        .option("checkpointLocation", f"{staging}/ckpt")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    append_sentinels(spark, staging, max_ts)
+    q.processAllAvailable()
+    q.stop()
+
+    out = (
+        spark.read.schema(ENRICH_SCHEMA).parquet(f"{staging}/out")
+        .filter(F.col("nation") != "UNKNOWN")
+    )
+    shutil.rmtree(f"{staging}/in", ignore_errors=True)
+    shutil.rmtree(f"{staging}/ckpt", ignore_errors=True)
+    return out

@@ -141,6 +141,34 @@ def test_stream_pipeline_matches_batch_window(spark, sf_dir):
     assert s == b, f"stream/batch mismatch: {len(s)} vs {len(b)} groups"
 
 
+def test_stream_enrich_matches_batch(spark, sf_dir):
+    """Stream-static enrichment must equal the same join+window
+    computed in batch."""
+    from last_minute_legends_spark.plans.stream_q import stream_enrich
+    from last_minute_legends_spark.sources.tables import load_table
+
+    streamed = stream_enrich(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(load_table(spark, sf_dir, "nation"),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey").alias("user_id"),
+                F.col("n_name").alias("nation"))
+    )
+    batch = (
+        ev.join(dim, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "nation")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                "nation", "n_events", "sum_value")
+    )
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b, f"stream/batch enrich mismatch: {len(s)} vs {len(b)}"
+
+
 def test_stream_sessionize_matches_batch(spark, sf_dir):
     from last_minute_legends_spark.plans.stream_q import stream_sessionize
     from last_minute_legends_spark.plans.events_analytics import sessionization
