@@ -16,7 +16,8 @@ def _plan(df) -> str:
 # dedup_clusters materializes its fixpoint at construction time; their
 # plan strings are just result scans, so they're skipped here (covered
 # by tests/test_streaming.py and the CC unit test).
-_SKIP = {"stream_pipeline", "stream_sessionize", "dedup_clusters"}
+_SKIP = {"stream_pipeline", "stream_sessionize", "stream_enrich",
+         "dedup_clusters"}
 
 
 def _batch_keys():
