@@ -23,6 +23,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Explicit repartition before the Arrow pass: a single-split scan
+    would serialize all Python workers onto one core (same rationale
+    as operators/dedup._spread)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
+
+
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, checksum long, fake_width int, "
     "fake_height int, byte_mean double"
@@ -69,7 +77,7 @@ def extract_features(binary_df: DataFrame, id_col: str = "doc_id",
                          "fake_height", "byte_mean"],
             )
 
-    src = binary_df.select(
+    src = _spread(binary_df, id_col).select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias(payload_col)
     )
     return src.mapInPandas(gen, schema=FEATURE_SCHEMA)
@@ -109,7 +117,7 @@ def sample_frames(binary_df: DataFrame, frame_size: int = 64,
                          "frame_bytes", "frame_checksum"],
             )
 
-    src = binary_df.select(
+    src = _spread(binary_df, id_col).select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias(payload_col)
     )
     return src.mapInPandas(gen, schema=FRAME_SCHEMA)
@@ -150,7 +158,7 @@ def resize_images(binary_df: DataFrame, out_width: int = 64,
                          "out_bytes"],
             )
 
-    src = binary_df.select(
+    src = _spread(binary_df, id_col).select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias(payload_col)
     )
     return src.mapInPandas(gen, schema=RESIZE_SCHEMA)

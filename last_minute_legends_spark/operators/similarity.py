@@ -110,7 +110,12 @@ def train_centroids(vecs: DataFrame, k: int = 8, iters: int = 3,
                 F.coalesce("nrm", "pn").alias("nrm"),
             )
         )
-    return cent
+    # materialize the k trained rows as literals: every downstream use
+    # (bucket assignment, query probing) would otherwise re-evaluate
+    # the full iteration lineage — k≈8 rows is model-parameter size
+    spark = vecs.sparkSession
+    rows = [(int(r.id), list(r.v), float(r.nrm)) for r in cent.collect()]
+    return spark.createDataFrame(rows, "id int, v array<double>, nrm double")
 
 
 def assign_buckets(candidates: DataFrame, centroids: DataFrame) -> DataFrame:
