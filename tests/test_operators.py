@@ -109,6 +109,49 @@ def test_embedding_lsh_finds_planted_dups(spark):
     assert got == expect
 
 
+def test_jaccard_prefix_filter_matches_bruteforce(spark):
+    """The prefix-filtered jaccard_pairs must equal an independent
+    pure-Python all-pairs computation on generated corpora — the
+    lossless-candidate-generation guarantee, checked end to end at
+    several thresholds on docs engineered to share shingles."""
+    import hashlib
+
+    def pick(tag, options):
+        h = int.from_bytes(hashlib.sha256(tag.encode()).digest()[:8], "big")
+        return options[h % len(options)]
+
+    vocab = [f"w{i}" for i in range(12)]   # tiny vocab → heavy sharing
+    for corpus_seed in ("c1", "c2"):
+        texts = {}
+        for d in range(30):
+            n_words = 6 + (d % 7)
+            texts[d] = " ".join(
+                pick(f"{corpus_seed}:{d}:{j}", vocab) for j in range(n_words)
+            )
+        # python reference: distinct 3-gram shingle sets, exact jaccard
+        def shingles(t):
+            w = t.split()
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        sets = {d: shingles(t) for d, t in texts.items() if len(t.split()) >= 3}
+        for threshold in (0.3, 0.5, 0.8):
+            expect = set()
+            for a in sets:
+                for b in sets:
+                    if a < b and sets[a] and sets[b]:
+                        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                        if j >= threshold:
+                            expect.add((a, b, round(j, 4)))
+            docs = _docs(spark, sorted(texts.items()))
+            from last_minute_legends_spark.operators.dedup import jaccard_pairs
+            got = {(r.doc_a, r.doc_b, r.jaccard)
+                   for r in jaccard_pairs(docs, threshold=threshold).collect()}
+            assert got == expect, (
+                f"seed={corpus_seed} t={threshold}: "
+                f"missing={expect - got} extra={got - expect}"
+            )
+
+
 def test_connected_components_chain_and_islands(spark):
     """A transitive chain A-B-C plus a separate pair and a long path
     must resolve to min-id cluster labels (propagation crosses hops)."""
