@@ -49,6 +49,7 @@ HEADLINE = [
     "moving_avg",
     "events_sketches",
     "rollup_timeseries",
+    "latest_by_user",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -59,6 +60,8 @@ HEADLINE = [
     "text_quality",
     "text_fingerprint",
     "text_tfidf_topterms",
+    "text_vocab_topk",
+    "training_set",
     "multimodal_features",
     "multimodal_framesample",
     "catalog_text_etl",
@@ -81,8 +84,12 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
-    # warmup: JVM + codegen + parquet footer caches
+    # warmup: JVM + codegen + parquet footer caches, and the Python
+    # daemon worker fleet (first mapInPandas otherwise pays startup)
     QUERIES["q6_forecast_revenue"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    (spark.range(64).repartition(32)
+     .mapInPandas(lambda it: it, "id long")
+     .write.mode("overwrite").format("noop").save())
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -493,6 +493,37 @@ ORDER BY resolution, bucket_us, event_type
 """
 
 
+# --- latest_by_user: CDC-style "current state" extraction ----------------
+
+def latest_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user — the keep-newest upsert a CDC/merge sink
+    performs, as one window (shuffle on user_id, tiebreak event_id
+    desc so replays are deterministic)."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id",
+                F.unix_micros("ts").alias("ts_us"), "event_type",
+                F.round("value", 2).alias("value"))
+        .orderBy("user_id")
+    )
+
+
+LATEST_BY_USER_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+       round(value, 2) AS value
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 SPARK = {
     "events_by_type": events_by_type,
     "events_windowed": events_windowed,
@@ -509,6 +540,7 @@ SPARK = {
     "moving_avg": moving_avg,
     "events_sketches": events_sketches,
     "rollup_timeseries": rollup_timeseries,
+    "latest_by_user": latest_by_user,
 }
 
 SQL = {
@@ -527,4 +559,5 @@ SQL = {
     "moving_avg": MOVING_AVG_SQL,
     "events_sketches": None,   # sketch estimates: rows-only + error-bound test
     "rollup_timeseries": ROLLUP_TIMESERIES_SQL,
+    "latest_by_user": LATEST_BY_USER_SQL,
 }

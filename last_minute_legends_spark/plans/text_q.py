@@ -193,12 +193,125 @@ ORDER BY doc_id, rn
 """
 
 
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by document frequency then
+    total count — the tokenizer-vocab build step of a training-data
+    pipeline. One exploded shuffle on token; heavy hitters are exactly
+    what the agg concentrates, so partial aggregation (map-side
+    combine) does the flattening before the shuffle."""
+    from last_minute_legends_spark.functions.text import words
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    )
+    counts = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("tf_total"),
+    )
+    w = Window.orderBy(F.desc("df"), F.desc("tf_total"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .select("rank", "term", "df", "tf_total")
+        .orderBy("rank")
+    )
+
+
+TEXT_VOCAB_SQL = """
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+    FROM documents
+), counts AS (
+    SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf_total
+    FROM tok GROUP BY term
+), ranked AS (
+    SELECT term, df, tf_total,
+           row_number() OVER (ORDER BY df DESC, tf_total DESC, term) AS rank
+    FROM counts
+)
+SELECT rank, term, df, tf_total FROM ranked WHERE rank <= 100 ORDER BY rank
+"""
+
+
+def training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship COMPOSED pipeline: exact-dedup keep-list ∧ English
+    ∧ quality threshold → the documents that would enter a training
+    run. One fingerprint shuffle for keeper selection; everything else
+    is narrow column math over the same scan."""
+    docs = Catalog(spark, sf_dir).documents
+    low = F.lower(F.col("text"))
+    n_en = count_matches(low, STOPWORDS_EN)
+    n_de = count_matches(low, STOPWORDS_DE)
+    n_fr = count_matches(low, STOPWORDS_FR)
+    is_en = (n_en >= n_de) & (n_en >= n_fr) & (n_en > 0)
+
+    n_chars = F.length("text").cast("long")
+    n_tokens = count_matches(F.col("text"), r"\S+")
+    n_punct = count_matches(F.col("text"), r"[^A-Za-z0-9\s]")
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_en / F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+        * (F.lit(1.0) - punct_ratio)
+        * (F.lit(0.5) + F.lit(0.5) * stop_ratio)
+    )
+
+    from pyspark.sql import Window
+    fp = F.md5(normalize_text(F.col("text")))
+    keeper = F.min("doc_id").over(Window.partitionBy(fp))
+    return (
+        docs.select(
+            "doc_id",
+            F.round(score, 4).alias("quality_score"),
+            is_en.alias("is_en"),
+            (keeper == F.col("doc_id")).alias("is_keeper"),
+        )
+        .filter(F.col("is_en") & F.col("is_keeper")
+                & (F.col("quality_score") >= 0.5))
+        .select("doc_id", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+TRAINING_SET_SQL = f"""
+WITH d AS (
+    SELECT doc_id, text,
+           CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_EN}')) AS BIGINT) AS n_en,
+           CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_DE}')) AS BIGINT) AS n_de,
+           CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_FR}')) AS BIGINT) AS n_fr,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+           min(doc_id) OVER (
+               PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           ) AS keeper
+    FROM documents
+)
+SELECT doc_id,
+       round(least(1.0, n_tokens / 50.0)
+             * (1.0 - n_punct / greatest(n_chars, 1))
+             * (0.5 + 0.5 * (n_en / greatest(n_tokens, 1))), 4) AS quality_score
+FROM d
+WHERE n_en >= n_de AND n_en >= n_fr AND n_en > 0
+  AND keeper = doc_id
+  AND round(least(1.0, n_tokens / 50.0)
+            * (1.0 - n_punct / greatest(n_chars, 1))
+            * (0.5 + 0.5 * (n_en / greatest(n_tokens, 1))), 4) >= 0.5
+ORDER BY doc_id
+"""
+
+
 SPARK = {
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
     "text_tfidf_topterms": text_tfidf_topterms,
+    "text_vocab_topk": text_vocab_topk,
+    "training_set": training_set,
 }
 
 SQL = {
@@ -207,4 +320,6 @@ SQL = {
     "text_tokens": TEXT_TOKENS_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_tfidf_topterms": TEXT_TFIDF_SQL,
+    "text_vocab_topk": TEXT_VOCAB_SQL,
+    "training_set": TRAINING_SET_SQL,
 }
