@@ -145,7 +145,11 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     doc ids, no exploded rows — so Jaccard is exact integer division
     and Spark and the SQL oracle agree bit-for-bit.
     """
-    prof = doc_shingle_profiles(docs, threshold, id_col, text_col, n)
+    # the profile feeds candidate generation AND both verify sides; a
+    # diamond this wide re-evaluates the shingle pipeline per branch
+    # unless persisted (MEMORY_AND_DISK default; Spark LRU evicts —
+    # same pattern as caching ML training frames)
+    prof = doc_shingle_profiles(docs, threshold, id_col, text_col, n).persist()
     pref = prof.select("doc_id", F.explode("pref_arr").alias("s"))
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
@@ -186,7 +190,14 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
     the true shingle Jaccard (so output = jaccard_pairs minus any
     LSH false negatives — at 8 bands × 4 rows the miss rate at
     j=0.8 is (1-0.8^4)^8 ≈ 0.5%%)."""
-    sig = minhash_signatures(docs, id_col, text_col, n)
+    # shingles feed the signature pass, both verify sides, and sizes —
+    # persist the exploded frame once (LRU-evicted, disk-spillable)
+    sh = _shingle_sets(docs, id_col, text_col, n).persist()
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+        for i in range(N_PERM)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -206,8 +217,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with the true Jaccard
-    sh = _shingle_sets(docs, id_col, text_col, n)
+    # verify candidates with the true Jaccard (same persisted shingles)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
@@ -259,7 +269,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     """Candidate near-dup pairs: equal in at least one 16-bit band
     (guarantees recall for hamming <= 3; good heuristic above),
     verified by bit_count(xor) <= max_hamming."""
-    sig = simhash_signatures(docs, id_col, text_col)
+    # both sides of the band self-join read the signature — persist so
+    # the 64-bit aggregate expression runs once per doc, not twice
+    sig = simhash_signatures(docs, id_col, text_col).persist()
     bands = F.array(*[
         F.struct(
             F.lit(k).alias("band"),
@@ -400,6 +412,9 @@ def embedding_lsh_pairs(emb: DataFrame, planes: DataFrame,
     """
     bits_per_band = N_PLANES // n_bands
     mask = (1 << bits_per_band) - 1
+    # emb feeds the signature pass and both verify sides — persist the
+    # (id, v, nrm) frame so the scan+norm isn't recomputed per branch
+    emb = emb.persist()
     sig = embedding_signatures(emb, planes)
     bands = F.array(*[
         F.struct(
