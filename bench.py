@@ -33,7 +33,9 @@ HEADLINE = [
     "q9_product_margin",
     "q13_customer_distribution",
     "q15_top_supplier",
+    "q16_supplier_count",
     "q17_small_quantity",
+    "q19_or_predicate",
     "q18_large_volume_customer",
     "topn_per_group",
     "rollup_agg",

@@ -412,10 +412,11 @@ def embedding_lsh_pairs(emb: DataFrame, planes: DataFrame,
     """
     bits_per_band = N_PLANES // n_bands
     mask = (1 << bits_per_band) - 1
-    # emb feeds the signature pass and both verify sides — persist the
-    # (id, v, nrm) frame so the scan+norm isn't recomputed per branch
+    # emb feeds the signature pass and both verify sides; sig feeds
+    # both sides of the band self-join — persist both small frames so
+    # neither the scan+norm nor the 64-plane signature pass reruns
     emb = emb.persist()
-    sig = embedding_signatures(emb, planes)
+    sig = embedding_signatures(emb, planes).persist()
     bands = F.array(*[
         F.struct(
             F.lit(k).alias("band"),

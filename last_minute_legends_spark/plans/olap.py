@@ -655,6 +655,67 @@ WHERE p_brand = 'Brand#1'
 """
 
 
+# --- q16: supplier count per part profile (TPC-H Q16, adapted:
+# lineitem is the part↔supplier link — no partsupp in this schema) -------
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    part = cat.part.filter(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(1, 5, 9, 13)
+    )
+    return (
+        cat.lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_size IN (1, 5, 9, 13)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --- q19: discounted revenue, OR-of-ANDs predicate (TPC-H Q19 shape) -----
+
+def q19_or_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction of brand/size/quantity conjunctions — the predicate
+    shape that exercises OR pushdown and join-condition placement."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+    joined = li.join(F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(_rev()), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # --- cube_agg: GROUP BY CUBE over orders ---------------------------------
 
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,7 +767,9 @@ SPARK = {
     "q8_market_share": q8_market_share,
     "q9_product_margin": q9_product_margin,
     "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_count": q16_supplier_count,
     "q17_small_quantity": q17_small_quantity,
+    "q19_or_predicate": q19_or_predicate,
 }
 
 SQL = {
@@ -727,5 +790,7 @@ SQL = {
     "q8_market_share": Q8_SQL,
     "q9_product_margin": Q9_SQL,
     "q15_top_supplier": Q15_SQL,
+    "q16_supplier_count": Q16_SQL,
     "q17_small_quantity": Q17_SQL,
+    "q19_or_predicate": Q19_SQL,
 }
