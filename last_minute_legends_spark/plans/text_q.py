@@ -147,7 +147,9 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(words(F.col("text"))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the df table, the corpus size, and the scoring branch —
+    # persist once (LRU-evicted) instead of re-tokenizing per branch
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = tf.select(F.count_distinct("doc_id").alias("n_docs"))
     scored = (
