@@ -101,6 +101,19 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
 
+    # streaming runs timed separately (real multi-batch executions —
+    # kept OUT of the headline total so batch regressions stay visible)
+    streaming: dict[str, float] = {}
+    for name in ("stream_pipeline", "stream_enrich"):
+        try:
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, SF_DIR).count()
+            streaming[name] = round(time.perf_counter() - t0, 3)
+            streaming[f"{name}_rows"] = n
+        except Exception as exc:
+            streaming[name] = -1.0
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -112,6 +125,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "streaming": streaming,
         "sf": sf,
     }))
     spark.stop()
