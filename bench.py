@@ -64,6 +64,7 @@ HEADLINE = [
     "text_tfidf_topterms",
     "text_vocab_topk",
     "training_set",
+    "train_val_split",
     "multimodal_features",
     "multimodal_framesample",
     "catalog_text_etl",

@@ -306,6 +306,48 @@ ORDER BY doc_id
 """
 
 
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val assignment: bucket = first 8 hex
+    chars of md5(doc_id) mod 100 — content-independent, stable across
+    engines and runs, no RNG. At 100 TB this is THE split mechanism:
+    pure column math, no sampling state, assignment survives
+    re-partitioning and incremental appends."""
+    docs = Catalog(spark, sf_dir).documents
+    h = F.md5(F.col("doc_id").cast("string"))
+    # hex-digit arithmetic instead of hex parsing: DuckDB has no
+    # strtol/conv, but ascii(char) agrees everywhere
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 4096
+        + F.ascii(F.substring(h, 2, 1)) * 64
+        + F.ascii(F.substring(h, 3, 1))
+    ).cast("long") % 100
+    return (
+        docs.select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.when(bucket < 90, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TRAIN_VAL_SPLIT_SQL = """
+WITH h AS (
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+)
+SELECT doc_id,
+       CAST((ascii(substring(hx, 1, 1)) * 4096
+             + ascii(substring(hx, 2, 1)) * 64
+             + ascii(substring(hx, 3, 1))) % 100 AS BIGINT) AS bucket,
+       CASE WHEN (ascii(substring(hx, 1, 1)) * 4096
+                  + ascii(substring(hx, 2, 1)) * 64
+                  + ascii(substring(hx, 3, 1))) % 100 < 90
+            THEN 'train' ELSE 'val' END AS split
+FROM h
+ORDER BY doc_id
+"""
+
+
 SPARK = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -314,6 +356,7 @@ SPARK = {
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_vocab_topk": text_vocab_topk,
     "training_set": training_set,
+    "train_val_split": train_val_split,
 }
 
 SQL = {
@@ -324,4 +367,5 @@ SQL = {
     "text_tfidf_topterms": TEXT_TFIDF_SQL,
     "text_vocab_topk": TEXT_VOCAB_SQL,
     "training_set": TRAINING_SET_SQL,
+    "train_val_split": TRAIN_VAL_SPLIT_SQL,
 }
