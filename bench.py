@@ -38,7 +38,6 @@ HEADLINE = [
     "q19_or_predicate",
     "q18_large_volume_customer",
     "topn_per_group",
-    "rollup_agg",
     "cube_agg",
     "events_by_type",
     "events_windowed",
@@ -55,12 +54,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_embedding",
     "dedup_clusters",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "text_quality",
-    "text_fingerprint",
     "text_tfidf_topterms",
     "text_vocab_topk",
     "training_set",

@@ -17,8 +17,8 @@ all-pairs cross join — the cardinal rule at 100 TB):
   equi-join produces candidates, full-shingle join verifies. Bounded
   false-negative rate, shuffle-partitionable, never O(n²).
 - SimHash:    64-bit majority-vote signature over token hashes
-  (nested aggregate expressions, all JVM-side); 16-bit band
-  equi-join for candidates; bit_count(xor) Hamming verify.
+  (exploded tokens + 64 codegen'd sum aggs, all JVM-side); 16-bit
+  band equi-join for candidates; bit_count(xor) Hamming verify.
 - Embedding:  sign-bit random-hyperplane LSH (Charikar, STOC'02)
   over an array<float> embedding column; banded signature equi-join
   for candidates, exact cosine verify.
@@ -90,13 +90,11 @@ def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
 def doc_shingle_profiles(docs: DataFrame, threshold: float,
                          id_col: str = "doc_id", text_col: str = "text",
                          n: int = 3) -> DataFrame:
-    """Per-doc prefix-filter profile: (doc_id, n_sh, sh_arr, pref_arr).
-
-    ``sh_arr`` is the doc's full distinct-shingle set sorted
-    rare-first (global document frequency ascending, shingle value
-    tiebreak); ``pref_arr`` is its first p = |A| − ⌈t·|A|⌉ + 1
-    elements — the prefix-filter index (Bayardo et al. WWW'07 /
-    PPJoin WWW'08).
+    """Per-doc prefix-filter index as ROWS: (doc_id, s, n_sh) — one
+    row per prefix shingle, where the prefix is the doc's
+    p = |A| − ⌈t·|A|⌉ + 1 globally-rarest distinct shingles (document
+    frequency ascending, shingle value tiebreak) — the prefix-filter
+    index (Bayardo et al. WWW'07 / PPJoin WWW'08).
 
     Prefix principle (provable): if |A∩B| ≥ α then the
     (|A|−α+1)-prefix of A and of B under ANY shared total order must
@@ -106,27 +104,29 @@ def doc_shingle_profiles(docs: DataFrame, threshold: float,
     with a −1e-9 nudge so float error can only LENGTHEN the prefix
     (extra candidates are harmless; a short prefix would lose recall).
 
-    Two shuffles total: df count by shingle, then one groupBy(doc_id)
-    that assembles order, sizes, and prefix in a single aggregation.
+    Row-width safety: the index is exploded rows, NOT per-doc arrays
+    (the r3 formulation carried every doc's full sorted shingle array
+    in one ``collect_list`` row — a book-length outlier would bloat
+    executor rows at 100×). A long doc here is just MORE rows; the
+    per-doc ordering is a doc_id-partitioned window (row_number +
+    count over the doc's shingle rows), never a materialized array.
     """
+    from pyspark.sql import Window
+
     sh = _shingle_sets(docs, id_col, text_col, n)
     df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    order = Window.partitionBy("doc_id").orderBy("df", "s")
+    whole = Window.partitionBy("doc_id")
+    ranked = sh.join(df_tbl, "s").select(
+        "doc_id", "s",
+        F.row_number().over(order).alias("rn"),
+        F.count(F.lit(1)).over(whole).alias("n_sh"),
+    )
     plen = (
         F.col("n_sh")
         - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)) + 1
     ).cast("int")
-    return (
-        sh.join(df_tbl, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("df", "s"))),
-                lambda x: x["s"],
-            ).alias("sh_arr"),
-            F.count(F.lit(1)).alias("n_sh"),
-        )
-        .withColumn("pref_arr", F.slice(F.col("sh_arr"), F.lit(1), plen))
-    )
+    return ranked.filter(F.col("rn") <= plen).select("doc_id", "s", "n_sh")
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
@@ -140,17 +140,33 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     and the join never touches high-df shingles, so one common phrase
     can't blow up a shuffle partition (the naive shared-shingle join
     emits df² rows per shingle — the skew bomb this replaces). The
-    verify pass computes the exact |∩| per candidate pair with
-    array_intersect over the full shingle arrays — an equi-join on
-    doc ids, no exploded rows — so Jaccard is exact integer division
-    and Spark and the SQL oracle agree bit-for-bit.
+    verify pass computes the exact |∩| per candidate pair by joining
+    the candidate list back to the exploded shingle rows and counting
+    matches — an equi-join + groupBy, no per-doc arrays anywhere, so
+    executor row width is independent of document length. Jaccard is
+    exact integer division and Spark and the SQL oracle agree
+    bit-for-bit.
     """
-    # the profile feeds candidate generation AND both verify sides; a
-    # diamond this wide re-evaluates the shingle pipeline per branch
-    # unless persisted (MEMORY_AND_DISK default; Spark LRU evicts —
-    # same pattern as caching ML training frames)
-    prof = doc_shingle_profiles(docs, threshold, id_col, text_col, n).persist()
-    pref = prof.select("doc_id", F.explode("pref_arr").alias("s"))
+    # the exploded shingles feed the df table, the prefix index, the
+    # sizes, and both verify sides; a diamond this wide re-evaluates
+    # the shingle pipeline per branch unless persisted
+    # (MEMORY_AND_DISK default; Spark LRU evicts)
+    sh = _shingle_sets(docs, id_col, text_col, n).persist()
+    from pyspark.sql import Window
+
+    df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    order = Window.partitionBy("doc_id").orderBy("df", "s")
+    whole = Window.partitionBy("doc_id")
+    ranked = sh.join(df_tbl, "s").select(
+        "doc_id", "s",
+        F.row_number().over(order).alias("rn"),
+        F.count(F.lit(1)).over(whole).alias("n_sh"),
+    )
+    plen = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)) + 1
+    ).cast("int")
+    pref = ranked.filter(F.col("rn") <= plen).select("doc_id", "s")
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(b, (F.col("a.s") == F.col("b.s"))
@@ -158,14 +174,21 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    pa = prof.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sa"),
-                     F.col("n_sh").alias("na"))
-    pb = prof.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sb"),
-                     F.col("n_sh").alias("nb"))
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    jac = inter / (F.col("na") + F.col("nb") - inter)
+    # exact verify over exploded rows (same persisted shingle frame)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = (
+        cand.join(sha, "doc_a").join(shb, "doc_b")
+        .filter(F.col("sa") == F.col("sb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        cand.join(pa, "doc_a").join(pb, "doc_b")
+        inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
@@ -238,30 +261,44 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
     )
 
 
-# 64-bit simhash of the distinct-token set: for each bit, majority
-# vote of the token hashes' bit values. Nested aggregate() keeps the
-# whole computation in one codegen'd expression — no explode blowup.
-_SIMHASH_EXPR = """
-aggregate(
-  sequence(0, 63),
-  0L,
-  (acc, b) -> acc + if(
-      aggregate(hs, 0L, (a, h) -> a + (shiftright(h, b) & 1L) * 2 - 1) > 0,
-      shiftleft(1L, b), 0L)
-)
-"""
-
-
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash) — 64-bit signature per document."""
+    """(doc_id, simhash) — 64-bit signature per document: for each
+    bit, majority vote of the distinct-token hashes' bit values
+    (ties → 0).
+
+    Formulation: explode the distinct tokens and run 64 codegen'd
+    ``sum((h>>b & 1)*2 - 1)`` aggregations in ONE groupBy — all
+    whole-stage codegen with map-side partial aggregation, so the
+    shuffle carries 64 longs per (doc × map partition). The r3
+    nested ``aggregate(sequence(0,63), aggregate(hs, ...))``
+    higher-order expression computed the same thing but was
+    interpreted (non-codegen) expression eval — ~7 s at sf0.1 vs
+    well under 1 s for this plan. ``explode_outer`` keeps empty
+    documents (null hash rows sum to null → bit 0 → simhash 0,
+    matching the fold-over-empty-array semantics)."""
     toks = _spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
-        F.transform(
-            F.array_distinct(words(F.col(text_col))), lambda t: F.xxhash64(t)
-        ).alias("hs"),
+        F.explode_outer(F.array_distinct(words(F.col(text_col)))).alias("t"),
+    ).select(
+        "doc_id",
+        F.when(F.col("t").isNotNull(), F.xxhash64(F.col("t"))).alias("h"),
     )
-    return toks.select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
+    vote = [
+        F.sum(
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = toks.groupBy("doc_id").agg(*vote)
+    word = F.lit(0).cast("long")
+    for b in range(64):
+        word = word.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select("doc_id", word.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
@@ -345,6 +382,16 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         labels = new
         if changed == 0:
             break
+    else:
+        # the loop exhausted max_iter with labels still moving: some
+        # component has diameter > max_iter and the labels are NOT a
+        # fixpoint — returning them silently would hand the caller
+        # wrong cluster ids
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing) — raise "
+            "max_iter (component diameter exceeds it)"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

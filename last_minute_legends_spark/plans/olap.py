@@ -406,38 +406,6 @@ ORDER BY p_brand, rn
 """
 
 
-# --- rollup_agg: GROUP BY ROLLUP multi-level aggregation ----------------
-
-def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = Catalog(spark, sf_dir).lineitem
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-        .select(
-            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
-            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
-            "sum_price", "sum_qty", "n_items",
-        )
-        .orderBy("returnflag", "linestatus")
-    )
-
-
-ROLLUP_SQL = """
-SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-       COALESCE(l_linestatus, 'ALL') AS linestatus,
-       round(sum(l_extendedprice), 2) AS sum_price,
-       round(sum(l_quantity), 2) AS sum_qty,
-       count(*) AS n_items
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
-ORDER BY returnflag, linestatus
-"""
-
-
 # --- q7: nation-pair volume shipping (TPC-H Q7, adapted columns) --------
 
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,7 +689,11 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CUBE over (orderstatus, orderpriority): every grouping-set
     combination in one pass — Spark expands grouping sets map-side, so
-    it's still a single shuffle with partial aggregation."""
+    it's still a single shuffle with partial aggregation. CUBE's
+    grouping sets are a strict superset of ROLLUP's, so this entry
+    also covers the multi-level-rollup operator class (the former
+    separate ``rollup_agg`` entry); hierarchical GROUPING SETS are
+    additionally exercised by ``rollup_timeseries``."""
     o = Catalog(spark, sf_dir).orders
     return (
         o.cube("o_orderstatus", "o_orderpriority")
@@ -761,7 +733,6 @@ SPARK = {
     "q18_large_volume_customer": q18_large_volume_customer,
     "q22_idle_customers": q22_idle_customers,
     "topn_per_group": topn_per_group,
-    "rollup_agg": rollup_agg,
     "cube_agg": cube_agg,
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
@@ -784,7 +755,6 @@ SQL = {
     "q18_large_volume_customer": Q18_SQL,
     "q22_idle_customers": Q22_SQL,
     "topn_per_group": TOPN_SQL,
-    "rollup_agg": ROLLUP_SQL,
     "cube_agg": CUBE_SQL,
     "q7_nation_volume": Q7_SQL,
     "q8_market_share": Q8_SQL,

@@ -58,9 +58,16 @@ FROM d ORDER BY doc_id
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text stats: whitespace + BPE-ish token counts,
+    punctuation/stopword ratios, composite quality score, and the
+    md5 fingerprint of the normalized text (rolling-hash document
+    identity). One narrow pass over the scan — all per-row column
+    math, no shuffle (subsumes the former separate ``text_tokens``
+    and ``text_fingerprint`` registry entries)."""
     docs = Catalog(spark, sf_dir).documents
     n_chars = F.length("text").cast("long")
     n_tokens = count_matches(F.col("text"), r"\S+")
+    n_bpe = count_matches(F.col("text"), BPE_RE)
     n_punct = count_matches(F.col("text"), r"[^A-Za-z0-9\s]")
     n_stop = count_matches(F.lower(F.col("text")), STOPWORDS_EN)
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
@@ -74,61 +81,32 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
         F.round(score, 4).alias("quality_score"),
+        F.md5(normalize_text(F.col("text"))).alias("fp"),
     ).orderBy("doc_id")
 
 
 TEXT_QUALITY_SQL = f"""
 WITH d AS (
-    SELECT doc_id,
+    SELECT doc_id, text,
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
            CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
            CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_EN}')) AS BIGINT) AS n_stop
     FROM documents
 )
-SELECT doc_id, n_chars, n_tokens,
+SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
        round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
        round(n_stop / greatest(n_tokens, 1), 4) AS stop_ratio,
        round(least(1.0, n_tokens / 50.0)
              * (1.0 - n_punct / greatest(n_chars, 1))
-             * (0.5 + 0.5 * (n_stop / greatest(n_tokens, 1))), 4) AS quality_score
-FROM d ORDER BY doc_id
-"""
-
-
-def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents
-    return docs.select(
-        "doc_id",
-        count_matches(F.col("text"), r"\S+").alias("n_ws_tokens"),
-        count_matches(F.col("text"), BPE_RE).alias("n_bpe_tokens"),
-        F.length("text").cast("long").alias("n_chars"),
-    ).orderBy("doc_id")
-
-
-TEXT_TOKENS_SQL = f"""
-SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
-       CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
-       CAST(length(text) AS BIGINT) AS n_chars
-FROM documents ORDER BY doc_id
-"""
-
-
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents
-    return docs.select(
-        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
-    ).orderBy("doc_id")
-
-
-TEXT_FINGERPRINT_SQL = """
-SELECT doc_id,
+             * (0.5 + 0.5 * (n_stop / greatest(n_tokens, 1))), 4) AS quality_score,
        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
-FROM documents ORDER BY doc_id
+FROM d ORDER BY doc_id
 """
 
 
@@ -200,9 +178,17 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     total count — the tokenizer-vocab build step of a training-data
     pipeline. One exploded shuffle on token; heavy hitters are exactly
     what the agg concentrates, so partial aggregation (map-side
-    combine) does the flattening before the shuffle."""
+    combine) does the flattening before the shuffle.
+
+    The top-100 selection is ``orderBy(...).limit(100)``, which
+    Catalyst compiles to TakeOrderedAndProject — per-partition
+    top-100 heaps merged at the driver, NO single-partition sort.
+    At a 100 TB corpus the vocabulary is billions of terms; a global
+    row_number window here (the r3 formulation) would move every
+    term's counts into one partition. Rank is implied by the sort
+    order (df desc, tf_total desc, term asc), not materialized —
+    plan-asserted window-free in tests/test_plans.py."""
     from last_minute_legends_spark.functions.text import words
-    from pyspark.sql import Window
 
     docs = Catalog(spark, sf_dir).documents
     toks = docs.select(
@@ -212,12 +198,10 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("df"),
         F.count(F.lit(1)).alias("tf_total"),
     )
-    w = Window.orderBy(F.desc("df"), F.desc("tf_total"), F.asc("term"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 100)
-        .select("rank", "term", "df", "tf_total")
-        .orderBy("rank")
+        counts.orderBy(F.desc("df"), F.desc("tf_total"), F.asc("term"))
+        .limit(100)
+        .select("term", "df", "tf_total")
     )
 
 
@@ -229,12 +213,9 @@ WITH tok AS (
 ), counts AS (
     SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf_total
     FROM tok GROUP BY term
-), ranked AS (
-    SELECT term, df, tf_total,
-           row_number() OVER (ORDER BY df DESC, tf_total DESC, term) AS rank
-    FROM counts
 )
-SELECT rank, term, df, tf_total FROM ranked WHERE rank <= 100 ORDER BY rank
+SELECT term, df, tf_total FROM counts
+ORDER BY df DESC, tf_total DESC, term LIMIT 100
 """
 
 
@@ -307,11 +288,16 @@ ORDER BY doc_id
 
 
 def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 90/10 train/val assignment: bucket = first 8 hex
-    chars of md5(doc_id) mod 100 — content-independent, stable across
-    engines and runs, no RNG. At 100 TB this is THE split mechanism:
-    pure column math, no sampling state, assignment survives
-    re-partitioning and incremental appends."""
+    """Deterministic ~90/10 train/val assignment: bucket = positional
+    ascii encoding of the first 3 hex chars of md5(doc_id) —
+    ``(ascii(c1)*4096 + ascii(c2)*64 + ascii(c3)) mod 100`` —
+    content-independent, stable across engines and runs, no RNG.
+    Note the encoding is ascii-value arithmetic (NOT hex parsing:
+    DuckDB lacks strtol/conv), so buckets are not perfectly uniform
+    over hex digits; all 100 buckets are reachable and the measured
+    train fraction is ~0.9004 (±2%-ish by corpus). At 100 TB this is
+    THE split mechanism: pure column math, no sampling state,
+    assignment survives re-partitioning and incremental appends."""
     docs = Catalog(spark, sf_dir).documents
     h = F.md5(F.col("doc_id").cast("string"))
     # hex-digit arithmetic instead of hex parsing: DuckDB has no
@@ -351,8 +337,6 @@ ORDER BY doc_id
 SPARK = {
     "text_langid": text_langid,
     "text_quality": text_quality,
-    "text_tokens": text_tokens,
-    "text_fingerprint": text_fingerprint,
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_vocab_topk": text_vocab_topk,
     "training_set": training_set,
@@ -362,8 +346,6 @@ SPARK = {
 SQL = {
     "text_langid": TEXT_LANGID_SQL,
     "text_quality": TEXT_QUALITY_SQL,
-    "text_tokens": TEXT_TOKENS_SQL,
-    "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_tfidf_topterms": TEXT_TFIDF_SQL,
     "text_vocab_topk": TEXT_VOCAB_SQL,
     "training_set": TRAINING_SET_SQL,

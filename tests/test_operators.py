@@ -55,14 +55,45 @@ def test_prefix_filter_excludes_hot_shingle(spark):
     docs = _docs(spark, rows)
 
     prof = doc_shingle_profiles(docs, 0.5)
-    hot_in_prefix = prof.filter(
-        F.array_contains(F.col("pref_arr"), hot)
-    ).count()
+    hot_in_prefix = prof.filter(F.col("s") == hot).count()
     assert hot_in_prefix == 0, "hot shingle leaked into the prefix index"
 
     pairs = {(r.doc_a, r.doc_b) for r in jaccard_pairs(docs, threshold=0.5).collect()}
     assert (100, 101) in pairs
     assert all(p == (100, 101) for p in pairs)
+
+
+def test_jaccard_long_doc_bounded_rows(spark):
+    """A book-length outlier must neither break the prefix index nor
+    bloat executor rows: the index and the verify are exploded rows
+    (no per-doc arrays), so a 20k-word doc is just more rows. The
+    planted near-dup of the long doc must still be found exactly."""
+    from last_minute_legends_spark.operators.dedup import jaccard_pairs
+
+    import hashlib
+
+    def word(tag):
+        return "w" + hashlib.sha256(tag.encode()).hexdigest()[:8]
+
+    long_doc = " ".join(word(f"L:{i}") for i in range(20_000))
+    # near-dup: same text with one word changed mid-document
+    words_ = long_doc.split()
+    words_[10_000] = "CHANGED"
+    near = " ".join(words_)
+    docs = _docs(spark, [
+        (1, long_doc), (2, near),
+        (3, "short unrelated document about nothing shared"),
+    ])
+    out = {(r.doc_a, r.doc_b): r.jaccard
+           for r in jaccard_pairs(docs, threshold=0.8).collect()}
+    assert set(out) == {(1, 2)}
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sa, sb = shingles(long_doc), shingles(near)
+    assert out[(1, 2)] == round(len(sa & sb) / len(sa | sb), 4)
 
 
 def test_embedding_lsh_finds_planted_dups(spark):

