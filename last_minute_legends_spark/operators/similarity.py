@@ -58,8 +58,13 @@ def train_centroids(vecs: DataFrame, k: int = 8, iters: int = 3,
     """Deterministic Lloyd k-means over (id, v, nrm) vectors → a
     k-row (id, v, nrm) centroid set.
 
-    - Seeds: the k id-rank-striped vectors (positions ⌊i·n/k⌋ in id
-      order) — spread across the id space, no RNG.
+    - Seeds: one per id-hash stripe — for each bucket
+      ``pmod(xxhash64(id), k)``, the member vector with the smallest
+      id. Deterministic, no RNG, and crucially no global sort: seed
+      selection is a single map-side-combinable ``min_by`` shuffle of
+      k rows (the r3 formulation ranked the whole training frame with
+      a global ``Window.orderBy(id)`` plus a separate count — a
+      single-partition sort that contradicts the 100 TB story).
     - Iterations: argmax-cosine assignment (broadcast centroids, big
       side never shuffles beyond the id-window) → per-bucket dimension
       means (posexplode + groupBy — a shuffle of k·dim tiny rows) →
@@ -75,14 +80,18 @@ def train_centroids(vecs: DataFrame, k: int = 8, iters: int = 3,
     train = vecs
     if sample_mod:
         train = train.filter(F.pmod(F.xxhash64(F.col("id")), sample_mod) == 0)
-    w = Window.orderBy("id")
-    n = train.count()
-    stride = max(n // k, 1)
     cent = (
-        train.withColumn("rn", F.row_number().over(w))
-        .filter(((F.col("rn") - 1) % stride == 0) & (F.col("rn") <= stride * k))
-        .select((((F.col("rn") - 1) / stride).cast("int")).alias("id"),
-                "v", "nrm")
+        train.select(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(k)).cast("int").alias("bucket"),
+            "id", "v", "nrm",
+        )
+        .groupBy("bucket")
+        .agg(F.min_by(F.struct("v", "nrm"), F.col("id")).alias("seed"))
+        .select(
+            F.col("bucket").alias("id"),
+            F.col("seed.v").alias("v"),
+            F.col("seed.nrm").alias("nrm"),
+        )
     )
     for _ in range(iters):
         assigned = assign_buckets(train, cent)

@@ -34,7 +34,21 @@ def salted_join(skewed: DataFrame, other: DataFrame, key: str,
     variety (an event id, a line number) — it only seeds the salt, so
     ties are harmless. Output columns = skewed's + other's minus the
     duplicate key, like a plain ``join(other, key)``.
+
+    Only inner/left-family joins are supported: ``other`` is
+    replicated salt_n times, so with how='right'/'full' its unmatched
+    rows would appear salt_n times in the output (not row-identical
+    to the plain join). Salting the other direction = swap the
+    arguments.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not row-identical to a plain "
+            f"join (the replicated side would duplicate unmatched rows); "
+            f"use one of {sorted(allowed)} or swap the join sides"
+        )
     s = skewed.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(discriminator)), F.lit(salt_n))
     )

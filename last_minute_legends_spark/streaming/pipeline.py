@@ -26,6 +26,7 @@ micro-batch; the parquet sink append is idempotent per window.
 
 from __future__ import annotations
 
+import atexit
 import datetime
 import shutil
 import tempfile
@@ -51,8 +52,14 @@ def stage_events_json(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the events table as a directory of Kafka-value-shaped
     JSON lines for the file stream; returns the staging root
     (``<root>/in`` = topic, ``<root>/out`` = sink, ``<root>/ckpt`` =
-    checkpoints)."""
+    checkpoints).
+
+    The sink dir must outlive the call (the returned DataFrame scans
+    it), so the root can't be removed eagerly; it is registered for
+    removal at interpreter exit instead — repeated bench/test runs in
+    one process reuse nothing but also leak nothing."""
     staging = tempfile.mkdtemp(prefix="llm_spark_stream_")
+    atexit.register(shutil.rmtree, staging, ignore_errors=True)
     events = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
     events_as_json(events).write.mode("overwrite").text(f"{staging}/in")
     return staging
