@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 
 from last_minute_legends_spark.sources.streams import (
     events_as_json,
+    events_as_typed_json,
     parse_event_json,
+    parse_typed_events,
 )
 from last_minute_legends_spark.sources.tables import Catalog
 from last_minute_legends_spark.sources.text_catalog import (
@@ -66,6 +68,66 @@ ORDER BY event_type
 """
 
 
+def events_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed per-event-schema round trip, oracle-checked: events are
+    rendered as their mapped reference event type's wire record
+    (sources/streams.py TYPED_EVENT_SCHEMAS ≙
+    /root/reference/schemas/*.avsc, one schema per topic), parsed
+    back per type with that type's declared schema, unioned into the
+    wide analytics view, and aggregated over every typed field. The
+    oracle computes the same aggregate DIRECTLY from the base table
+    via the same deterministic field derivations — any per-type
+    schema/parse/union infidelity hash-mismatches."""
+    events = Catalog(spark, sf_dir).events
+    parsed = parse_typed_events(events_as_typed_json(events))
+    return (
+        parsed.groupBy("event_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.avg("age"), 2).alias("avg_age"),
+            F.count("preferred_language").alias("n_lang"),
+            F.count_distinct("item_id").alias("n_items"),
+            F.count_distinct("cart_id").alias("n_carts"),
+            F.count_distinct("payment_method").alias("n_pay"),
+            F.min(F.col("timestamp").cast("long")).alias("first_us"),
+        )
+        .orderBy("event_name")
+    )
+
+
+EVENTS_TYPED_PARSE_SQL = """
+WITH m AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CASE event_type
+                WHEN 'signup'   THEN 'consumer_registration'
+                WHEN 'click'    THEN 'added_to_cart'
+                WHEN 'error'    THEN 'sign_out'
+                WHEN 'view'     THEN 'item_view'
+                WHEN 'purchase' THEN 'checkout_to_cart'
+           END AS event_name
+    FROM events
+)
+SELECT event_name,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(avg(CASE WHEN event_name = 'consumer_registration'
+                      THEN 18 + user_id % 78 END), 2) AS avg_age,
+       count(CASE WHEN event_name = 'consumer_registration'
+                  THEN 1 END) AS n_lang,
+       count(DISTINCT CASE WHEN event_name IN ('item_view', 'added_to_cart')
+                           THEN (event_id % 200) + 1 END) AS n_items,
+       count(DISTINCT CASE WHEN event_name IN ('added_to_cart', 'checkout_to_cart')
+                           THEN user_id END) AS n_carts,
+       count(DISTINCT CASE WHEN event_name = 'checkout_to_cart'
+                           THEN event_id % 3 END) AS n_pay,
+       min(ts_us) AS first_us
+FROM m
+GROUP BY event_name
+ORDER BY event_name
+"""
+
+
 def stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from last_minute_legends_spark.streaming.pipeline import run_windowed_pipeline
 
@@ -86,6 +148,7 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPARK = {
     "stream_json_parse": stream_json_parse,
+    "events_typed_parse": events_typed_parse,
     "catalog_text_etl": catalog_text_etl,
     "stream_pipeline": stream_pipeline,
     "stream_sessionize": stream_sessionize,
@@ -94,6 +157,7 @@ SPARK = {
 
 SQL = {
     "stream_json_parse": STREAM_JSON_PARSE_SQL,
+    "events_typed_parse": EVENTS_TYPED_PARSE_SQL,
     "catalog_text_etl": None,
     "stream_pipeline": None,
     "stream_sessionize": None,

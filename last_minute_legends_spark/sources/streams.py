@@ -29,11 +29,14 @@ declared schema keeps Catalyst able to prune parsed fields.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructType,
@@ -104,6 +107,129 @@ def kafka_stream(spark: SparkSession, bootstrap_servers: str,
     )
 
 
+# Per-event-type declared schemas, field-for-field with the
+# reference's Avro records (/root/reference/schemas/*.avsc;
+# UserEvents.py:30-118). Every type shares (timestamp, event_name,
+# user_id); the extras are type-specific.
+_COMMON = [("timestamp", StringType()), ("event_name", StringType()),
+           ("user_id", StringType())]
+
+
+def _typed(extra: list[tuple[str, object]]) -> StructType:
+    st = StructType()
+    for name, typ in _COMMON + extra:
+        st = st.add(name, typ, True)
+    return st
+
+
+TYPED_EVENT_SCHEMAS: dict[str, StructType] = {
+    "consumer_registration": _typed([
+        ("age", IntegerType()), ("masked_email", StringType()),
+        ("preferred_language", StringType()),
+    ]),
+    "sign_in": _typed([]),
+    "sign_out": _typed([]),
+    "item_view": _typed([("item_id", StringType())]),
+    "added_to_cart": _typed([("item_id", StringType()),
+                             ("cart_id", StringType())]),
+    "checkout_to_cart": _typed([("cart_id", StringType()),
+                                ("payment_method", StringType())]),
+}
+
+# Deterministic mapping of this repo's generic event_type domain onto
+# the reference's typed event names (synthetic but fixed, so the wire
+# render and any oracle agree; sign_in stays in the registry even
+# though no generic type maps to it — an unseen type simply parses
+# zero rows).
+EVENT_NAME_MAP = {
+    "signup": "consumer_registration",
+    "click": "added_to_cart",
+    "error": "sign_out",
+    "view": "item_view",
+    "purchase": "checkout_to_cart",
+}
+
+# union of every typed schema's fields, in declaration order — the
+# analytics view a consumer of all topics sees (≙ USER_ACTIVITY_SCHEMA
+# minus the catalog-event fields)
+TYPED_UNION_COLS = ("timestamp", "event_name", "user_id", "age",
+                    "masked_email", "preferred_language", "item_id",
+                    "cart_id", "payment_method")
+
+
+def _typed_field_exprs() -> dict[str, object]:
+    """The deterministic type-specific field derivations used by the
+    wire render (and mirrored by the events_typed_parse oracle SQL):
+    engine-portable column math over (event_id, ts, user_id)."""
+    return {
+        "timestamp": F.unix_micros(F.col("ts")).cast("string"),
+        "user_id": F.col("user_id").cast("string"),
+        "age": (F.lit(18) + F.pmod(F.col("user_id"), F.lit(78))).cast("int"),
+        "masked_email": F.concat(F.lit("user"), F.col("user_id").cast("string"),
+                                 F.lit("@masked.com")),
+        "preferred_language": F.element_at(
+            F.array(F.lit("eng"), F.lit("geo"), F.lit("")),
+            (F.pmod(F.col("user_id"), F.lit(3)) + 1).cast("int"),
+        ),
+        "item_id": (F.pmod(F.col("event_id"), F.lit(200)) + 1).cast("string"),
+        "cart_id": F.concat(F.lit("cart-"), F.col("user_id").cast("string")),
+        "payment_method": F.element_at(
+            F.array(F.lit("card"), F.lit("paypal"), F.lit("apple_pay")),
+            (F.pmod(F.col("event_id"), F.lit(3)) + 1).cast("int"),
+        ),
+    }
+
+
+def events_as_typed_json(events: DataFrame) -> DataFrame:
+    """events table → (value: string) typed wire records: each row is
+    rendered as its mapped reference event type with that type's
+    fields only — the per-topic payload shape the reference's
+    publisher produces (one Avro schema per topic; here JSON with the
+    same field sets)."""
+    exprs = _typed_field_exprs()
+    name_map = F.create_map(
+        *[F.lit(x) for kv in EVENT_NAME_MAP.items() for x in kv]
+    )
+    tagged = events.withColumn("event_name", name_map[F.col("event_type")])
+    frames = []
+    for ev_name, schema in TYPED_EVENT_SCHEMAS.items():
+        fields = [f.name for f in schema.fields]
+        cols = [
+            (F.lit(ev_name) if f == "event_name" else exprs[f]).alias(f)
+            for f in fields
+        ]
+        frames.append(
+            tagged.filter(F.col("event_name") == ev_name)
+            .select(F.to_json(F.struct(*cols)).alias("value"))
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+def parse_typed_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Per-type declared-schema parse + union view: each payload is
+    dispatched on its event_name and parsed with THAT type's schema
+    (the faithful twin of the reference's one-Avro-schema-per-topic
+    layout), then the typed frames are unioned into the wide
+    analytics view (absent fields null). Works on batch and streaming
+    frames alike; each branch is a narrow map — no shuffle."""
+    name = F.get_json_object(F.col(value_col), "$.event_name")
+    union_types = {c: "string" for c in TYPED_UNION_COLS}
+    union_types["age"] = "int"
+    frames = []
+    for ev_name, schema in TYPED_EVENT_SCHEMAS.items():
+        fields = {f.name for f in schema.fields}
+        typed = (
+            raw.filter(name == ev_name)
+            .select(F.from_json(F.col(value_col), schema).alias("e"))
+        )
+        frames.append(typed.select(*[
+            (F.col(f"e.{c}") if c in fields else
+             F.lit(None).cast(union_types[c])).alias(c)
+            for c in TYPED_UNION_COLS
+        ]))
+    return reduce(DataFrame.unionByName, frames)
+
+
 def events_as_json(events: DataFrame) -> DataFrame:
     """events table → one-column (value: string) Kafka-value-shaped
     JSON frame; ts serialized as exact epoch micros."""
@@ -156,4 +282,69 @@ def file_json_stream(spark: SparkSession, path: str,
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .text(path)
         .withColumnRenamed("value", "value")
+    )
+
+
+# --- Kafka WRITE side (reference's publisher, Spark-first) ---------------
+#
+# /root/reference/services/kafka_event_publisher.py:42-55 publishes
+# each event keyed by user_id to its per-type topic. Spark-first that
+# is a (key, value) frame handed to the kafka sink — batch
+# ``df.write.format("kafka")`` for backfills, ``writeStream`` for the
+# live pipeline. Both builders are construction-gated like
+# ``kafka_stream`` (no broker or kafka package in this container).
+
+
+def events_as_kafka_records(events: DataFrame) -> DataFrame:
+    """events table → (key: string, value: string) Kafka producer
+    records: key = user_id (the reference's keying — all of a user's
+    events land in one partition, preserving per-user order), value =
+    the wire JSON. Keyed layout means downstream consumers can
+    sessionize without a shuffle."""
+    return events.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.unix_micros(F.col("ts")).alias("ts_us"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.col("value"),
+                F.col("props"),
+            )
+        ).alias("value"),
+    )
+
+
+def _require_kafka(spark: SparkSession) -> None:
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "spark-sql-kafka package not on the classpath; submit with "
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+        )
+
+
+def write_kafka(records: DataFrame, bootstrap_servers: str, topic: str) -> None:
+    """Batch-publish a (key, value) frame to a topic — the backfill
+    twin of the reference's publisher loop (one distributed write, not
+    a driver-side produce-per-row)."""
+    _require_kafka(records.sparkSession)
+    (records.select("key", "value").write.format("kafka")
+     .option("kafka.bootstrap.servers", bootstrap_servers)
+     .option("topic", topic)
+     .save())
+
+
+def kafka_sink(records: DataFrame, bootstrap_servers: str, topic: str,
+               checkpoint_dir: str):
+    """Streaming publish: writeStream → kafka with checkpointing
+    (exactly-once to the topic under retries via the checkpoint's
+    epoch tracking). Returns the started StreamingQuery."""
+    _require_kafka(records.sparkSession)
+    return (
+        records.select("key", "value").writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
     )

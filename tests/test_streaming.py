@@ -61,6 +61,66 @@ def test_kafka_builder_gated(spark):
             kafka_stream(spark, "localhost:9092", "t")
 
 
+def test_kafka_write_side_gated(spark, sf_dir):
+    """The producer-record render is real (key = user_id, value = wire
+    JSON that parses back losslessly); the kafka write builders either
+    construct or raise the documented RuntimeError."""
+    from last_minute_legends_spark.sources.streams import (
+        events_as_kafka_records, kafka_available, kafka_sink,
+        parse_event_json, write_kafka,
+    )
+    from last_minute_legends_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    recs = events_as_kafka_records(events)
+    assert recs.columns == ["key", "value"]
+    back = parse_event_json(recs.select("value"))
+    assert events.exceptAll(back).count() + back.exceptAll(events).count() == 0
+    keyed = recs.withColumn(
+        "uid", F.get_json_object("value", "$.user_id")
+    ).filter(F.col("uid") != F.col("key"))
+    assert keyed.count() == 0, "key != payload user_id"
+
+    if not kafka_available(spark):
+        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            write_kafka(recs, "localhost:9092", "events")
+        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            kafka_sink(recs, "localhost:9092", "events", "/tmp/ckpt-nope")
+
+
+def test_typed_event_schemas_roundtrip(spark, sf_dir):
+    """Per-type render → per-type declared-schema parse → union view:
+    row counts per type survive, type-specific fields land typed and
+    only on their own type's rows, all six schemas registered."""
+    from last_minute_legends_spark.sources.streams import (
+        EVENT_NAME_MAP, TYPED_EVENT_SCHEMAS, events_as_typed_json,
+        parse_typed_events,
+    )
+    from last_minute_legends_spark.sources.tables import load_table
+
+    assert set(TYPED_EVENT_SCHEMAS) == {
+        "consumer_registration", "sign_in", "sign_out", "item_view",
+        "added_to_cart", "checkout_to_cart",
+    }
+    events = load_table(spark, sf_dir, "events")
+    parsed = parse_typed_events(events_as_typed_json(events))
+    got = {r.event_name: r.n for r in
+           parsed.groupBy("event_name").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = {EVENT_NAME_MAP[r.event_type]: r.n for r in
+            events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+    # field placement: ages only on registrations, typed as int
+    assert dict(parsed.dtypes)["age"] == "int"
+    assert parsed.filter(
+        (F.col("event_name") != "consumer_registration") & F.col("age").isNotNull()
+    ).count() == 0
+    reg = parsed.filter(F.col("event_name") == "consumer_registration")
+    assert reg.filter(F.col("age").isNull()).count() == 0
+    assert reg.filter(~F.col("masked_email").rlike("^user[0-9]+@masked.com$")).count() == 0
+
+
 def test_avro_roundtrip_gated(spark, sf_dir):
     """Avro encode/decode round-trip of events through the in-repo
     .avsc fixture; skipped when spark-avro isn't on the classpath."""
