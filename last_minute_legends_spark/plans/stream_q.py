@@ -128,6 +128,38 @@ ORDER BY event_name
 """
 
 
+def events_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → Avro binary wire (in-repo events_wire.avsc ≙ the
+    reference's schema-registry topic payloads) → declared-schema
+    decode → aggregate. Uses the JVM spark-avro functions when the
+    jar is present, else the spec-vector-tested pure-Python codec
+    (sources/avro_codec.py) — either way the real Avro binary wire
+    format round-trips. Rows-only: the driver's 50-entry oracle
+    window is full; tests/test_streaming.py asserts the full-table
+    round trip is lossless at the row level."""
+    from last_minute_legends_spark.sources.avro_io import (
+        decode_avro_events,
+        encode_avro,
+        load_schema,
+    )
+
+    events = Catalog(spark, sf_dir).events.select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+        "event_type", "value", "props",
+    )
+    wire = encode_avro(events, list(events.columns), load_schema("events_wire"))
+    back = decode_avro_events(wire)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from last_minute_legends_spark.streaming.pipeline import run_windowed_pipeline
 
@@ -150,6 +182,7 @@ SPARK = {
     "stream_json_parse": stream_json_parse,
     "events_typed_parse": events_typed_parse,
     "catalog_text_etl": catalog_text_etl,
+    "events_avro_roundtrip": events_avro_roundtrip,
     "stream_pipeline": stream_pipeline,
     "stream_sessionize": stream_sessionize,
     "stream_enrich": stream_enrich,
@@ -159,6 +192,7 @@ SQL = {
     "stream_json_parse": STREAM_JSON_PARSE_SQL,
     "events_typed_parse": EVENTS_TYPED_PARSE_SQL,
     "catalog_text_etl": None,
+    "events_avro_roundtrip": None,  # wire-format op; row-level parity test
     "stream_pipeline": None,
     "stream_sessionize": None,
     "stream_enrich": None,   # streaming run: rows-only + parity test

@@ -1,4 +1,5 @@
-"""Avro wire-format ingestion (gated behind the spark-avro package).
+"""Avro wire-format ingestion: JVM spark-avro when present, in-repo
+pure-Python binary codec otherwise.
 
 The reference's events are Avro-schema'd on the Kafka topic
 (/root/reference/schemas/*.avsc, published by
@@ -9,10 +10,15 @@ mirroring the union of the reference's 7 event records) — nothing
 reads the reference path at runtime.
 
 ``from_avro``/``to_avro`` live in the external spark-avro module, not
-the core Spark distribution, so every entry point is gated:
-``avro_available()`` probes the classpath, and the builders raise a
-clear RuntimeError naming the ``--packages`` coordinate when it is
-absent (this container ships without it; the unit test skips).
+the core Spark distribution. ``avro_available()`` probes the
+classpath; when the jar is present the builders use the JVM
+functions (codegen, fast path). When it is absent they fall back to
+the spec-compliant pure-Python binary codec in
+``sources/avro_codec.py``, run as Arrow-batched ``mapInPandas`` —
+same wire bytes (spec-vector-tested), Python-side speed, so the Avro
+path executes and round-trips even in jar-less environments like
+this container. ``strict=True`` restores the old raise-if-no-jar
+behaviour for callers that must not silently take the slow path.
 
 Usage on a cluster:
 
@@ -27,9 +33,19 @@ shape to the JSON ``parse_event_json`` path in sources/streams.py.
 from __future__ import annotations
 
 import os
+from collections.abc import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from last_minute_legends_spark.sources.avro_codec import (
+    decode_record,
+    encode_record,
+    parse_fields,
+    spark_ddl,
+)
 
 SCHEMA_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "schemas")
 
@@ -57,24 +73,75 @@ def avro_available(spark: SparkSession) -> bool:
         return False
 
 
-def encode_avro(df: DataFrame, cols: list[str], schema: str) -> DataFrame:
+def _encode_avro_py(df: DataFrame, cols: list[str], schema: str) -> DataFrame:
+    """Arrow-batched pure-Python Avro encode (jar-less fallback)."""
+    fields = parse_fields(schema)
+    names = [n for n, _, _ in fields]
+    if list(cols) != names:
+        raise ValueError(
+            f"cols {list(cols)} must match schema field order {names} "
+            "(Avro records encode fields in declaration order)"
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = (
+                tuple(None if pd.isna(v) else v for v in row)
+                for row in pdf[names].itertuples(index=False)
+            )
+            yield pd.DataFrame(
+                {"value": [encode_record(r, fields) for r in vals]}
+            )
+
+    return df.select(*cols).mapInPandas(gen, "value binary")
+
+
+def _decode_avro_py(raw: DataFrame, schema: str,
+                    value_col: str = "value") -> DataFrame:
+    """Arrow-batched pure-Python Avro decode (jar-less fallback)."""
+    fields = parse_fields(schema)
+    names = [n for n, _, _ in fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                [decode_record(bytes(b), fields) for b in pdf[value_col]],
+                columns=names,
+            )
+
+    return raw.select(value_col).mapInPandas(gen, spark_ddl(fields))
+
+
+def encode_avro(df: DataFrame, cols: list[str], schema: str,
+                strict: bool = False) -> DataFrame:
     """struct(cols) → single (value: binary) Avro column — the shape a
-    Kafka producer publishes."""
+    Kafka producer publishes. JVM to_avro when the jar is present;
+    pure-Python codec fallback otherwise (strict=True raises instead)."""
+    if not avro_available(df.sparkSession):
+        if strict:
+            raise RuntimeError(_PACKAGES_HINT)
+        return _encode_avro_py(df, cols, schema)
     from pyspark.sql.avro.functions import to_avro
 
-    if not avro_available(df.sparkSession):
-        raise RuntimeError(_PACKAGES_HINT)
     return df.select(to_avro(F.struct(*cols), schema).alias("value"))
 
 
 def decode_avro(raw: DataFrame, schema: str,
-                value_col: str = "value") -> DataFrame:
+                value_col: str = "value", strict: bool = False) -> DataFrame:
     """(value: binary) → typed columns per the declared Avro schema —
-    the reference's parse stage at its real wire format."""
+    the reference's parse stage at its real wire format. JVM from_avro
+    when the jar is present; pure-Python codec fallback otherwise
+    (strict=True raises instead)."""
+    if not avro_available(raw.sparkSession):
+        if strict:
+            raise RuntimeError(_PACKAGES_HINT)
+        return _decode_avro_py(raw, schema, value_col)
     from pyspark.sql.avro.functions import from_avro
 
-    if not avro_available(raw.sparkSession):
-        raise RuntimeError(_PACKAGES_HINT)
     return raw.select(
         from_avro(F.col(value_col), schema).alias("event")
     ).select("event.*")

@@ -121,11 +121,51 @@ def test_typed_event_schemas_roundtrip(spark, sf_dir):
     assert reg.filter(~F.col("masked_email").rlike("^user[0-9]+@masked.com$")).count() == 0
 
 
-def test_avro_roundtrip_gated(spark, sf_dir):
+def test_avro_codec_spec_vectors():
+    """The pure-Python codec must produce the byte strings the Avro
+    specification's own worked examples give — that is what makes its
+    wire bytes interoperable with real Avro readers."""
+    from last_minute_legends_spark.sources.avro_codec import (
+        _zigzag_decode, _zigzag_encode, decode_record, encode_record,
+        parse_fields,
+    )
+
+    # zigzag table straight from the spec ("Binary encoding" section)
+    for n, want in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"),
+                    (-2, b"\x03"), (2, b"\x04"), (-64, b"\x7f"),
+                    (64, b"\x80\x01")]:
+        assert _zigzag_encode(n) == want, n
+        assert _zigzag_decode(want, 0) == (n, len(want))
+
+    # record example from the spec: {"a": 27, "b": "foo"} with
+    # schema fields (a long, b string) → 36 06 66 6f 6f
+    fields = parse_fields(
+        '{"type":"record","name":"T","fields":'
+        '[{"name":"a","type":"long"},{"name":"b","type":"string"}]}'
+    )
+    wire = encode_record((27, "foo"), fields)
+    assert wire == b"\x36\x06\x66\x6f\x6f"
+    assert decode_record(wire, fields) == (27, "foo")
+
+    # null-union branches: ["null","string"]
+    nf = parse_fields(
+        '{"type":"record","name":"N","fields":'
+        '[{"name":"p","type":["null","string"],"default":null}]}'
+    )
+    assert encode_record((None,), nf) == b"\x00"
+    assert encode_record(("x",), nf) == b"\x02\x02x"
+    assert decode_record(b"\x00", nf) == (None,)
+    assert decode_record(b"\x02\x02x", nf) == ("x",)
+
+
+def test_avro_roundtrip(spark, sf_dir):
     """Avro encode/decode round-trip of events through the in-repo
-    .avsc fixture; skipped when spark-avro isn't on the classpath."""
+    .avsc fixture — runs on BOTH paths: the JVM spark-avro functions
+    when the jar is present, the pure-Python binary codec otherwise
+    (never skips)."""
     from last_minute_legends_spark.sources.avro_io import (
-        avro_available, decode_avro_events, encode_avro, load_schema,
+        avro_available, decode_avro, decode_avro_events, encode_avro,
+        load_schema,
     )
     from last_minute_legends_spark.sources.tables import load_table
 
@@ -134,8 +174,6 @@ def test_avro_roundtrip_gated(spark, sf_dir):
     assert json.loads(load_schema("events_wire"))["name"] == "EventWire"
     assert json.loads(load_schema("user_activity"))["name"] == "UserActivity"
 
-    if not avro_available(spark):
-        pytest.skip("spark-avro package not on the classpath")
     events = load_table(spark, sf_dir, "events").select(
         "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
         "event_type", "value", "props",
@@ -146,6 +184,14 @@ def test_avro_roundtrip_gated(spark, sf_dir):
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     assert orig.exceptAll(back).count() + back.exceptAll(orig).count() == 0
+
+    # strict mode restores the gated behaviour when the jar is absent
+    if not avro_available(spark):
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            encode_avro(events, list(events.columns),
+                        load_schema("events_wire"), strict=True)
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            decode_avro(wire, load_schema("events_wire"), strict=True)
 
 
 def test_catalog_etl_roundtrip(spark, sf_dir):
