@@ -68,6 +68,8 @@ HEADLINE = [
     "multimodal_framesample",
     "catalog_text_etl",
     "stream_json_parse",
+    "events_typed_parse",
+    "events_avro_roundtrip",
     "sql_surface",
 ]
 

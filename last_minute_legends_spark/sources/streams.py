@@ -185,24 +185,29 @@ def events_as_typed_json(events: DataFrame) -> DataFrame:
     rendered as its mapped reference event type with that type's
     fields only — the per-topic payload shape the reference's
     publisher produces (one Avro schema per topic; here JSON with the
-    same field sets)."""
+    same field sets).
+
+    Single pass: one CASE over the rendered-per-type to_json structs,
+    so the source is scanned ONCE however many event types exist (a
+    union of per-type filtered frames would re-scan the fact table
+    per type at 100 TB). A per-topic publisher partitions this same
+    frame by event_name instead of re-rendering."""
     exprs = _typed_field_exprs()
     name_map = F.create_map(
         *[F.lit(x) for kv in EVENT_NAME_MAP.items() for x in kv]
     )
-    tagged = events.withColumn("event_name", name_map[F.col("event_type")])
-    frames = []
+    ev_name_col = name_map[F.col("event_type")]
+    value = None
     for ev_name, schema in TYPED_EVENT_SCHEMAS.items():
-        fields = [f.name for f in schema.fields]
         cols = [
-            (F.lit(ev_name) if f == "event_name" else exprs[f]).alias(f)
-            for f in fields
+            (F.lit(ev_name) if f.name == "event_name" else exprs[f.name])
+            .alias(f.name)
+            for f in schema.fields
         ]
-        frames.append(
-            tagged.filter(F.col("event_name") == ev_name)
-            .select(F.to_json(F.struct(*cols)).alias("value"))
-        )
-    return reduce(DataFrame.unionByName, frames)
+        rendered = F.to_json(F.struct(*cols))
+        value = (F.when(ev_name_col == ev_name, rendered) if value is None
+                 else value.when(ev_name_col == ev_name, rendered))
+    return events.select(value.alias("value")).filter(F.col("value").isNotNull())
 
 
 def parse_typed_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
