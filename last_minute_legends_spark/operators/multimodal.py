@@ -133,7 +133,9 @@ def sample_frames(binary_df: DataFrame, frame_size: int = 64,
                 fi = np.arange(0, n_frames, stride, dtype=np.int64)
                 off = fi * frame_size
                 end = np.minimum(off + frame_size, n)
-                out_ids.append(np.full(fi.size, doc_id, dtype=np.int64))
+                # no forced dtype: the declared mapInPandas schema types
+                # the id column, so string/long ids both pass through
+                out_ids.append(np.full(fi.size, doc_id))
                 out_fi.append(fi)
                 out_off.append(off)
                 out_len.append(end - off)

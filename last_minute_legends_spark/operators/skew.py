@@ -42,7 +42,8 @@ def salted_join(skewed: DataFrame, other: DataFrame, key: str,
     arguments.
     """
     allowed = {"inner", "left", "left_outer", "leftouter",
-               "left_semi", "leftsemi", "left_anti", "leftanti"}
+               "left_semi", "leftsemi", "semi", "left_anti", "leftanti",
+               "anti"}
     if how.lower() not in allowed:
         raise ValueError(
             f"salted_join: how={how!r} is not row-identical to a plain "

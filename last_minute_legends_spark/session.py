@@ -61,4 +61,16 @@ def get_spark(app_name: str = "last_minute_legends_spark",
     if (SparkSession.getActiveSession() is None
             and not SparkConf().contains("spark.master")):
         builder = builder.master(f"local[{cpus}]")
+        # In local mode the driver JVM IS the executor: the default
+        # ~1 GiB heap put the r4 bench one GC pause from death (an
+        # OOM in a 64-column hash aggregate killed the JVM mid-suite
+        # and GC pressure fabricated 6x phantom regressions). These
+        # only take effect at JVM launch, so they belong to the
+        # local-mode branch — under spark-submit the submitter sizes
+        # the driver and this conf would be silently ignored anyway.
+        builder = (
+            builder.config("spark.driver.memory",
+                           os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
+            .config("spark.driver.maxResultSize", "4g")
+        )
     return builder.getOrCreate()

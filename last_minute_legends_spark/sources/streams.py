@@ -29,8 +29,6 @@ declared schema keeps Catalyst able to prune parsed fields.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -149,12 +147,23 @@ EVENT_NAME_MAP = {
     "purchase": "checkout_to_cart",
 }
 
-# union of every typed schema's fields, in declaration order — the
-# analytics view a consumer of all topics sees (≙ USER_ACTIVITY_SCHEMA
-# minus the catalog-event fields)
-TYPED_UNION_COLS = ("timestamp", "event_name", "user_id", "age",
-                    "masked_email", "preferred_language", "item_id",
-                    "cart_id", "payment_method")
+def _union_schema(schemas: dict[str, StructType]) -> StructType:
+    """Union of every typed schema's fields, first-seen declaration
+    order, every field nullable — the analytics view a consumer of
+    all topics sees. Derived from the per-type registry so the union
+    can never drift from the per-topic contracts."""
+    st = StructType()
+    seen: set[str] = set()
+    for schema in schemas.values():
+        for f in schema.fields:
+            if f.name not in seen:
+                seen.add(f.name)
+                st = st.add(f.name, f.dataType, True)
+    return st
+
+
+TYPED_UNION_SCHEMA = _union_schema(TYPED_EVENT_SCHEMAS)
+TYPED_UNION_COLS = tuple(f.name for f in TYPED_UNION_SCHEMA.fields)
 
 
 def _typed_field_exprs() -> dict[str, object]:
@@ -211,28 +220,41 @@ def events_as_typed_json(events: DataFrame) -> DataFrame:
 
 
 def parse_typed_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
-    """Per-type declared-schema parse + union view: each payload is
-    dispatched on its event_name and parsed with THAT type's schema
-    (the faithful twin of the reference's one-Avro-schema-per-topic
-    layout), then the typed frames are unioned into the wide
-    analytics view (absent fields null). Works on batch and streaming
-    frames alike; each branch is a narrow map — no shuffle."""
-    name = F.get_json_object(F.col(value_col), "$.event_name")
-    union_types = {c: "string" for c in TYPED_UNION_COLS}
-    union_types["age"] = "int"
-    frames = []
-    for ev_name, schema in TYPED_EVENT_SCHEMAS.items():
-        fields = {f.name for f in schema.fields}
-        typed = (
-            raw.filter(name == ev_name)
-            .select(F.from_json(F.col(value_col), schema).alias("e"))
-        )
-        frames.append(typed.select(*[
-            (F.col(f"e.{c}") if c in fields else
-             F.lit(None).cast(union_types[c])).alias(c)
-            for c in TYPED_UNION_COLS
-        ]))
-    return reduce(DataFrame.unionByName, frames)
+    """Single-pass typed parse + union view: ONE ``from_json`` with
+    the union-of-fields schema parses every payload (absent fields →
+    null — already the union-view contract), then a per-column
+    ``event_name IN (types that declare it)`` mask keeps field
+    placement identical to a strict per-type parse — a stray field in
+    a payload whose type doesn't declare it stays null, exactly as if
+    that type's own StructType had parsed it. Unknown event names and
+    malformed JSON drop, as before.
+
+    The per-type ``TYPED_EVENT_SCHEMAS`` registry remains the
+    contract for per-topic streaming consumers (one schema per Kafka
+    topic, ≙ the reference's schema-registry layout); this union path
+    is the all-topics analytics view. Works on batch and streaming
+    frames alike; a narrow map with NO shuffle — and the source is
+    scanned ONCE however many event types exist. (The r4 formulation
+    unioned one filter+from_json branch per type: k full scans of the
+    fact table — the shape that killed it at 100 TB.)"""
+    fields_of = {t: {f.name for f in s.fields}
+                 for t, s in TYPED_EVENT_SCHEMAS.items()}
+    common = set.intersection(*fields_of.values())
+    parsed = raw.select(F.from_json(F.col(value_col), TYPED_UNION_SCHEMA).alias("e"))
+    cols = []
+    for c in TYPED_UNION_COLS:
+        if c in common:
+            cols.append(F.col(f"e.{c}").alias(c))
+        else:
+            declaring = sorted(t for t, fs in fields_of.items() if c in fs)
+            cols.append(
+                F.when(F.col("e.event_name").isin(declaring), F.col(f"e.{c}"))
+                .alias(c)
+            )
+    return (
+        parsed.filter(F.col("e.event_name").isin(list(TYPED_EVENT_SCHEMAS)))
+        .select(*cols)
+    )
 
 
 def events_as_json(events: DataFrame) -> DataFrame:

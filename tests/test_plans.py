@@ -104,6 +104,18 @@ def test_oracle_entries_fit_driver_window():
     assert not dangling, f"oracle SQL without a query: {dangling}"
 
 
+def test_typed_parse_single_scan(spark, sf_dir):
+    """events_typed_parse must scan the events table exactly ONCE: the
+    union-schema from_json parse is a single pass. The r4 plan unioned
+    one filter+from_json branch per event type — k full scans of the
+    fact table, a scale killer at 100 TB."""
+    from last_minute_legends_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["events_typed_parse"](spark, sf_dir))
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1, f"events scanned {n_scans}x — parse must be single-pass"
+
+
 def test_asof_join_single_user_shuffle(spark, sf_dir):
     """The union-sort as-of join must not contain a join operator at
     all — it is windows over one user partitioning."""
