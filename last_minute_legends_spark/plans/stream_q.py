@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from last_minute_legends_spark.sources.streams import (
+    catalog_as_typed_json,
     events_as_json,
     events_as_typed_json,
     parse_event_json,
@@ -69,17 +70,22 @@ ORDER BY event_type
 
 
 def events_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed per-event-schema round trip, oracle-checked: events are
-    rendered as their mapped reference event type's wire record
-    (sources/streams.py TYPED_EVENT_SCHEMAS ≙
-    /root/reference/schemas/*.avsc, one schema per topic), parsed
-    back per type with that type's declared schema, unioned into the
-    wide analytics view, and aggregated over every typed field. The
-    oracle computes the same aggregate DIRECTLY from the base table
-    via the same deterministic field derivations — any per-type
-    schema/parse/union infidelity hash-mismatches."""
-    events = Catalog(spark, sf_dir).events
-    parsed = parse_typed_events(events_as_typed_json(events))
+    """Typed per-event-schema round trip over ALL 7 topics,
+    oracle-checked: events are rendered as their mapped reference
+    event type's wire record and ``part`` as the
+    ``movie_catalog_enriched`` catalog topic (sources/streams.py
+    TYPED_EVENT_SCHEMAS ≙ /root/reference/schemas/*.avsc, one schema
+    per topic), the combined wire frame is parsed in a SINGLE
+    union-schema pass (each source table scanned once — plan-asserted
+    in tests/test_plans.py), and the analytics view is aggregated
+    over every typed field. The oracle computes the same aggregate
+    DIRECTLY from the base tables via the same deterministic field
+    derivations — any schema/parse/union infidelity hash-mismatches."""
+    cat = Catalog(spark, sf_dir)
+    wire = events_as_typed_json(cat.events).unionByName(
+        catalog_as_typed_json(cat.part)
+    )
+    parsed = parse_typed_events(wire)
     return (
         parsed.groupBy("event_name")
         .agg(
@@ -90,6 +96,9 @@ def events_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("item_id").alias("n_items"),
             F.count_distinct("cart_id").alias("n_carts"),
             F.count_distinct("payment_method").alias("n_pay"),
+            F.count("title").alias("n_titles"),
+            F.count_distinct("genre").alias("n_genres"),
+            F.round(F.sum("list_price"), 2).alias("sum_price"),
             F.min(F.col("timestamp").cast("long")).alias("first_us"),
         )
         .orderBy("event_name")
@@ -105,8 +114,16 @@ WITH m AS (
                 WHEN 'error'    THEN 'sign_out'
                 WHEN 'view'     THEN 'item_view'
                 WHEN 'purchase' THEN 'checkout_to_cart'
-           END AS event_name
+           END AS event_name,
+           NULL AS title, NULL AS genre, CAST(NULL AS REAL) AS list_price
     FROM events
+    UNION ALL
+    SELECT NULL AS event_id, NULL AS user_id,
+           p_partkey * 1000000 AS ts_us,
+           'movie_catalog_enriched' AS event_name,
+           p_name AS title, p_type AS genre,
+           CAST(p_retailprice AS REAL) AS list_price
+    FROM part
 )
 SELECT event_name,
        count(*) AS n_events,
@@ -121,6 +138,9 @@ SELECT event_name,
                            THEN user_id END) AS n_carts,
        count(DISTINCT CASE WHEN event_name = 'checkout_to_cart'
                            THEN event_id % 3 END) AS n_pay,
+       count(title) AS n_titles,
+       count(DISTINCT genre) AS n_genres,
+       round(sum(list_price), 2) AS sum_price,
        min(ts_us) AS first_us
 FROM m
 GROUP BY event_name

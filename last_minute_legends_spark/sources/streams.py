@@ -120,7 +120,8 @@ def _typed(extra: list[tuple[str, object]]) -> StructType:
     return st
 
 
-TYPED_EVENT_SCHEMAS: dict[str, StructType] = {
+# The 6 user-activity event types (share timestamp/event_name/user_id).
+USER_EVENT_SCHEMAS: dict[str, StructType] = {
     "consumer_registration": _typed([
         ("age", IntegerType()), ("masked_email", StringType()),
         ("preferred_language", StringType()),
@@ -132,6 +133,27 @@ TYPED_EVENT_SCHEMAS: dict[str, StructType] = {
                              ("cart_id", StringType())]),
     "checkout_to_cart": _typed([("cart_id", StringType()),
                                 ("payment_method", StringType())]),
+}
+
+# The 7th typed event: the enriched movie-catalog topic — a flat
+# record with NO user_id (it describes a catalog item, not a user
+# action), field-for-field with
+# /root/reference/schemas/movies_catalog_enriched.avsc.
+CATALOG_EVENT_NAME = "movie_catalog_enriched"
+
+MOVIE_CATALOG_SCHEMA = (
+    StructType()
+    .add("timestamp", StringType())
+    .add("event_name", StringType())
+    .add("movie_id", StringType(), True)
+    .add("title", StringType(), True)
+    .add("genre", StringType(), True)
+    .add("list_price", FloatType(), True)
+)
+
+TYPED_EVENT_SCHEMAS: dict[str, StructType] = {
+    **USER_EVENT_SCHEMAS,
+    CATALOG_EVENT_NAME: MOVIE_CATALOG_SCHEMA,
 }
 
 # Deterministic mapping of this repo's generic event_type domain onto
@@ -207,7 +229,7 @@ def events_as_typed_json(events: DataFrame) -> DataFrame:
     )
     ev_name_col = name_map[F.col("event_type")]
     value = None
-    for ev_name, schema in TYPED_EVENT_SCHEMAS.items():
+    for ev_name, schema in USER_EVENT_SCHEMAS.items():
         cols = [
             (F.lit(ev_name) if f.name == "event_name" else exprs[f.name])
             .alias(f.name)
@@ -255,6 +277,28 @@ def parse_typed_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
         parsed.filter(F.col("e.event_name").isin(list(TYPED_EVENT_SCHEMAS)))
         .select(*cols)
     )
+
+
+def catalog_as_typed_json(part: DataFrame) -> DataFrame:
+    """part table (≙ the reference's movie catalog, sources/tables.py
+    mapping) → (value: string) wire records of the 7th typed event,
+    ``movie_catalog_enriched`` — what the reference's publisher puts
+    on the catalog topic (one schema per topic; JSON here with the
+    same field set). Deterministic derivations so the wire render and
+    any oracle agree: movie_id = p_partkey, title = p_name,
+    genre = p_type, list_price = float(p_retailprice), timestamp =
+    p_partkey seconds as epoch micros. Single narrow pass, no shuffle."""
+    exprs = {
+        "timestamp": (F.col("p_partkey").cast("long")
+                      * F.lit(1_000_000)).cast("string"),
+        "event_name": F.lit(CATALOG_EVENT_NAME),
+        "movie_id": F.col("p_partkey").cast("string"),
+        "title": F.col("p_name"),
+        "genre": F.col("p_type"),
+        "list_price": F.col("p_retailprice").cast("float"),
+    }
+    cols = [exprs[f.name].alias(f.name) for f in MOVIE_CATALOG_SCHEMA.fields]
+    return part.select(F.to_json(F.struct(*cols)).alias("value"))
 
 
 def events_as_json(events: DataFrame) -> DataFrame:

@@ -105,7 +105,8 @@ def test_oracle_entries_fit_driver_window():
 
 
 def test_typed_parse_single_scan(spark, sf_dir):
-    """events_typed_parse must scan the events table exactly ONCE: the
+    """events_typed_parse must scan each source table exactly ONCE
+    (events + the part-rendered catalog topic = 2 scans total): the
     union-schema from_json parse is a single pass. The r4 plan unioned
     one filter+from_json branch per event type — k full scans of the
     fact table, a scale killer at 100 TB."""
@@ -113,7 +114,10 @@ def test_typed_parse_single_scan(spark, sf_dir):
 
     plan = _plan(QUERIES["events_typed_parse"](spark, sf_dir))
     n_scans = plan.count("Scan parquet")
-    assert n_scans == 1, f"events scanned {n_scans}x — parse must be single-pass"
+    assert n_scans == 2, (
+        f"{n_scans} parquet scans — each of the 2 source tables must be "
+        "scanned exactly once (single-pass union-schema parse)"
+    )
 
 
 def test_asof_join_single_user_shuffle(spark, sf_dir):

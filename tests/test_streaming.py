@@ -95,21 +95,24 @@ def test_typed_event_schemas_roundtrip(spark, sf_dir):
     row counts per type survive, type-specific fields land typed and
     only on their own type's rows, all six schemas registered."""
     from last_minute_legends_spark.sources.streams import (
-        EVENT_NAME_MAP, TYPED_EVENT_SCHEMAS, events_as_typed_json,
-        parse_typed_events,
+        EVENT_NAME_MAP, TYPED_EVENT_SCHEMAS, catalog_as_typed_json,
+        events_as_typed_json, parse_typed_events,
     )
     from last_minute_legends_spark.sources.tables import load_table
 
     assert set(TYPED_EVENT_SCHEMAS) == {
         "consumer_registration", "sign_in", "sign_out", "item_view",
-        "added_to_cart", "checkout_to_cart",
+        "added_to_cart", "checkout_to_cart", "movie_catalog_enriched",
     }
     events = load_table(spark, sf_dir, "events")
-    parsed = parse_typed_events(events_as_typed_json(events))
+    part = load_table(spark, sf_dir, "part")
+    wire = events_as_typed_json(events).unionByName(catalog_as_typed_json(part))
+    parsed = parse_typed_events(wire)
     got = {r.event_name: r.n for r in
            parsed.groupBy("event_name").agg(F.count(F.lit(1)).alias("n")).collect()}
     want = {EVENT_NAME_MAP[r.event_type]: r.n for r in
             events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want["movie_catalog_enriched"] = part.count()
     assert got == want
     # field placement: ages only on registrations, typed as int
     assert dict(parsed.dtypes)["age"] == "int"
@@ -119,6 +122,16 @@ def test_typed_event_schemas_roundtrip(spark, sf_dir):
     reg = parsed.filter(F.col("event_name") == "consumer_registration")
     assert reg.filter(F.col("age").isNull()).count() == 0
     assert reg.filter(~F.col("masked_email").rlike("^user[0-9]+@masked.com$")).count() == 0
+    # 7th type: catalog fields land only on catalog rows, typed float
+    assert dict(parsed.dtypes)["list_price"] == "float"
+    cat = parsed.filter(F.col("event_name") == "movie_catalog_enriched")
+    assert cat.filter(F.col("user_id").isNotNull()).count() == 0
+    assert cat.filter(F.col("title").isNull() | F.col("list_price").isNull()
+                      ).count() == 0
+    assert parsed.filter(
+        (F.col("event_name") != "movie_catalog_enriched")
+        & F.col("title").isNotNull()
+    ).count() == 0
 
 
 def test_avro_codec_spec_vectors():
