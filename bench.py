@@ -106,7 +106,7 @@ def main() -> None:
     # streaming runs timed separately (real multi-batch executions —
     # kept OUT of the headline total so batch regressions stay visible)
     streaming: dict[str, float] = {}
-    for name in ("stream_pipeline", "stream_enrich"):
+    for name in ("stream_pipeline", "stream_enrich", "stream_sessionize"):
         try:
             t0 = time.perf_counter()
             n = QUERIES[name](spark, SF_DIR).count()

@@ -1,26 +1,35 @@
-"""Stateful streaming sessionization via applyInPandasWithState.
+"""Streaming gap sessionization — native session_window (the default
+path) + an applyInPandasWithState variant (the arbitrary-stateful-
+logic demonstrator).
 
-The custom stateful operator Spark's built-ins don't cover: gap-based
-sessions emitted as they CLOSE (event-time timeout), not at batch end.
-State per user = (session_start_us, last_ts_us, n_events); an event
-past the gap closes the open session and starts a new one; the
-event-time timeout (watermark passing last_ts + gap) flushes sessions
-with no successor event.
+The count/min/max-per-session shape needs NO custom state logic:
+``groupBy(session_window(ts, gap), user_id)`` under a watermark is a
+JVM-side streaming aggregation — state lives in the executor state
+store (RocksDB/HDFS-backed on a cluster), the whole plan is
+codegen'd, and no Python workers sit in the hot path. That is the
+production plan at 100 TB and what ``run_stream_sessionize`` (the
+registry entry) uses.
 
-The source is the same Kafka-value-shaped JSON file stream as
-streaming/pipeline.py, fed through the declared-schema
-``parse_event_json`` stage (sources/streams.py) — swap in
-``kafka_stream`` and nothing downstream changes. The sink is a
-parquet directory read back as a distributed DataFrame — no
+``run_stream_sessionize_python_state`` keeps the
+applyInPandasWithState formulation: per-user Python state with
+event-time timeouts. It is the template for session aggregates the
+built-ins genuinely can't express (per-session ML feature vectors,
+pattern-dependent emission) — ~10x slower than the native plan here,
+which is exactly why it is NOT the default.
+
+Both ride the same Kafka-value-shaped JSON file stream through the
+declared-schema ``parse_event_json`` stage (sources/streams.py) —
+swap in ``kafka_stream`` and nothing downstream changes. The sink is
+a parquet directory read back as a distributed DataFrame — no
 driver-side collect.
 
 Batch-mode parity: the same gap rule as operators/sessions.py —
-tests/test_streaming.py asserts the streaming session count equals
-the batch sessionization count.
+tests/test_streaming.py asserts streaming sessions equal the batch
+sessionization, and the two streaming variants equal each other.
 
-At scale: state is partitioned by user_id across executors (RocksDB /
-HDFS-backed state store on a cluster); the watermark bounds state
-lifetime, so state size ~ active users, not history.
+At scale: state is partitioned by user_id across executors; the
+watermark bounds state lifetime, so state size ~ active users, not
+history.
 """
 
 from __future__ import annotations
@@ -94,11 +103,69 @@ def _sessionize_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         )
 
 
+def _drive(spark: SparkSession, staging: str, sessions: DataFrame,
+           max_ts) -> DataFrame:
+    """Run a sessions stream to completion: data batch, then two
+    watermark-advancing sentinel files so every real session closes
+    deterministically (append mode only emits a session once the
+    watermark passes its gap deadline); result read back from the
+    parquet sink (distributed)."""
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", f"{staging}/out")
+        .option("checkpointLocation", f"{staging}/ckpt")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    append_sentinels(spark, staging, max_ts)
+    q.processAllAvailable()
+    q.stop()
+
+    out = (
+        spark.read.schema(OUTPUT_SCHEMA).parquet(f"{staging}/out")
+        .filter(F.col("user_id") != SENTINEL_USER)
+    )
+    shutil.rmtree(f"{staging}/in", ignore_errors=True)
+    shutil.rmtree(f"{staging}/ckpt", ignore_errors=True)
+    return out
+
+
 def run_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drive the stateful sessionizer over the staged JSON event files
-    in three micro-batch groups (data, then two watermark-advancing
-    sentinel files) so every real session closes deterministically;
-    result is read back from the parquet sink (distributed)."""
+    """Native gap sessionization: watermarked
+    ``groupBy(session_window(ts, gap), user_id)`` — merged session
+    windows in the JVM state store, the whole plan codegen'd, zero
+    Python in the hot path. ``session_window.start`` = first event
+    ts; the session end reported is the LAST EVENT's ts (min/max
+    aggregates), matching the batch sessionization contract (the
+    window's own ``end`` is last event + gap)."""
+    staging = stage_events_json(spark, sf_dir)
+    raw_events = parse_event_json(spark.read.text(f"{staging}/in"))
+    max_ts = raw_events.agg(F.max("ts").alias("m")).collect()[0].m
+
+    stream = parse_event_json(file_json_stream(spark, f"{staging}/in"))
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", f"{GAP_MINUTES} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )
+    return _drive(spark, staging, sessions, max_ts)
+
+
+def run_stream_sessionize_python_state(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState variant: per-user Python state with
+    event-time timeouts — the template for session logic the native
+    aggregates can't express. Same sources, sink, and gap rule as the
+    native path (asserted equal in tests/test_streaming.py)."""
     staging = stage_events_json(spark, sf_dir)
     raw_events = parse_event_json(spark.read.text(f"{staging}/in"))
     max_ts = raw_events.agg(F.max("ts").alias("m")).collect()[0].m
@@ -115,24 +182,4 @@ def run_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    q = (
-        sessions.writeStream.format("parquet")
-        .option("path", f"{staging}/out")
-        .option("checkpointLocation", f"{staging}/ckpt")
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    # sentinel batches: advance the watermark far past every real
-    # session's gap deadline so event-time timeouts flush them
-    append_sentinels(spark, staging, max_ts)
-    q.processAllAvailable()
-    q.stop()
-
-    out = (
-        spark.read.schema(OUTPUT_SCHEMA).parquet(f"{staging}/out")
-        .filter(F.col("user_id") != SENTINEL_USER)
-    )
-    shutil.rmtree(f"{staging}/in", ignore_errors=True)
-    shutil.rmtree(f"{staging}/ckpt", ignore_errors=True)
-    return out
+    return _drive(spark, staging, sessions, max_ts)

@@ -303,3 +303,18 @@ def test_stream_sessionize_matches_batch(spark, sf_dir):
         f"streaming sessions != batch sessions: {len(s)} vs {len(b)}; "
         f"only-stream={list(s - b)[:3]} only-batch={list(b - s)[:3]}"
     )
+
+
+def test_python_state_sessionize_matches_native(spark, sf_dir):
+    """The applyInPandasWithState demonstrator must emit exactly the
+    sessions the native session_window aggregation emits."""
+    from last_minute_legends_spark.streaming.sessionize import (
+        run_stream_sessionize, run_stream_sessionize_python_state,
+    )
+
+    native = {tuple(r) for r in run_stream_sessionize(spark, sf_dir).collect()}
+    python = {tuple(r) for r in
+              run_stream_sessionize_python_state(spark, sf_dir).collect()}
+    assert native == python, (
+        f"native vs python-state mismatch: {len(native)} vs {len(python)}"
+    )
