@@ -161,6 +161,118 @@ def decode_record(buf: bytes, fields: list[tuple[str, str, bool]]) -> tuple:
     return tuple(vals)
 
 
+# --- Schema resolution (reader != writer) -------------------------------
+#
+# The Avro spec's "Schema Resolution" rules for flat records: fields
+# are matched by NAME; reader-only fields take their declared default;
+# writer-only fields are decoded (to advance the stream) and dropped;
+# primitive promotions are int→long/float/double, long→float/double,
+# float→double, string↔bytes. This is what a schema-registry consumer
+# does when topics carry years of drifted writer versions — the
+# reference's publisher resolves per-topic schemas from a live
+# registry (services/kafka_event_publisher.py:17-40), so the reader
+# side must tolerate added/removed/widened fields.
+
+_PROMOTABLE = {
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"), ("float", "double"),
+    ("string", "bytes"), ("bytes", "string"),
+}
+
+
+def _default_value(default, typ: str):
+    """JSON default (as written in the .avsc) → Python value. Per the
+    spec, bytes/fixed defaults are JSON strings whose Unicode
+    codepoints 0-255 map to byte values (latin-1)."""
+    if default is None:
+        return None
+    if typ == "boolean":
+        return bool(default)
+    if typ in ("int", "long"):
+        return int(default)
+    if typ in ("float", "double"):
+        return float(default)
+    if typ == "string":
+        return str(default)
+    if typ == "bytes":
+        return str(default).encode("latin-1")
+    raise ValueError(f"unsupported default for type {typ}")
+
+
+def _promote(v, wtyp: str, rtyp: str):
+    if v is None or wtyp == rtyp:
+        return v
+    if rtyp in ("long",):
+        return int(v)
+    if rtyp in ("float", "double"):
+        return float(v)
+    if rtyp == "bytes":            # string → bytes
+        return str(v).encode("utf-8")
+    if rtyp == "string":           # bytes → string
+        return bytes(v).decode("utf-8")
+    raise ValueError(f"no promotion {wtyp} → {rtyp}")
+
+
+def resolve_schemas(writer_schema: str | dict, reader_schema: str | dict):
+    """Build a resolution plan (writer_fields, actions): ``actions``
+    has one entry per READER field, either ``("copy", widx, wtyp,
+    rtyp, r_nullable)`` or ``("default", value)``. Raises on
+    unresolvable schemas (type mismatch without a legal promotion, or
+    a reader-only field with no default) — matching the spec's "error"
+    outcomes."""
+    wf = parse_fields(writer_schema)
+    rsch = (json.loads(reader_schema) if isinstance(reader_schema, str)
+            else reader_schema)
+    rf = parse_fields(rsch)
+    widx = {n: i for i, (n, _, _) in enumerate(wf)}
+    json_defaults = {f["name"]: f["default"]
+                     for f in rsch["fields"] if "default" in f}
+    actions = []
+    for rname, rtyp, rnull in rf:
+        if rname in widx:
+            i = widx[rname]
+            wtyp = wf[i][1]
+            if wtyp != rtyp and (wtyp, rtyp) not in _PROMOTABLE:
+                raise ValueError(
+                    f"field {rname}: writer {wtyp} is not promotable to "
+                    f"reader {rtyp}"
+                )
+            actions.append(("copy", i, wtyp, rtyp, rnull))
+        elif rname in json_defaults:
+            actions.append(
+                ("default", _default_value(json_defaults[rname], rtyp))
+            )
+        else:
+            raise ValueError(
+                f"reader field {rname} is absent from the writer schema "
+                "and declares no default — unresolvable per the Avro spec"
+            )
+    return wf, actions
+
+
+def decode_record_resolved(buf: bytes, writer_fields, actions) -> tuple:
+    """Decode one datum written with the WRITER schema into the READER
+    field layout: writer-only fields are decoded and dropped, defaults
+    fill reader-only fields, promotions widen in place. A null in a
+    field the reader declares non-nullable raises (the spec's branch
+    mismatch)."""
+    vals = decode_record(buf, writer_fields)
+    out = []
+    for action in actions:
+        if action[0] == "default":
+            out.append(action[1])
+            continue
+        _, i, wtyp, rtyp, rnull = action
+        v = vals[i]
+        if v is None and not rnull:
+            raise ValueError(
+                f"null in writer field {writer_fields[i][0]} but the "
+                "reader declares it non-nullable"
+            )
+        out.append(_promote(v, wtyp, rtyp))
+    return tuple(out)
+
+
 _SPARK_TYPES = {"null": "string", "boolean": "boolean", "int": "int",
                 "long": "long", "float": "float", "double": "double",
                 "string": "string", "bytes": "binary"}

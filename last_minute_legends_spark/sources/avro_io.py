@@ -42,8 +42,10 @@ from pyspark.sql import functions as F
 
 from last_minute_legends_spark.sources.avro_codec import (
     decode_record,
+    decode_record_resolved,
     encode_record,
     parse_fields,
+    resolve_schemas,
     spark_ddl,
 )
 
@@ -98,22 +100,37 @@ def _encode_avro_py(df: DataFrame, cols: list[str], schema: str) -> DataFrame:
     return df.select(*cols).mapInPandas(gen, "value binary")
 
 
-def _decode_avro_py(raw: DataFrame, schema: str,
-                    value_col: str = "value") -> DataFrame:
-    """Arrow-batched pure-Python Avro decode (jar-less fallback)."""
+def _decode_avro_py(raw: DataFrame, schema: str, value_col: str = "value",
+                    reader_schema: str | None = None) -> DataFrame:
+    """Arrow-batched pure-Python Avro decode (jar-less fallback).
+    With ``reader_schema``, each datum is decoded with the WRITER
+    schema and resolved into the reader layout per the Avro spec
+    (defaults / dropped fields / promotions)."""
     fields = parse_fields(schema)
-    names = [n for n, _, _ in fields]
+    if reader_schema is None:
+        out_fields = fields
+
+        def decode_one(b: bytes) -> tuple:
+            return decode_record(b, fields)
+    else:
+        wf, actions = resolve_schemas(schema, reader_schema)
+        out_fields = parse_fields(reader_schema)
+
+        def decode_one(b: bytes) -> tuple:
+            return decode_record_resolved(b, wf, actions)
+
+    names = [n for n, _, _ in out_fields]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             yield pd.DataFrame(
-                [decode_record(bytes(b), fields) for b in pdf[value_col]],
+                [decode_one(bytes(b)) for b in pdf[value_col]],
                 columns=names,
             )
 
-    return raw.select(value_col).mapInPandas(gen, spark_ddl(fields))
+    return raw.select(value_col).mapInPandas(gen, spark_ddl(out_fields))
 
 
 def encode_avro(df: DataFrame, cols: list[str], schema: str,
@@ -130,21 +147,53 @@ def encode_avro(df: DataFrame, cols: list[str], schema: str,
     return df.select(to_avro(F.struct(*cols), schema).alias("value"))
 
 
+def _resolution_projection(decoded: DataFrame, schema: str,
+                           reader_schema: str) -> DataFrame:
+    """Column-level schema resolution over an already-decoded frame:
+    reader-only fields become literal defaults, promotions become
+    casts, writer-only columns are pruned. Used after the JVM
+    from_avro (which decodes with the writer schema); same resolution
+    rules as the codec's datum-level path."""
+    _, actions = resolve_schemas(schema, reader_schema)
+    out_fields = parse_fields(reader_schema)
+    cols = []
+    for (name, typ, _), action in zip(out_fields, actions):
+        spark_t = {"int": "int", "long": "long", "float": "float",
+                   "double": "double", "string": "string",
+                   "bytes": "binary", "boolean": "boolean"}[typ]
+        if action[0] == "default":
+            cols.append(F.lit(action[1]).cast(spark_t).alias(name))
+        else:
+            cols.append(F.col(name).cast(spark_t).alias(name))
+    return decoded.select(*cols)
+
+
 def decode_avro(raw: DataFrame, schema: str,
-                value_col: str = "value", strict: bool = False) -> DataFrame:
+                value_col: str = "value", strict: bool = False,
+                reader_schema: str | None = None) -> DataFrame:
     """(value: binary) → typed columns per the declared Avro schema —
     the reference's parse stage at its real wire format. JVM from_avro
     when the jar is present; pure-Python codec fallback otherwise
-    (strict=True raises instead)."""
+    (strict=True raises instead).
+
+    ``reader_schema``: decode data WRITTEN with ``schema`` into this
+    (evolved) layout per the Avro spec's schema-resolution rules —
+    the schema-registry consumer semantics (added fields take their
+    defaults, removed fields are dropped, numeric/string promotions
+    widen). At 100 TB with years of retained topics, drifted writer
+    versions are the norm, not the exception."""
     if not avro_available(raw.sparkSession):
         if strict:
             raise RuntimeError(_PACKAGES_HINT)
-        return _decode_avro_py(raw, schema, value_col)
+        return _decode_avro_py(raw, schema, value_col, reader_schema)
     from pyspark.sql.avro.functions import from_avro
 
-    return raw.select(
+    decoded = raw.select(
         from_avro(F.col(value_col), schema).alias("event")
     ).select("event.*")
+    if reader_schema is not None:
+        decoded = _resolution_projection(decoded, schema, reader_schema)
+    return decoded
 
 
 def decode_avro_events(raw: DataFrame, schema: str | None = None) -> DataFrame:

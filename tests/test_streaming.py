@@ -171,6 +171,84 @@ def test_avro_codec_spec_vectors():
     assert decode_record(b"\x02\x02x", nf) == ("x",)
 
 
+def test_avro_schema_resolution_spec_vectors():
+    """Reader/writer resolution per the Avro spec: added defaulted
+    fields, removed fields, promotions, and the error outcomes."""
+    import pytest as _pytest
+
+    from last_minute_legends_spark.sources.avro_codec import (
+        decode_record_resolved, encode_record, parse_fields,
+        resolve_schemas,
+    )
+
+    writer = (
+        '{"type":"record","name":"E","fields":['
+        '{"name":"a","type":"int"},'
+        '{"name":"dropped","type":"string"},'
+        '{"name":"p","type":["null","string"],"default":null}]}'
+    )
+    reader = (
+        '{"type":"record","name":"E","fields":['
+        '{"name":"a","type":"double"},'                       # int → double
+        '{"name":"added","type":"string","default":"backfill"},'
+        '{"name":"flag","type":["null","long"],"default":null},'
+        '{"name":"p","type":["null","bytes"],"default":null}]}'  # str → bytes
+    )
+    wf = parse_fields(writer)
+    wire = encode_record((7, "gone", "x"), wf)
+    wf2, actions = resolve_schemas(writer, reader)
+    got = decode_record_resolved(wire, wf2, actions)
+    # reader layout: a (promoted), added (default), flag (default), p (promoted)
+    assert got == (7.0, "backfill", None, b"x")
+    assert isinstance(got[0], float)
+
+    # null union branch survives resolution
+    assert decode_record_resolved(
+        encode_record((1, "g", None), wf), wf2, actions
+    ) == (1.0, "backfill", None, None)
+
+    # error outcomes: no default for a reader-only field; illegal demotion
+    with _pytest.raises(ValueError, match="declares no default"):
+        resolve_schemas(writer, '{"type":"record","name":"E","fields":'
+                                '[{"name":"missing","type":"int"}]}')
+    with _pytest.raises(ValueError, match="not promotable"):
+        resolve_schemas('{"type":"record","name":"E","fields":'
+                        '[{"name":"a","type":"double"}]}',
+                        '{"type":"record","name":"E","fields":'
+                        '[{"name":"a","type":"int"}]}')
+
+
+def test_avro_evolved_reader_dataframe(spark, sf_dir):
+    """Full-frame evolution: events encoded with the v1 wire schema,
+    decoded through decode_avro with an evolved v2 reader — added
+    defaulted field, dropped field, widened value column."""
+    import json
+
+    from last_minute_legends_spark.sources.avro_io import (
+        decode_avro, encode_avro, load_schema,
+    )
+    from last_minute_legends_spark.sources.tables import load_table
+
+    writer = load_schema("events_wire")
+    v2 = json.loads(writer)
+    v2["fields"] = [
+        f for f in v2["fields"] if f["name"] != "props"  # removed field
+    ] + [{"name": "source", "type": "string", "default": "backfill"}]
+    reader = json.dumps(v2)
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+        "event_type", "value", "props",
+    )
+    wire = encode_avro(events, list(events.columns), writer)
+    evolved = decode_avro(wire, writer, reader_schema=reader)
+    assert "props" not in evolved.columns
+    assert evolved.filter(F.col("source") != "backfill").count() == 0
+    orig = events.select("event_id", "ts_us", "user_id", "event_type", "value")
+    back = evolved.drop("source")
+    assert orig.exceptAll(back).count() + back.exceptAll(orig).count() == 0
+
+
 def test_avro_roundtrip(spark, sf_dir):
     """Avro encode/decode round-trip of events through the in-repo
     .avsc fixture — runs on BOTH paths: the JVM spark-avro functions
