@@ -87,33 +87,15 @@ def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     )
 
 
-def doc_shingle_profiles(docs: DataFrame, threshold: float,
-                         id_col: str = "doc_id", text_col: str = "text",
-                         n: int = 3) -> DataFrame:
-    """Per-doc prefix-filter index as ROWS: (doc_id, s, n_sh) — one
-    row per prefix shingle, where the prefix is the doc's
-    p = |A| − ⌈t·|A|⌉ + 1 globally-rarest distinct shingles (document
-    frequency ascending, shingle value tiebreak) — the prefix-filter
-    index (Bayardo et al. WWW'07 / PPJoin WWW'08).
-
-    Prefix principle (provable): if |A∩B| ≥ α then the
-    (|A|−α+1)-prefix of A and of B under ANY shared total order must
-    intersect. Jaccard ≥ t implies |A∩B| ≥ ⌈t·max(|A|,|B|)⌉ ≥ ⌈t·|A|⌉,
-    so pairs at threshold always collide inside the prefixes — with
-    the rare-first order, on a LOW-df shingle. ⌈t·|A|⌉ is computed
-    with a −1e-9 nudge so float error can only LENGTHEN the prefix
-    (extra candidates are harmless; a short prefix would lose recall).
-
-    Row-width safety: the index is exploded rows, NOT per-doc arrays
-    (the r3 formulation carried every doc's full sorted shingle array
-    in one ``collect_list`` row — a book-length outlier would bloat
-    executor rows at 100×). A long doc here is just MORE rows; the
-    per-doc ordering is a doc_id-partitioned window (row_number +
-    count over the doc's shingle rows), never a materialized array.
-    """
+def _prefix_index(sh: DataFrame, threshold: float) -> DataFrame:
+    """(doc_id, s, n_sh) prefix rows from an exploded shingle frame —
+    THE single home of the ⌈t·|A|⌉ prefix math (doc_shingle_profiles
+    and jaccard_pairs both build on it, so the formula cannot drift).
+    ⌈t·|A|⌉ is computed with a −1e-9 nudge so float error can only
+    LENGTHEN the prefix (extra candidates are harmless; a short
+    prefix would lose recall)."""
     from pyspark.sql import Window
 
-    sh = _shingle_sets(docs, id_col, text_col, n)
     df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     order = Window.partitionBy("doc_id").orderBy("df", "s")
     whole = Window.partitionBy("doc_id")
@@ -127,6 +109,31 @@ def doc_shingle_profiles(docs: DataFrame, threshold: float,
         - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)) + 1
     ).cast("int")
     return ranked.filter(F.col("rn") <= plen).select("doc_id", "s", "n_sh")
+
+
+def doc_shingle_profiles(docs: DataFrame, threshold: float,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 3) -> DataFrame:
+    """Per-doc prefix-filter index as ROWS: (doc_id, s, n_sh) — one
+    row per prefix shingle, where the prefix is the doc's
+    p = |A| − ⌈t·|A|⌉ + 1 globally-rarest distinct shingles (document
+    frequency ascending, shingle value tiebreak) — the prefix-filter
+    index (Bayardo et al. WWW'07 / PPJoin WWW'08).
+
+    Prefix principle (provable): if |A∩B| ≥ α then the
+    (|A|−α+1)-prefix of A and of B under ANY shared total order must
+    intersect. Jaccard ≥ t implies |A∩B| ≥ ⌈t·max(|A|,|B|)⌉ ≥ ⌈t·|A|⌉,
+    so pairs at threshold always collide inside the prefixes — with
+    the rare-first order, on a LOW-df shingle.
+
+    Row-width safety: the index is exploded rows, NOT per-doc arrays
+    (the r3 formulation carried every doc's full sorted shingle array
+    in one ``collect_list`` row — a book-length outlier would bloat
+    executor rows at 100×). A long doc here is just MORE rows; the
+    per-doc ordering is a doc_id-partitioned window (row_number +
+    count over the doc's shingle rows), never a materialized array.
+    """
+    return _prefix_index(_shingle_sets(docs, id_col, text_col, n), threshold)
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
@@ -152,21 +159,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     # the shingle pipeline per branch unless persisted
     # (MEMORY_AND_DISK default; Spark LRU evicts)
     sh = _shingle_sets(docs, id_col, text_col, n).persist()
-    from pyspark.sql import Window
-
-    df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    order = Window.partitionBy("doc_id").orderBy("df", "s")
-    whole = Window.partitionBy("doc_id")
-    ranked = sh.join(df_tbl, "s").select(
-        "doc_id", "s",
-        F.row_number().over(order).alias("rn"),
-        F.count(F.lit(1)).over(whole).alias("n_sh"),
-    )
-    plen = (
-        F.col("n_sh")
-        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)) + 1
-    ).cast("int")
-    pref = ranked.filter(F.col("rn") <= plen).select("doc_id", "s")
+    pref = _prefix_index(sh, threshold).select("doc_id", "s")
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(b, (F.col("a.s") == F.col("b.s"))

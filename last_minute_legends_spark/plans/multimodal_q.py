@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from last_minute_legends_spark.operators.multimodal import (
     extract_features,
+    resize_images,
     sample_frames,
 )
 from last_minute_legends_spark.sources.tables import Catalog
@@ -87,14 +88,29 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing over the documents-as-payloads frame: the
+    decode→resize→re-encode step is stubbed (no codec libs here), so
+    the checked surface is the operator's Spark shape — Arrow batches
+    in, typed geometry rows out, blobs never shuffled. Geometry is
+    asserted in tests/test_operators.py."""
+    docs = Catalog(spark, sf_dir).documents
+    with_payload = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return resize_images(with_payload, out_width=64, out_height=48).orderBy("doc_id")
+
+
 SPARK = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_framesample": multimodal_framesample,
+    "multimodal_resize": multimodal_resize,
 }
 
 SQL = {
     "multimodal_meta": MULTIMODAL_META_SQL,
     "multimodal_features": None,  # mapInPandas byte features: rows-only
     "multimodal_framesample": MULTIMODAL_FRAMESAMPLE_SQL,
+    "multimodal_resize": None,  # stubbed decode: geometry unit test
 }

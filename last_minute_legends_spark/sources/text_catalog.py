@@ -17,8 +17,9 @@ running count of ITEM markers is a two-phase distributed prefix sum:
    partition, ascending partition ids),
 2. per-partition local cumsum (window partitioned by partition id —
    parallel),
-3. tiny per-partition totals aggregated and cumsum'd (N_partitions
-   rows — broadcast back),
+3. tiny per-partition totals (N_partitions rows) turned into
+   preceding-partition offsets by a triangular self-join aggregate —
+   broadcast back,
 4. item_id = local_cumsum + offset of all preceding partitions.
 
 That is the textbook parallel scan: no single-partition window at
@@ -53,13 +54,18 @@ def assign_block_ids(lines: DataFrame, line_col: str = "line",
     )
     local = parts.withColumn("__local", F.sum("__flag").over(local_w))
     totals = parts.groupBy("__pid").agg(F.sum("__flag").alias("__tot"))
-    offset_w = (
-        Window.orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # offset of partition p = sum of totals of partitions < p. The
+    # totals frame is N_partitions rows, so a triangular self-join
+    # aggregate is O(P^2) on a tiny frame — and unlike the
+    # Window.orderBy formulation it emits no "No Partition Defined"
+    # warning flood (that window WAS benign — P rows — but drowned
+    # real signals in the logs).
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(b, F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__tot"), F.lit(0)).alias("__offset"))
     )
-    offsets = totals.withColumn(
-        "__offset", F.coalesce(F.sum("__tot").over(offset_w), F.lit(0))
-    ).select("__pid", "__offset")
     return (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn("item_id", (F.col("__local") + F.col("__offset")).cast("long"))
