@@ -1,0 +1,113 @@
+"""External warehouse connector: Spark JDBC read/write builders.
+
+Reference parity: /root/reference/services/snowflake_query_service.py
+:15-45 holds a driver-side connection, executes SQL through a cursor,
+and fetches result rows into the driver process. Spark-first, the
+warehouse is just another DataFrame source/sink:
+
+- reads are ``spark.read.format("jdbc")`` with either a table name or
+  a pushdown query — executors pull rows directly (partitioned ranges
+  with ``partition_column``/bounds), the driver never materializes
+  the result set;
+- writes are ``df.write.format("jdbc")`` — a distributed batched
+  INSERT from the executors, not a driver-side row loop.
+
+The in-repo answer to the reference's warehouse QUERIES is
+``spark.sql`` over the registered views (plans/sql_q.py); this module
+is the network-backed half for deployments with a real JDBC endpoint.
+No vendor JDBC driver jar ships in this container (and there is no
+network), so both builders are construction-gated like the Kafka ones
+(sources/streams.py): ``jdbc_driver_available`` probes the classpath
+and the builders raise a clear RuntimeError instead of a deep JVM
+stack.
+
+At scale: a partitioned read splits the extract into numPartitions
+range predicates executed concurrently; a write's parallelism is the
+DataFrame's partitioning (repartition before writing to bound
+per-connection batch sizes). ``query=`` pushes the whole statement
+down to the warehouse — project/filter there, not after transfer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def jdbc_driver_available(spark: SparkSession, driver_class: str) -> bool:
+    """True if the vendor JDBC driver class is on the classpath (the
+    source can be constructed; an endpoint is still needed to run)."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — classpath probe only
+        jvm.java.lang.Class.forName(driver_class)
+        return True
+    except Exception:
+        return False
+
+
+def _require_driver(spark: SparkSession, driver_class: str) -> None:
+    if not jdbc_driver_available(spark, driver_class):
+        raise RuntimeError(
+            f"JDBC driver {driver_class} not on the classpath; submit "
+            "with --jars <vendor-jdbc-driver>.jar (or --packages "
+            "<vendor coordinates>)"
+        )
+
+
+def read_warehouse(spark: SparkSession, url: str, driver_class: str,
+                   table: str | None = None, query: str | None = None,
+                   partition_column: str | None = None,
+                   lower_bound: int | None = None,
+                   upper_bound: int | None = None,
+                   num_partitions: int | None = None,
+                   **options: str) -> DataFrame:
+    """Warehouse table/query → DataFrame (the reference's
+    ``fetch_data``, executor-side). Exactly one of ``table`` /
+    ``query``; pass ``partition_column`` + bounds + ``num_partitions``
+    to parallelize the extract across executors."""
+    if (table is None) == (query is None):
+        raise ValueError("read_warehouse: pass exactly one of table/query")
+    _require_driver(spark, driver_class)
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("driver", driver_class)
+    )
+    if table is not None:
+        reader = reader.option("dbtable", table)
+    else:
+        reader = reader.option("query", query)
+    if partition_column is not None:
+        if table is None:
+            raise ValueError(
+                "partitioned reads need dbtable (Spark's JDBC source "
+                "rejects partitionColumn with query=)"
+            )
+        if None in (lower_bound, upper_bound, num_partitions):
+            raise ValueError(
+                "partition_column needs lower_bound/upper_bound/num_partitions"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_warehouse(df: DataFrame, url: str, driver_class: str, table: str,
+                    mode: str = "append", **options: str) -> None:
+    """DataFrame → warehouse table (the reference's ``execute_query``
+    INSERT path, as a distributed batched write)."""
+    _require_driver(df.sparkSession, driver_class)
+    writer = (
+        df.write.format("jdbc").mode(mode)
+        .option("url", url)
+        .option("driver", driver_class)
+        .option("dbtable", table)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -90,6 +90,29 @@ def test_kafka_write_side_gated(spark, sf_dir):
             kafka_sink(recs, "localhost:9092", "events", "/tmp/ckpt-nope")
 
 
+def test_warehouse_jdbc_gated(spark, sf_dir):
+    """The JDBC warehouse builders either construct (driver jar
+    present) or raise the documented RuntimeError — never a deep JVM
+    stack; argument validation fires before the classpath gate."""
+    from last_minute_legends_spark.sources.tables import load_table
+    from last_minute_legends_spark.sources.warehouse import (
+        jdbc_driver_available, read_warehouse, write_warehouse,
+    )
+
+    url = "jdbc:postgresql://localhost:5432/wh"
+    drv = "org.postgresql.Driver"
+    with pytest.raises(ValueError, match="exactly one"):
+        read_warehouse(spark, url, drv)
+    with pytest.raises(ValueError, match="exactly one"):
+        read_warehouse(spark, url, drv, table="t", query="SELECT 1")
+    if not jdbc_driver_available(spark, drv):
+        with pytest.raises(RuntimeError, match="JDBC driver"):
+            read_warehouse(spark, url, drv, table="t")
+        with pytest.raises(RuntimeError, match="JDBC driver"):
+            write_warehouse(load_table(spark, sf_dir, "nation"),
+                            url, drv, "nation_export")
+
+
 def test_typed_event_schemas_roundtrip(spark, sf_dir):
     """Per-type render → per-type declared-schema parse → union view:
     row counts per type survive, type-specific fields land typed and
