@@ -140,6 +140,25 @@ def test_embedding_lsh_finds_planted_dups(spark):
     assert got == expect
 
 
+def test_embedding_signature_paths_agree(spark, sf_dir):
+    """The numpy batch-matmul signature pass and the pure-SQL
+    higher-order-function sibling must produce bit-for-bit identical
+    64-bit signatures (same planes, same vectors)."""
+    from last_minute_legends_spark.operators.dedup import (
+        embedding_signatures, embedding_signatures_np, random_hyperplanes,
+    )
+    from last_minute_legends_spark.operators.similarity import with_unit_vectors
+    from last_minute_legends_spark.sources.tables import load_table
+
+    emb = with_unit_vectors(load_table(spark, sf_dir, "embeddings"))
+    planes = random_hyperplanes(spark)
+    np_sigs = {r.id: r.sig
+               for r in embedding_signatures_np(emb, planes).collect()}
+    hof_sigs = {r.id: r.sig for r in embedding_signatures(emb, planes).collect()}
+    assert np_sigs == hof_sigs
+    assert len(np_sigs) == emb.count()
+
+
 def test_jaccard_prefix_filter_matches_bruteforce(spark):
     """The prefix-filtered jaccard_pairs must equal an independent
     pure-Python all-pairs computation on generated corpora — the
