@@ -8,7 +8,13 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver collect overhead). One warmup query amortizes JVM/codegen
-startup out of the measurement.
+startup out of the measurement. Each cell is the MIN of 2 runs — a
+single GC pause on the shared local JVM fabricated 6x phantom
+"regressions" in earlier rounds; min-of-2 bounds that noise. The
+timed window includes plan construction (some entries, e.g. the
+connected-components fixpoint, do their real work there). Caches a
+query persists internally are cleared after its runs so cross-query
+cache accumulation can't OOM the suite (it did in r4).
 """
 
 from __future__ import annotations
@@ -83,10 +89,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     def run(name: str) -> float:
-        df = QUERIES[name](spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        return time.perf_counter() - t0
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            times.append(time.perf_counter() - t0)
+            # drop frames the query persisted (shingle/signature
+            # diamonds) so they can't accumulate across the suite
+            spark.catalog.clearCache()
+        return min(times)
 
     # warmup: JVM + codegen + parquet footer caches, and the Python
     # daemon worker fleet (first mapInPandas otherwise pays startup)
@@ -106,7 +118,8 @@ def main() -> None:
     # streaming runs timed separately (real multi-batch executions —
     # kept OUT of the headline total so batch regressions stay visible)
     streaming: dict[str, float] = {}
-    for name in ("stream_pipeline", "stream_enrich", "stream_sessionize"):
+    for name in ("stream_pipeline", "stream_enrich", "stream_sessionize",
+                 "stream_dedup"):
         try:
             t0 = time.perf_counter()
             n = QUERIES[name](spark, SF_DIR).count()

@@ -198,6 +198,12 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_enriched_pipeline(spark, sf_dir)
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from last_minute_legends_spark.streaming.pipeline import run_dedup_pipeline
+
+    return run_dedup_pipeline(spark, sf_dir)
+
+
 SPARK = {
     "stream_json_parse": stream_json_parse,
     "events_typed_parse": events_typed_parse,
@@ -206,6 +212,7 @@ SPARK = {
     "stream_pipeline": stream_pipeline,
     "stream_sessionize": stream_sessionize,
     "stream_enrich": stream_enrich,
+    "stream_dedup": stream_dedup,
 }
 
 SQL = {
@@ -216,4 +223,5 @@ SQL = {
     "stream_pipeline": None,
     "stream_sessionize": None,
     "stream_enrich": None,   # streaming run: rows-only + parity test
+    "stream_dedup": None,    # streaming run: exactly-once parity test
 }

@@ -127,6 +127,51 @@ def run_windowed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def run_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery → exactly-once event set: the staged
+    topic is delivered TWICE (every file redelivered — the Kafka
+    consumer-retry story), and the stream drops duplicate event_ids
+    with ``dropDuplicatesWithinWatermark`` — per-key state in the
+    executor state store, evicted once the watermark passes the key's
+    event time + delay, so state size ~ the watermark horizon, not
+    history. Rows older than the watermark are dropped as late — for
+    a redelivery that is exactly the correct outcome (the original
+    already emitted), so the output is each event exactly once
+    however the redelivery interleaves. Batch parity asserted in
+    tests/test_streaming.py."""
+    import glob
+
+    staging = stage_events_json(spark, sf_dir)
+    for f in glob.glob(f"{staging}/in/part-*"):
+        shutil.copy(f, f"{f}-redelivered.txt")
+
+    stream = parse_event_json(file_json_stream(spark, f"{staging}/in"))
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", f"{staging}/out")
+        .option("checkpointLocation", f"{staging}/ckpt")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.schema(EVENT_SCHEMA).parquet(f"{staging}/out")
+    shutil.rmtree(f"{staging}/in", ignore_errors=True)
+    shutil.rmtree(f"{staging}/ckpt", ignore_errors=True)
+    return out
+
+
 ENRICH_SCHEMA = (
     "window_start_us long, nation string, n_events long, sum_value double"
 )

@@ -17,7 +17,7 @@ def _plan(df) -> str:
 # plan strings are just result scans, so they're skipped here (covered
 # by tests/test_streaming.py and the CC unit test).
 _SKIP = {"stream_pipeline", "stream_sessionize", "stream_enrich",
-         "dedup_clusters"}
+         "stream_dedup", "dedup_clusters"}
 
 
 def _batch_keys():

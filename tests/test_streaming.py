@@ -406,6 +406,23 @@ def test_stream_sessionize_matches_batch(spark, sf_dir):
     )
 
 
+def test_stream_dedup_exactly_once(spark, sf_dir):
+    """Redelivered topic (every file delivered twice) through
+    dropDuplicatesWithinWatermark must yield each event exactly once
+    — row-identical to the batch events table."""
+    from last_minute_legends_spark.plans.stream_q import stream_dedup
+    from last_minute_legends_spark.sources.tables import load_table
+
+    deduped = stream_dedup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    assert deduped.count() == events.count()
+    diff = (events.exceptAll(deduped).count()
+            + deduped.exceptAll(events).count())
+    assert diff == 0, f"{diff} rows differ after exactly-once dedup"
+
+
 def test_python_state_sessionize_matches_native(spark, sf_dir):
     """The applyInPandasWithState demonstrator must emit exactly the
     sessions the native session_window aggregation emits."""
