@@ -364,6 +364,44 @@ def test_sketches_error_bounds(spark, sf_dir):
         )
 
 
+def test_time_partitioned_sink_prunes(spark, sf_dir):
+    """The time-partitioned sink must produce a layout where a date
+    predicate reaches the scan as a PartitionFilter (pruned at
+    planning time), and the read-back is row-identical."""
+    import shutil
+    import tempfile
+
+    from last_minute_legends_spark.sources.sinks import (
+        read_time_partitioned, write_time_partitioned,
+    )
+    from last_minute_legends_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="llm_spark_tpart_")
+    try:
+        names = write_time_partitioned(events, path, granularity="day")
+        assert names == ["event_date"]
+        back = read_time_partitioned(spark, path)
+        assert back.count() == events.count()
+
+        a_date = events.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("d")
+        ).first().d
+        sel = back.filter(F.col("event_date") == a_date)
+        plan = sel._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        pruned = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        assert "event_date" in pruned, f"no pruning filter: [{pruned}]"
+        want = events.filter(
+            F.date_format("ts", "yyyy-MM-dd") == a_date
+        ).count()
+        assert sel.count() == want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_frame_sampling_and_resize(spark):
     """sample_frames: correct fan-out (every stride-th fixed-size
     chunk, short tail preserved, exact checksums); resize_images:
