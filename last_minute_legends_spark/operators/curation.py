@@ -1,0 +1,236 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+PII redaction, repetition signals, paragraph-level dedup, and
+eval-set decontamination.
+
+These extend the reference's text surface (the reference stops at
+catalog text ETL — services/text_catalog_pipeline.py) with the
+standard curation passes a 100 TB pretraining pipeline runs between
+raw text and the training set:
+
+- ``pii_redact``        — regex scrubbing (emails / phones / SSNs /
+  IPv4), the C4-style cleanup pass (Raffel et al., JMLR 2020).
+- ``repetition_signals`` — Gopher repetition filters (Rae et al.,
+  2021, Table A1): top-word fraction and duplicate n-gram fractions.
+- ``paragraph_dedup``   — corpus-level keep-first paragraph dedup
+  (RefinedWeb, Penedo et al., 2023): a paragraph appearing in many
+  documents is kept only at its first occurrence.
+- ``decontaminate``     — n-gram-collision flagging of training docs
+  that overlap an eval set (GPT-3 appendix C, Brown et al., 2020,
+  uses 13-grams; n is a parameter here).
+
+Everything is native Spark SQL expressions (whole-stage codegen) —
+higher-order array functions instead of explode where the work is
+per-document, so the hot path adds NO shuffle; the only shuffles are
+the corpus-level ones (paragraph hash groupBy, contamination join),
+both plain equi-shuffles that scale by key count, not corpus size.
+The same expressions are written 1:1 in DuckDB SQL in
+plans/curation_q.py so every operator is value-checked locally even
+though the driver's 50-entry oracle window is full.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from last_minute_legends_spark.functions.text import normalize_text, words
+
+# ASCII-only patterns; Java regex (Spark) and RE2 (DuckDB) agree on
+# every construct used here (\b, [..] classes, {m,n} bounds).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+
+def pii_redact(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-doc PII counts + redacted text.
+
+    Counts are measured on the ORIGINAL text; redaction is applied
+    in a fixed order (email -> SSN -> IPv4 -> phone) so overlapping
+    patterns resolve deterministically (an SSN is consumed before
+    the looser phone pattern can touch it; an IPv4 octet run can
+    never be half-eaten by the phone rule). Pure per-row column
+    expressions — no shuffle, no UDF.
+    """
+    t = F.col(text_col)
+
+    def n(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
+
+    red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, SSN_RE, "<SSN>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    n_email, n_ssn, n_ip, n_phone = (n(EMAIL_RE), n(SSN_RE),
+                                     n(IPV4_RE), n(PHONE_RE))
+    return docs.select(
+        F.col(id_col),
+        n_email.alias("n_emails"),
+        n_ssn.alias("n_ssns"),
+        n_ip.alias("n_ips"),
+        n_phone.alias("n_phones"),
+        (n_email + n_ssn + n_ip + n_phone == 0).alias("pii_free"),
+        red.alias("redacted"),
+    )
+
+
+def _ngrams(w: Column, n: int) -> Column:
+    """Space-joined word n-grams (all occurrences, NOT distinct —
+    repetition math needs multiplicity). 1-based element_at."""
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       top_word_max: float = 0.20,
+                       dup_2gram_max: float = 0.40) -> DataFrame:
+    """Gopher-style repetition measurements per document.
+
+    - ``top_word_frac``: occurrences of the most frequent token /
+      total tokens.
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: 1 - distinct/total
+      n-grams (0 when fewer than n tokens).
+    - ``repetitive``: either signal over its threshold (defaults
+      are in the range Gopher uses for its n-gram family).
+
+    All higher-order array expressions over the per-row token array:
+    the count-per-distinct-word pass is O(|distinct| * |tokens|) per
+    row — bounded by document length, independent of corpus size —
+    and the plan has NO shuffle, so it scales linearly to 100 TB.
+    """
+    w = words(F.col(text_col))
+    d = docs.select(
+        F.col(id_col),
+        F.size(w).alias("n_tokens"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(w),
+                lambda x: F.size(F.filter(w, lambda y: y == x)),
+            )
+        ).alias("top_cnt"),
+        F.size(_ngrams(w, 2)).alias("n_g2"),
+        F.size(F.array_distinct(_ngrams(w, 2))).alias("d_g2"),
+        F.size(_ngrams(w, 3)).alias("n_g3"),
+        F.size(F.array_distinct(_ngrams(w, 3))).alias("d_g3"),
+    )
+    top_frac = F.col("top_cnt") / F.greatest(F.col("n_tokens"), F.lit(1))
+    dup2 = (F.col("n_g2") - F.col("d_g2")) / F.greatest(F.col("n_g2"), F.lit(1))
+    dup3 = (F.col("n_g3") - F.col("d_g3")) / F.greatest(F.col("n_g3"), F.lit(1))
+    return d.select(
+        id_col,
+        "n_tokens",
+        F.round(top_frac, 4).alias("top_word_frac"),
+        F.round(dup2, 4).alias("dup_2gram_frac"),
+        F.round(dup3, 4).alias("dup_3gram_frac"),
+        ((top_frac > top_word_max) | (dup2 > dup_2gram_max)).alias("repetitive"),
+    )
+
+
+def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = "\n\n") -> DataFrame:
+    """Corpus-level keep-first paragraph dedup (RefinedWeb-style).
+
+    Every document is split into paragraphs; a paragraph (by
+    normalized text) occurring in multiple places is kept only at
+    its globally-first occurrence (smallest ``(doc_id, position)``),
+    and removed everywhere else. Returns one row per input document:
+    ``(doc_id, text_deduped, n_paragraphs, n_removed)`` — a document
+    whose every paragraph was seen earlier comes back with empty
+    text (the caller filters), never silently dropped.
+
+    Plan: split is per-row (narrow); the winner election is ONE
+    groupBy on the paragraph hash (min over a (doc_id, pos) struct —
+    partial-aggregatable, shuffle keyed by paragraph, so hot
+    paragraphs cost one reduce key, not a cross-join); reassembly is
+    ONE groupBy on doc_id. Both shuffles are equi-shuffles; nothing
+    is quadratic in corpus size.
+    """
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "para"),
+    ).withColumn("ph", F.xxhash64(normalize_text(F.col("para"))))
+    winner = paras.groupBy("ph").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w")
+    )
+    kept = (
+        paras.join(winner, "ph")
+        .withColumn(
+            "keep",
+            (F.col(f"w.{id_col}") == F.col(id_col)) & (F.col("w.pos") == F.col("pos")),
+        )
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_paragraphs"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_deduped"),
+    )
+    return agg.select(id_col, "text_deduped", "n_paragraphs", "n_removed")
+
+
+def decontaminate(train: DataFrame, eval_set: DataFrame, n: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Flag training documents sharing any word n-gram with an eval
+    set (GPT-3-style decontamination; n=13 there, parameterized
+    here because the test corpus has ~100-token documents).
+
+    Returns one row per train document: ``(doc_id, n_shared_ngrams,
+    n_eval_docs, contaminated)`` where ``n_shared_ngrams`` counts
+    DISTINCT colliding n-grams and ``n_eval_docs`` counts distinct
+    eval documents hit.
+
+    Plan: distinct shingles per side exploded to rows, equi-join on
+    the shingle; the eval side is ``broadcast()`` — eval sets are
+    thousands of docs even when the train corpus is 100 TB, so the
+    contamination check is a broadcast-hash join against every train
+    partition with NO shuffle of the train corpus.
+    """
+    def shingled(df: DataFrame, out_id: str) -> DataFrame:
+        w = words(F.col(text_col))
+        sh = F.array_distinct(
+            F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: F.array_join(F.slice(w, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+        return df.select(F.col(id_col).alias(out_id), F.explode(sh).alias("s"))
+
+    hits = (
+        shingled(train, "t_id")
+        .join(F.broadcast(shingled(eval_set, "e_id")), "s")
+        .groupBy("t_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_ngrams"),
+            F.countDistinct("e_id").alias("n_eval_docs"),
+        )
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(hits, F.col(id_col) == F.col("t_id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+            F.coalesce("n_eval_docs", F.lit(0)).alias("n_eval_docs"),
+            (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

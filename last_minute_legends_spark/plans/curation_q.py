@@ -1,0 +1,189 @@
+"""Corpus-curation queries over the ``documents`` table: PII
+redaction, repetition signals, paragraph dedup, decontamination
+(operators/curation.py).
+
+The driver's 50-entry oracle window is full, so these register as
+rows-only entries — but each has a DuckDB oracle in ``LOCAL_SQL``
+that tests/test_oracle.py runs with the SAME rows+schema+values
+comparison the driver applies. Locally these are value-checked;
+only the external gate sees them as rows-only.
+
+The eval split for ``decontaminate`` is ``doc_id % 7 == 0`` — a
+deterministic stand-in for a held-out benchmark table; swap in a
+real eval DataFrame at the operator level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from last_minute_legends_spark.operators.curation import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    SSN_RE,
+    decontaminate,
+    paragraph_dedup,
+    pii_redact,
+    repetition_signals,
+)
+from last_minute_legends_spark.sources.tables import Catalog
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return pii_redact(docs).orderBy("doc_id")
+
+
+TEXT_PII_REDACT_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{SSN_RE}')) AS BIGINT) AS n_ssns,
+       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       (len(regexp_extract_all(text, '{EMAIL_RE}'))
+        + len(regexp_extract_all(text, '{SSN_RE}'))
+        + len(regexp_extract_all(text, '{IPV4_RE}'))
+        + len(regexp_extract_all(text, '{PHONE_RE}'))) = 0 AS pii_free,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{SSN_RE}', '<SSN>', 'g'),
+           '{IPV4_RE}', '<IP>', 'g'),
+         '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return repetition_signals(docs).orderBy("doc_id")
+
+
+TEXT_REPETITION_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           list_max(list_transform(list_distinct(w),
+                                   x -> len(list_filter(w, y -> y = x)))) AS top_cnt,
+           CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                ELSE CAST([] AS VARCHAR[]) END AS g2,
+           CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE CAST([] AS VARCHAR[]) END AS g3
+    FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(top_cnt / greatest(n_tokens, 1), 4) AS top_word_frac,
+       round((len(g2) - len(list_distinct(g2))) / greatest(len(g2), 1), 4) AS dup_2gram_frac,
+       round((len(g3) - len(list_distinct(g3))) / greatest(len(g3), 1), 4) AS dup_3gram_frac,
+       (top_cnt / greatest(n_tokens, 1) > 0.20
+        OR (len(g2) - len(list_distinct(g2))) / greatest(len(g2), 1) > 0.40) AS repetitive
+FROM m
+ORDER BY doc_id
+"""
+
+
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return paragraph_dedup(docs).orderBy("doc_id")
+
+
+# The test corpus is single-paragraph documents, so corpus-level
+# paragraph dedup degenerates to keep-first exact-text dedup here;
+# the multi-paragraph semantics are exercised on crafted documents
+# in tests/test_operators.py. Winner election keys on the
+# normalized paragraph itself in SQL (Spark keys on its xxhash64 —
+# identical result absent 64-bit collisions).
+DEDUP_PARAGRAPH_SQL = r"""
+WITH s AS (
+    SELECT doc_id, string_split(text, chr(10) || chr(10)) AS paras FROM documents
+), p0 AS (
+    SELECT doc_id, paras, unnest(range(1, len(paras) + 1)) AS pos1 FROM s
+), p AS (
+    SELECT doc_id, CAST(pos1 - 1 AS INTEGER) AS pos, paras[CAST(pos1 AS INTEGER)] AS para,
+           lower(trim(regexp_replace(paras[CAST(pos1 AS INTEGER)], '\s+', ' ', 'g'))) AS nk
+    FROM p0
+), k AS (
+    SELECT doc_id, pos, para,
+           row_number() OVER (PARTITION BY nk ORDER BY doc_id, pos) = 1 AS keep
+    FROM p
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN para END, chr(10) || chr(10)
+                           ORDER BY pos), '') AS text_deduped,
+       count(*) AS n_paragraphs,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM k
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 7 == 0)
+    return decontaminate(train, eval_set, n=8).orderBy("doc_id")
+
+
+DECONTAMINATE_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 8
+                THEN list_distinct(list_transform(range(1, len(w) - 6),
+                                                  i -> array_to_string(w[i:i+7], ' ')))
+                ELSE CAST([] AS VARCHAR[]) END AS sh
+    FROM t
+), e AS (
+    SELECT doc_id, unnest(sh) AS s FROM g
+), hits AS (
+    SELECT tr.doc_id AS doc_id,
+           count(DISTINCT tr.s) AS n_shared_ngrams,
+           count(DISTINCT ev.doc_id) AS n_eval_docs
+    FROM (SELECT * FROM e WHERE doc_id % 7 <> 0) tr
+    JOIN (SELECT * FROM e WHERE doc_id % 7 = 0) ev ON tr.s = ev.s
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n_shared_ngrams, 0) AS n_shared_ngrams,
+       coalesce(n_eval_docs, 0) AS n_eval_docs,
+       coalesce(n_shared_ngrams, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+LEFT JOIN hits USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+SPARK = {
+    "text_pii_redact": text_pii_redact,
+    "text_repetition": text_repetition,
+    "dedup_paragraph": dedup_paragraph,
+    "decontaminate": decontaminate_train,
+}
+
+# Driver window is full — external gate sees these rows-only.
+SQL = {}
+
+# Value-level oracles run by tests/test_oracle.py (same comparison
+# as the driver's gate, executed locally).
+LOCAL_SQL = {
+    "text_pii_redact": TEXT_PII_REDACT_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
+    "dedup_paragraph": DEDUP_PARAGRAPH_SQL,
+    "decontaminate": DECONTAMINATE_SQL,
+}

@@ -20,7 +20,7 @@ _MODULES = [olap]
 # silently: a typo'd import would otherwise drop a whole family from
 # the registry and the correctness gate would report nothing for it.
 for _name in ("events_analytics", "dedup_q", "ann_q", "text_q", "multimodal_q",
-               "stream_q", "sql_q"):
+               "stream_q", "sql_q", "curation_q"):
     try:
         _mod = __import__(f"last_minute_legends_spark.plans.{_name}", fromlist=[_name])
         _MODULES.append(_mod)
@@ -33,9 +33,15 @@ for _name in ("events_analytics", "dedup_q", "ann_q", "text_q", "multimodal_q",
 
 QUERIES = {}
 ORACLE_SQL = {}
+# Value-level DuckDB oracles for entries past the driver's window —
+# run by tests/test_oracle.py with the driver's own comparison, but
+# never exported through __spark_entry__.oracle_sql().
+LOCAL_ORACLE_SQL = {}
 for _m in _MODULES:
     QUERIES.update(getattr(_m, "SPARK", {}))
     ORACLE_SQL.update({k: v for k, v in getattr(_m, "SQL", {}).items() if v})
+    LOCAL_ORACLE_SQL.update(
+        {k: v for k, v in getattr(_m, "LOCAL_SQL", {}).items() if v})
 
 # The driver's correctness gate records only the FIRST ORACLE_WINDOW
 # entries of this dict, in registration order (observed r3:

@@ -485,3 +485,77 @@ def test_incremental_null_policy(spark):
     out = {r.id for r in new_records(cand, pub, key="k").collect()}
     # NULL keys count as new (documented policy; reference's isin drops them)
     assert out == {2, 3}
+
+
+# --- curation operators (operators/curation.py) -------------------
+
+
+def test_pii_redact_planted(spark):
+    """Real PII shapes — the synthetic corpus is clean, so the
+    registry entry only proves plumbing; semantics live here."""
+    from last_minute_legends_spark.operators.curation import pii_redact
+
+    docs = _docs(spark, [
+        (1, "contact bob.smith+x@example.co.uk or 555-123-4567 now"),
+        (2, "ssn 123-45-6789 from host 10.0.255.1 stay wary"),
+        (3, "nothing sensitive here at all"),
+    ])
+    out = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert "<EMAIL>" in out[1].redacted and "<PHONE>" in out[1].redacted
+    assert "example" not in out[1].redacted
+    # SSN must win over the looser phone pattern (redaction order)
+    assert out[2].n_ssns == 1 and out[2].n_ips == 1
+    assert "<SSN>" in out[2].redacted and "<IP>" in out[2].redacted
+    assert "<PHONE>" not in out[2].redacted
+    assert out[3].pii_free and not out[1].pii_free
+    assert out[3].redacted == "nothing sensitive here at all"
+
+
+def test_repetition_signals_planted(spark):
+    from last_minute_legends_spark.operators.curation import repetition_signals
+
+    docs = _docs(spark, [
+        (1, "spam spam spam spam spam spam spam spam"),       # all one word
+        (2, "one two three four five six seven eight"),       # no repetition
+        (3, "ab cd ab cd ab cd ab cd"),                       # dup bigrams
+    ])
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert out[1].top_word_frac == 1.0 and out[1].repetitive
+    assert out[1].dup_2gram_frac == round(6 / 7, 4)
+    assert out[2].top_word_frac == 0.125 and not out[2].repetitive
+    assert out[2].dup_2gram_frac == 0.0
+    # "ab cd"x4 + "cd ab"x3 -> 7 bigrams, 2 distinct
+    assert out[3].dup_2gram_frac == round(5 / 7, 4) and out[3].repetitive
+
+
+def test_paragraph_dedup_planted(spark):
+    from last_minute_legends_spark.operators.curation import paragraph_dedup
+
+    boiler = "all rights reserved"
+    docs = _docs(spark, [
+        (1, f"first unique para\n\n{boiler}"),
+        (2, f"{boiler}\n\nsecond unique para"),    # boilerplate removed
+        (3, f"{boiler.upper()} "),                 # normalizes equal -> empty
+    ])
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert out[1].n_removed == 0
+    assert out[1].text_deduped == f"first unique para\n\n{boiler}"
+    assert out[2].n_paragraphs == 2 and out[2].n_removed == 1
+    assert out[2].text_deduped == "second unique para"
+    assert out[3].n_removed == 1 and out[3].text_deduped == ""
+
+
+def test_decontaminate_planted(spark):
+    from last_minute_legends_spark.operators.curation import decontaminate
+
+    leak = "q r s t u v w x"                       # one shared 8-gram
+    train = _docs(spark, [
+        (1, f"prefix words here then {leak} and a tail"),
+        (2, "totally clean training document with no overlap at all"),
+    ])
+    eval_set = _docs(spark, [(100, f"{leak} padded out to be long enough")])
+    out = {r.doc_id: r for r in decontaminate(train, eval_set, n=8).collect()}
+    assert out[1].contaminated and out[1].n_shared_ngrams == 1
+    assert out[1].n_eval_docs == 1
+    assert not out[2].contaminated and out[2].n_shared_ngrams == 0
