@@ -18,6 +18,8 @@ list_dot_product for oracle comparison.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -65,22 +67,33 @@ def train_centroids(vecs: DataFrame, k: int = 8, iters: int = 3,
       k rows (the r3 formulation ranked the whole training frame with
       a global ``Window.orderBy(id)`` plus a separate count — a
       single-partition sort that contradicts the 100 TB story).
-    - Iterations: argmax-cosine assignment (broadcast centroids, big
-      side never shuffles beyond the id-window) → per-bucket dimension
-      means (posexplode + groupBy — a shuffle of k·dim tiny rows) →
-      re-formed centroid arrays, components rounded to 8 dp so
-      float summation order can't make training run-to-run unstable.
+    - Iterations follow MLlib's KMeans execution shape (distributed
+      sufficient statistics, driver-side model update): assignment is
+      a NARROW argmax fold over the literal centroid array (no join,
+      no per-id groupBy), the per-bucket dimension means are ONE
+      partial-aggregatable shuffle of k·dim rows, and the k·dim mean
+      rows come back to the driver where the centroid arrays are
+      re-formed (components rounded to 8 dp so float summation order
+      can't make training run-to-run unstable; empty buckets keep
+      their previous centroid). One job per iteration — the r5
+      dataframe-composition formulation spent its whole cell on
+      per-iteration join/groupBy stage scheduling, not arithmetic.
     - ``sample_mod``: train on the deterministic id-hash sample
       ``xxhash64(id) % sample_mod == 0`` — at 100 TB you train on a
       bounded sample and assign the full set afterwards.
 
-    Collecting k centroid rows is model-parameter extraction (k≈8),
-    not a data-path collect — same shape as MLlib's KMeansModel.
+    Collecting k·dim mean cells is model-parameter extraction
+    (k≈8 × dim≈64), not a data-path collect — same shape as MLlib's
+    KMeansModel update loop.
     """
+    spark = vecs.sparkSession
     train = vecs
     if sample_mod:
         train = train.filter(F.pmod(F.xxhash64(F.col("id")), sample_mod) == 0)
-    cent = (
+    # each Lloyd pass re-reads the training frame — keep it resident
+    # for the duration of training (unpersisted before returning)
+    train = train.persist()
+    seeds = (
         train.select(
             F.pmod(F.xxhash64(F.col("id")), F.lit(k)).cast("int").alias("bucket"),
             "id", "v", "nrm",
@@ -93,59 +106,97 @@ def train_centroids(vecs: DataFrame, k: int = 8, iters: int = 3,
             F.col("seed.nrm").alias("nrm"),
         )
     )
+    cent_rows = sorted(
+        (int(r.id), [float(x) for x in r.v], float(r.nrm))
+        for r in seeds.collect()
+    )
     for _ in range(iters):
-        assigned = assign_buckets(train, cent)
-        means = (
-            assigned.select("bucket", F.posexplode("v").alias("pos", "x"))
+        stats = (
+            train.select(
+                _argmax_bucket(_centroid_literal(cent_rows)).alias("bucket"), "v")
+            .select("bucket", F.posexplode("v").alias("pos", "x"))
             .groupBy("bucket", "pos")
             .agg(F.round(F.avg("x"), 8).alias("m"))
-            .groupBy("bucket")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("v")
-            )
-            .select(F.col("bucket").alias("id"), "v")
-            .withColumn("nrm", norm(F.col("v")))
+            .collect()
         )
-        # empty buckets keep their previous centroid
-        prev = cent.select("id", F.col("v").alias("pv"), F.col("nrm").alias("pn"))
-        cent = (
-            prev.join(means, "id", "left")
-            .select(
-                "id",
-                F.coalesce("v", "pv").alias("v"),
-                F.coalesce("nrm", "pn").alias("nrm"),
-            )
+        means: dict[int, dict[int, float]] = {}
+        for r in stats:
+            means.setdefault(int(r.bucket), {})[int(r.pos)] = float(r.m)
+        new_rows = []
+        for cid, cv, cn in cent_rows:
+            m = means.get(cid)
+            if m is None:           # empty bucket keeps its centroid
+                new_rows.append((cid, cv, cn))
+            else:
+                nv = [m[p] for p in range(len(cv))]
+                # same left-to-right float64 sum the norm() expression uses
+                nn = math.sqrt(_seq_sumsq(nv))
+                new_rows.append((cid, nv, nn))
+        cent_rows = new_rows
+    train.unpersist()
+    return spark.createDataFrame(cent_rows, "id int, v array<double>, nrm double")
+
+
+def _seq_sumsq(xs: list[float]) -> float:
+    acc = 0.0
+    for x in xs:
+        acc += x * x
+    return acc
+
+
+def _centroid_literal(rows: list[tuple[int, list[float], float]]) -> Column:
+    """The k-row centroid model as a literal array<struct> expression
+    (ascending centroid id — the argmax tiebreak depends on it).
+    Built as ONE sql expression string: composing it from k·dim
+    F.lit() calls costs a py4j round-trip per literal (~0.4 s per
+    iteration at k=8, dim=64 — measured comparable to the Lloyd job
+    itself). ``repr(float)`` round-trips exactly, so the doubles are
+    bit-identical to F.lit."""
+    structs = ", ".join(
+        "named_struct('cent_id', {cid}, 'cv', array({cv}), 'cn', {cn}D)".format(
+            cid=int(cid),
+            cv=", ".join(f"{float(x)!r}D" for x in cv),
+            cn=float(cn),
         )
-    # materialize the k trained rows as literals: every downstream use
-    # (bucket assignment, query probing) would otherwise re-evaluate
-    # the full iteration lineage — k≈8 rows is model-parameter size
-    spark = vecs.sparkSession
-    rows = [(int(r.id), list(r.v), float(r.nrm)) for r in cent.collect()]
-    return spark.createDataFrame(rows, "id int, v array<double>, nrm double")
+        for cid, cv, cn in sorted(rows)
+    )
+    return F.expr(f"array({structs})")
+
+
+def _argmax_bucket(carr: Column, v: str = "v", nrm: str = "nrm") -> Column:
+    """Nearest-centroid id by cosine for each row — a narrow fold
+    over the literal centroid array: no join, no shuffle. Strict >
+    keeps the earliest (lowest-id) centroid on ties, matching the
+    max_by(cent_id, struct(cos, -cent_id)) tiebreak of a join
+    formulation."""
+    def step(acc, c):
+        cos = cosine(F.col(v), F.col(nrm), c["cv"], c["cn"])
+        return F.when(
+            cos > acc["cos"],
+            F.struct(cos.alias("cos"), c["cent_id"].alias("cent_id")),
+        ).otherwise(acc)
+
+    best = F.aggregate(
+        carr,
+        F.struct(F.lit(-2.0).alias("cos"),
+                 F.lit(-1).cast("int").alias("cent_id")),
+        step,
+    )
+    return best["cent_id"]
 
 
 def assign_buckets(candidates: DataFrame, centroids: DataFrame) -> DataFrame:
-    """argmax-cosine centroid per candidate (deterministic tiebreak on
-    centroid id). Centroids are broadcast — no shuffle of the big side;
-    the argmax is a max_by aggregation (map-side combinable), not a
-    sort-window, so the only full pass is one partial-agg shuffle."""
-    c = candidates.select("id", "v", "nrm")
-    cent = centroids.select(
-        F.col("id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
-    scored = c.join(F.broadcast(cent)).withColumn(
-        "cos", cosine(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn"))
-    )
-    # max of (cos, -cent_id) = highest cosine, then LOWEST centroid id
-    return scored.groupBy("id").agg(
-        F.any_value(F.col("v")).alias("v"),
-        F.any_value(F.col("nrm")).alias("nrm"),
-        F.max_by(
-            F.col("cent_id"), F.struct(F.col("cos"), (-F.col("cent_id")).alias("nid"))
-        ).alias("bucket"),
+    """(id, v, nrm, bucket): argmax-cosine centroid per candidate
+    (deterministic tiebreak on lowest centroid id). The centroid
+    model (k rows) is collected and inlined as a literal array, so
+    assignment is a NARROW map — no join, no shuffle of the
+    candidate side at all. At 100 TB this is the property that lets
+    bucket assignment ride along any existing scan."""
+    rows = [(int(r.id), [float(x) for x in r.v], float(r.nrm))
+            for r in centroids.collect()]
+    return candidates.select(
+        "id", "v", "nrm",
+        _argmax_bucket(_centroid_literal(rows)).alias("bucket"),
     )
 
 
