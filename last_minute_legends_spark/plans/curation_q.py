@@ -18,6 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from last_minute_legends_spark.functions.text import (
+    STOPWORDS_DE,
+    STOPWORDS_EN,
+    STOPWORDS_FR,
+)
 from last_minute_legends_spark.operators.curation import (
     EMAIL_RE,
     IPV4_RE,
@@ -169,11 +174,136 @@ ORDER BY doc_id
 """
 
 
+def curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation flagship: every gate a pretraining pipeline
+    applies before a document reaches the tokenizer —
+
+      exact-dedup keeper ∧ English ∧ quality ≥ 0.5   (= training_set)
+      ∧ not repetitive ∧ PII-free ∧ not contaminated ∧ not eval
+
+    All per-document signals (quality, language, repetition, PII)
+    are computed in ONE narrow pass over the scan; the only
+    shuffles are the keeper-election window on the fingerprint and
+    the broadcast contamination join — same two exchanges as the
+    plain ``training_set`` plus zero-shuffle column math.
+    """
+    from last_minute_legends_spark.functions.text import (
+        count_matches, normalize_text,
+    )
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    low = F.lower(F.col("text"))
+    n_en = count_matches(low, STOPWORDS_EN)
+    n_de = count_matches(low, STOPWORDS_DE)
+    n_fr = count_matches(low, STOPWORDS_FR)
+    is_en = (n_en >= n_de) & (n_en >= n_fr) & (n_en > 0)
+    n_chars = F.length("text").cast("long")
+    n_tokens = count_matches(F.col("text"), r"\S+")
+    n_punct = count_matches(F.col("text"), r"[^A-Za-z0-9\s]")
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_en / F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+        * (F.lit(1.0) - punct_ratio)
+        * (F.lit(0.5) + F.lit(0.5) * stop_ratio)
+    )
+    fp = F.md5(normalize_text(F.col("text")))
+    keeper = F.min("doc_id").over(Window.partitionBy(fp))
+
+    rep = repetition_signals(docs).select("doc_id", "repetitive")
+    pii = pii_redact(docs).select("doc_id", "pii_free")
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 7 == 0)
+    cont = decontaminate(train, eval_set, n=8).select("doc_id", "contaminated")
+
+    base = docs.select(
+        "doc_id",
+        F.round(score, 4).alias("quality_score"),
+        is_en.alias("is_en"),
+        (keeper == F.col("doc_id")).alias("is_keeper"),
+    )
+    return (
+        base.join(rep, "doc_id").join(pii, "doc_id").join(cont, "doc_id")
+        .filter(
+            F.col("is_en") & F.col("is_keeper")
+            & (F.col("quality_score") >= 0.5)
+            & ~F.col("repetitive") & F.col("pii_free")
+            & ~F.col("contaminated")
+        )
+        .select("doc_id", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+CURATED_TRAINING_SET_SQL = rf"""
+WITH d AS (
+    SELECT doc_id, text,
+           CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_EN}')) AS BIGINT) AS n_en,
+           CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_DE}')) AS BIGINT) AS n_de,
+           CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_FR}')) AS BIGINT) AS n_fr,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+           min(doc_id) OVER (
+               PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+           ) AS keeper,
+           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w,
+           (len(regexp_extract_all(text, '{EMAIL_RE}'))
+            + len(regexp_extract_all(text, '{SSN_RE}'))
+            + len(regexp_extract_all(text, '{IPV4_RE}'))
+            + len(regexp_extract_all(text, '{PHONE_RE}'))) = 0 AS pii_free
+    FROM documents
+), r AS (
+    SELECT doc_id,
+           list_max(list_transform(list_distinct(w),
+                                   x -> len(list_filter(w, y -> y = x))))
+               / greatest(len(w), 1) AS top_frac,
+           CASE WHEN len(w) >= 2 THEN
+               (len(w) - 1
+                - len(list_distinct(list_transform(range(1, len(w)),
+                                                   i -> w[i] || ' ' || w[i+1]))))
+                   / greatest(len(w) - 1, 1)
+               ELSE 0 END AS dup2
+    FROM d
+), g AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 8
+                THEN list_distinct(list_transform(range(1, len(w) - 6),
+                                                  i -> array_to_string(w[i:i+7], ' ')))
+                ELSE CAST([] AS VARCHAR[]) END AS sh
+    FROM d
+), e AS (
+    SELECT doc_id, unnest(sh) AS s FROM g
+), cont AS (
+    SELECT DISTINCT tr.doc_id
+    FROM (SELECT * FROM e WHERE doc_id % 7 <> 0) tr
+    JOIN (SELECT * FROM e WHERE doc_id % 7 = 0) ev ON tr.s = ev.s
+)
+SELECT d.doc_id,
+       round(least(1.0, n_tokens / 50.0)
+             * (1.0 - n_punct / greatest(n_chars, 1))
+             * (0.5 + 0.5 * (n_en / greatest(n_tokens, 1))), 4) AS quality_score
+FROM d JOIN r USING (doc_id)
+WHERE n_en >= n_de AND n_en >= n_fr AND n_en > 0
+  AND keeper = doc_id
+  AND round(least(1.0, n_tokens / 50.0)
+            * (1.0 - n_punct / greatest(n_chars, 1))
+            * (0.5 + 0.5 * (n_en / greatest(n_tokens, 1))), 4) >= 0.5
+  AND NOT (r.top_frac > 0.20 OR r.dup2 > 0.40)
+  AND pii_free
+  AND d.doc_id % 7 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+ORDER BY d.doc_id
+"""
+
+
 SPARK = {
     "text_pii_redact": text_pii_redact,
     "text_repetition": text_repetition,
     "dedup_paragraph": dedup_paragraph,
     "decontaminate": decontaminate_train,
+    "curated_training_set": curated_training_set,
 }
 
 # Driver window is full — external gate sees these rows-only.
@@ -186,4 +316,5 @@ LOCAL_SQL = {
     "text_repetition": TEXT_REPETITION_SQL,
     "dedup_paragraph": DEDUP_PARAGRAPH_SQL,
     "decontaminate": DECONTAMINATE_SQL,
+    "curated_training_set": CURATED_TRAINING_SET_SQL,
 }
