@@ -129,3 +129,64 @@ def test_asof_join_single_user_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
         "as-of should be union+window, not a join"
     )
+
+
+def test_repetition_signals_no_exchange(spark, sf_dir):
+    """The Gopher repetition pass is pure per-row array math — a
+    shuffle anywhere in it would be a formulation bug (the 100 TB
+    claim is 'linear, no exchange')."""
+    from last_minute_legends_spark.plans.queries import QUERIES
+    from last_minute_legends_spark.operators.curation import repetition_signals
+    from last_minute_legends_spark.sources.tables import Catalog
+
+    # the registry entry adds an orderBy for oracle determinism, so
+    # assert on the operator itself
+    plan = _plan(repetition_signals(Catalog(spark, sf_dir).documents))
+    assert "Exchange" not in plan, "repetition signals must not shuffle"
+
+
+def test_pii_redact_no_exchange(spark, sf_dir):
+    from last_minute_legends_spark.operators.curation import pii_redact
+    from last_minute_legends_spark.sources.tables import Catalog
+
+    plan = _plan(pii_redact(Catalog(spark, sf_dir).documents))
+    assert "Exchange" not in plan, "pii redaction must not shuffle"
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The contamination check must be a broadcast join (eval sets
+    are bounded); a sort-merge join here would shuffle the full
+    train-corpus shingle stream at 100 TB."""
+    import pyspark.sql.functions as F
+
+    from last_minute_legends_spark.operators.curation import decontaminate
+    from last_minute_legends_spark.sources.tables import Catalog
+
+    docs = Catalog(spark, sf_dir).documents
+    df = decontaminate(docs.filter(F.col("doc_id") % 7 != 0),
+                       docs.filter(F.col("doc_id") % 7 == 0), n=8)
+    plan = _plan(df)
+    assert "BroadcastHashJoin [s#" in plan, "eval shingles must broadcast"
+    # the doc_id-keyed left join re-attaching flags to the corpus is
+    # an acceptable equi-shuffle; a sort-merge join on the SHINGLE
+    # key would mean the train shingle stream shuffled
+    assert "SortMergeJoin [s#" not in plan, (
+        "train shingles shuffled into the contamination join"
+    )
+
+
+def test_ivf_assignment_is_narrow(spark, sf_dir):
+    """Bucket assignment against a trained centroid model must be a
+    narrow map over the candidate scan — no join, no aggregation
+    (the property that lets assignment ride along any existing pass
+    at 100 TB)."""
+    from last_minute_legends_spark.operators.similarity import (
+        assign_buckets, train_centroids, with_unit_vectors,
+    )
+    from last_minute_legends_spark.sources.tables import Catalog
+
+    vecs = with_unit_vectors(Catalog(spark, sf_dir).embeddings)
+    cents = train_centroids(vecs, k=4, iters=1)
+    plan = _plan(assign_buckets(vecs, cents))
+    assert "Exchange" not in plan, "assignment must not shuffle"
+    assert "Join" not in plan, "assignment must not join"
