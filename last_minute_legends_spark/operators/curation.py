@@ -234,3 +234,43 @@ def decontaminate(train: DataFrame, eval_set: DataFrame, n: int = 8,
             (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def pack_shards(docs: DataFrame, budget_tokens: int = 256,
+                id_col: str = "doc_id", text_col: str = "text",
+                part_col: str = "source") -> DataFrame:
+    """Sequence packing for a training run: concatenate documents in
+    id order WITHIN each ``part_col`` partition and cut a shard
+    every ``budget_tokens`` tokens — each document is tagged with
+    the shard its first token lands in (the concat-and-chunk
+    assignment every pretraining tokenizer pipeline performs).
+
+    Returns ``(doc_id, part, n_tokens, start_pos, shard)`` where
+    ``start_pos`` is the document's token offset within its
+    partition's concatenation and ``shard = start_pos / budget``.
+
+    Plan: one window per (partition, id-order) — token counting is
+    narrow, and the running sum parallelizes by ``part_col`` (a
+    pretraining corpus has many sources, so no single window
+    partition is the whole corpus; for a single-source corpus, salt
+    the partition column upstream or use the two-phase prefix-sum in
+    sources/text_catalog.py).
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)).cast("long")
+    w = Window.partitionBy("part").orderBy(id_col)
+    d = docs.select(
+        F.col(id_col),
+        F.col(part_col).alias("part"),
+        n_tok.alias("n_tokens"),
+    ).withColumn(
+        "start_pos",
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    return d.withColumn(
+        "shard", F.floor(F.col("start_pos") / F.lit(budget_tokens)).cast("long")
+    )

@@ -228,3 +228,31 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
         .filter(F.col("rn") <= k)
         .select("q_id", "rn", F.col("id").alias("c_id"), F.round("cos", 4).alias("cosine"))
     )
+
+
+def quantize_int8(vecs: DataFrame) -> DataFrame:
+    """(id, q: array<int> in [-127,127], scale) — symmetric
+    per-vector int8 quantization: ``scale = max|x|/127``,
+    ``q = round(x/scale)``. The standard bandwidth/storage lever for
+    ANN candidate tables at 100 TB: 4x smaller than float32 (8x
+    smaller than the float64 compute form), with cosine error
+    bounded by the quantization step. All higher-order array
+    expressions — narrow, codegen, no shuffle. A zero vector
+    quantizes to all-zero with scale 0 (dequantizes back to zero).
+    """
+    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.when(F.col("scale") == 0.0,
+               F.transform(F.col("v"), lambda x: F.lit(0))).otherwise(
+        F.transform(F.col("v"),
+                    lambda x: F.round(x / F.col("scale")).cast("int")))
+    return (vecs.select("id", "v", scale.alias("scale"))
+            .select("id", "scale", q.alias("q")))
+
+
+def dequantize(qvecs: DataFrame) -> DataFrame:
+    """(id, v, nrm) — int8 → float reconstruction, same shape
+    with_unit_vectors produces so every ANN operator runs unchanged
+    on quantized inputs."""
+    v = F.transform(F.col("q"), lambda x: x * F.col("scale"))
+    return qvecs.select("id", v.alias("v")).withColumn("nrm", norm(F.col("v")))

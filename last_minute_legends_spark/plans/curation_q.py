@@ -29,6 +29,7 @@ from last_minute_legends_spark.operators.curation import (
     PHONE_RE,
     SSN_RE,
     decontaminate,
+    pack_shards,
     paragraph_dedup,
     pii_redact,
     repetition_signals,
@@ -298,12 +299,38 @@ ORDER BY d.doc_id
 """
 
 
+def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return pack_shards(docs, budget_tokens=256).orderBy("doc_id")
+
+
+PACK_SHARDS_SQL = r"""
+WITH t AS (
+    SELECT doc_id, source AS part,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+    FROM documents
+), s AS (
+    SELECT doc_id, part, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY part ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_pos
+    FROM t
+)
+SELECT doc_id, part, n_tokens, start_pos,
+       CAST(floor(start_pos / 256) AS BIGINT) AS shard
+FROM s
+ORDER BY doc_id
+"""
+
+
 SPARK = {
     "text_pii_redact": text_pii_redact,
     "text_repetition": text_repetition,
     "dedup_paragraph": dedup_paragraph,
     "decontaminate": decontaminate_train,
     "curated_training_set": curated_training_set,
+    "pack_shards": pack_training_shards,
 }
 
 # Driver window is full — external gate sees these rows-only.
@@ -317,4 +344,5 @@ LOCAL_SQL = {
     "dedup_paragraph": DEDUP_PARAGRAPH_SQL,
     "decontaminate": DECONTAMINATE_SQL,
     "curated_training_set": CURATED_TRAINING_SET_SQL,
+    "pack_shards": PACK_SHARDS_SQL,
 }

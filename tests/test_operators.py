@@ -559,3 +559,62 @@ def test_decontaminate_planted(spark):
     assert out[1].contaminated and out[1].n_shared_ngrams == 1
     assert out[1].n_eval_docs == 1
     assert not out[2].contaminated and out[2].n_shared_ngrams == 0
+
+
+def test_quantize_int8_roundtrip_and_recall(spark, sf_dir):
+    """int8 quantization: values stay in [-127,127], dequantized
+    error per component <= scale/2, and quantized brute-force top-10
+    overlaps the float baseline >= 0.9 (the 4x-bandwidth claim can't
+    cost real recall)."""
+    import pyspark.sql.functions as F
+
+    from last_minute_legends_spark.operators.similarity import (
+        brute_topk, dequantize, quantize_int8, with_unit_vectors,
+    )
+    from last_minute_legends_spark.sources.tables import Catalog
+
+    vecs = with_unit_vectors(Catalog(spark, sf_dir).embeddings)
+    q = quantize_int8(vecs)
+    bounds = q.select(
+        F.max(F.array_max("q")).alias("hi"), F.min(F.array_min("q")).alias("lo")
+    ).first()
+    assert bounds.hi <= 127 and bounds.lo >= -127
+
+    joined = vecs.join(q, "id").select(
+        F.array_max(
+            F.zip_with("v", "q", lambda x, qq: F.abs(x - qq * F.col("scale")))
+        ).alias("err"),
+        "scale",
+    )
+    bad = joined.filter(F.col("err") > F.col("scale") * 0.5 + 1e-12).count()
+    assert bad == 0, "dequantization error exceeded half a quantization step"
+
+    queries = vecs.filter(F.col("id") < 5)
+    cands = vecs.filter(F.col("id") >= 5)
+    exact = {(r.q_id, r.c_id) for r in brute_topk(queries, cands, k=10).collect()}
+    quant = {(r.q_id, r.c_id)
+             for r in brute_topk(queries, dequantize(quantize_int8(cands)), k=10).collect()}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"quantized recall {recall}"
+
+
+def test_pack_shards_planted(spark):
+    from last_minute_legends_spark.operators.curation import pack_shards
+
+    rows = [
+        # source a: 3 docs of 4 tokens each, budget 6 -> concat
+        # positions 0,4,8 -> shards 0,0,1
+        (1, "w w w w", "a"),
+        (2, "w w w w", "a"),
+        (3, "w w w w", "a"),
+        # source b packs independently from position 0
+        (10, "w w", "b"),
+        (11, "w w w w w w w", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in pack_shards(docs, budget_tokens=6).collect()}
+    assert [out[i].start_pos for i in (1, 2, 3)] == [0, 4, 8]
+    assert [out[i].shard for i in (1, 2, 3)] == [0, 0, 1]
+    assert out[10].start_pos == 0 and out[10].shard == 0
+    assert out[11].start_pos == 2 and out[11].shard == 0
+    assert out[11].n_tokens == 7
