@@ -119,7 +119,7 @@ def main() -> None:
     # kept OUT of the headline total so batch regressions stay visible)
     streaming: dict[str, float] = {}
     for name in ("stream_pipeline", "stream_enrich", "stream_sessionize",
-                 "stream_dedup"):
+                 "stream_dedup", "stream_curate"):
         try:
             t0 = time.perf_counter()
             n = QUERIES[name](spark, SF_DIR).count()

@@ -204,6 +204,12 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_dedup_pipeline(spark, sf_dir)
 
 
+def stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from last_minute_legends_spark.streaming.curate import run_curation_stream
+
+    return run_curation_stream(spark, sf_dir)
+
+
 SPARK = {
     "stream_json_parse": stream_json_parse,
     "events_typed_parse": events_typed_parse,
@@ -213,6 +219,7 @@ SPARK = {
     "stream_sessionize": stream_sessionize,
     "stream_enrich": stream_enrich,
     "stream_dedup": stream_dedup,
+    "stream_curate": stream_curate,
 }
 
 SQL = {
@@ -224,4 +231,5 @@ SQL = {
     "stream_sessionize": None,
     "stream_enrich": None,   # streaming run: rows-only + parity test
     "stream_dedup": None,    # streaming run: exactly-once parity test
+    "stream_curate": None,   # streaming run: batch-parity test
 }

@@ -436,3 +436,33 @@ def test_python_state_sessionize_matches_native(spark, sf_dir):
     assert native == python, (
         f"native vs python-state mismatch: {len(native)} vs {len(python)}"
     )
+
+
+def test_stream_curate_matches_batch(spark, sf_dir):
+    """In-flight curation must keep exactly the documents the same
+    stateless gates keep in batch (language ∧ quality ∧ not
+    repetitive ∧ PII-free ∧ not contaminated ∧ not eval)."""
+    import pyspark.sql.functions as F
+
+    from last_minute_legends_spark.functions.text import word_shingles
+    from last_minute_legends_spark.plans.stream_q import stream_curate
+    from last_minute_legends_spark.sources.tables import load_table
+    from last_minute_legends_spark.streaming.curate import curation_gate
+
+    streamed = {(r.doc_id, r.quality_score)
+                for r in stream_curate(spark, sf_dir).collect()}
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_shingles = sorted(
+        r.s for r in docs.filter(F.col("doc_id") % 7 == 0)
+        .select(F.explode(word_shingles(F.col("text"), 8)).alias("s"))
+        .distinct().collect()
+    )
+    keep, score = curation_gate(eval_shingles, 8)
+    batch = {(r.doc_id, r.quality_score)
+             for r in docs.filter(F.col("doc_id") % 7 != 0).filter(keep)
+             .select("doc_id", score.alias("quality_score")).collect()}
+    assert streamed == batch, (
+        f"stream kept {len(streamed)} docs, batch kept {len(batch)}"
+    )
+    assert len(streamed) > 0, "curation stream kept nothing — gates broken"
