@@ -204,6 +204,16 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_dedup_pipeline(spark, sf_dir)
 
 
+def simulate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed stand-in for the reference's
+    driver-loop Kafka simulator (UserActivitySimulator.py) — pure
+    hash-derived generation over spark.range, no RNG state, no
+    shuffle. sf_dir is unused (the generator IS the source)."""
+    from last_minute_legends_spark.sources.simulator import simulate_user_activity
+
+    return simulate_user_activity(spark, n_events=10_000)
+
+
 def stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from last_minute_legends_spark.streaming.curate import run_curation_stream
 
@@ -220,6 +230,7 @@ SPARK = {
     "stream_enrich": stream_enrich,
     "stream_dedup": stream_dedup,
     "stream_curate": stream_curate,
+    "simulate_events": simulate_events,
 }
 
 SQL = {
@@ -232,4 +243,5 @@ SQL = {
     "stream_enrich": None,   # streaming run: rows-only + parity test
     "stream_dedup": None,    # streaming run: exactly-once parity test
     "stream_curate": None,   # streaming run: batch-parity test
+    "simulate_events": None,  # generator: determinism/integrity tests
 }

@@ -466,3 +466,74 @@ def test_stream_curate_matches_batch(spark, sf_dir):
         f"stream kept {len(streamed)} docs, batch kept {len(batch)}"
     )
     assert len(streamed) > 0, "curation stream kept nothing — gates broken"
+
+
+def test_simulator_deterministic_and_typed(spark):
+    """The distributed load generator must be a pure function of the
+    row id: identical output across runs AND partitionings, schema
+    identical to the typed union view, per-type field sets matching
+    USER_EVENT_SCHEMAS exactly."""
+    from last_minute_legends_spark.sources.simulator import (
+        simulate_user_activity,
+    )
+    from last_minute_legends_spark.sources.streams import (
+        TYPED_UNION_SCHEMA, USER_EVENT_SCHEMAS,
+    )
+
+    sim = simulate_user_activity(spark, n_events=1200)
+    # names+types must match the union view exactly; nullability may
+    # be tighter (timestamp/event_name are provably non-null here)
+    assert [(f.name, f.dataType) for f in sim.schema.fields] == [
+        (f.name, f.dataType) for f in TYPED_UNION_SCHEMA.fields
+    ]
+
+    a = sorted(map(tuple, sim.collect()))
+    b = sorted(map(tuple, simulate_user_activity(
+        spark, n_events=1200).repartition(7).collect()))
+    assert a == b, "generator is not deterministic / partition-invariant"
+
+    rows = simulate_user_activity(spark, n_events=1200).collect()
+    assert {r.event_name for r in rows} == set(USER_EVENT_SCHEMAS)
+    common = {"timestamp", "event_name", "user_id"}
+    for r in rows:
+        want = {f.name for f in USER_EVENT_SCHEMAS[r.event_name].fields}
+        got = {f for f in r.asDict() if r[f] is not None}
+        assert common <= got, f"{r.event_name} missing a common field"
+        assert got <= want, (
+            f"{r.event_name} carries fields outside its schema: {got - want}"
+        )
+
+
+def test_simulator_referential_soundness(spark):
+    """Action events may only reference users the simulation has
+    already registered (the reference's pick-an-existing-user
+    semantics), and minted registration ids never collide."""
+    from last_minute_legends_spark.sources.simulator import (
+        simulate_user_activity,
+    )
+
+    rows = simulate_user_activity(spark, n_events=3000).collect()
+    rows.sort(key=lambda r: int(r.timestamp))
+    registered = set()
+    for r in rows:
+        if r.event_name == "consumer_registration":
+            assert r.user_id not in registered, "minted uid collision"
+            registered.add(r.user_id)
+        else:
+            assert r.user_id in registered, (
+                f"{r.event_name} references unregistered user {r.user_id}"
+            )
+
+
+def test_simulator_wire_roundtrip(spark):
+    """Simulator → per-topic wire JSON → the existing single-scan
+    typed parse must reproduce the simulated union view exactly."""
+    from last_minute_legends_spark.sources.simulator import (
+        simulate_user_activity, simulated_as_typed_json,
+    )
+    from last_minute_legends_spark.sources.streams import parse_typed_events
+
+    sim = simulate_user_activity(spark, n_events=800)
+    back = parse_typed_events(simulated_as_typed_json(sim))
+    diff = sim.exceptAll(back).count() + back.exceptAll(sim).count()
+    assert diff == 0, f"{diff} rows changed in simulator wire round-trip"
