@@ -77,6 +77,16 @@ HEADLINE = [
     "events_typed_parse",
     "events_avro_roundtrip",
     "sql_surface",
+    # round-6 corpus-curation + packing + quantized-ANN entries
+    "text_pii_redact",
+    "text_repetition",
+    "dedup_paragraph",
+    "decontaminate",
+    "curated_training_set",
+    "pack_shards",
+    "ann_quantized_topk",
+    "multimodal_resize",
+    "simulate_events",
 ]
 
 

@@ -324,6 +324,130 @@ ORDER BY doc_id
 """
 
 
+def mixture_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain-mixture rebalancing. The synthetic corpus has
+    perfectly balanced sources (uniform weights would degenerate to
+    keep-all), so the registry entry derives a non-uniform target
+    from the source name itself — weight 1 + (ascii of last char mod
+    3) ∈ {1,2,3} — which the SQL oracle reproduces exactly. Explicit
+    weight dicts (incl. 0-weight drops) are unit-tested in
+    tests/test_operators.py."""
+    from last_minute_legends_spark.operators.sampling import mixture_sample
+
+    docs = Catalog(spark, sf_dir).documents
+    w = F.lit(1.0) + F.pmod(F.ascii(F.col("source").substr(F.length("source"), F.lit(1))), F.lit(3))
+    return mixture_sample(docs, weights=w).orderBy("doc_id")
+
+
+MIXTURE_SAMPLE_SQL = r"""
+WITH c AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           1.0 + (ascii(substring(source, length(source), 1)) % 3) AS w
+    FROM documents GROUP BY source
+), m AS (
+    SELECT min(n / w) AS t FROM c
+), r AS (
+    SELECT source, least(w * t / n, 1.0) AS rate FROM c, m
+)
+SELECT d.doc_id, d.source, round(rate, 6) AS rate
+FROM documents d JOIN r USING (source)
+WHERE rate >= 1.0
+   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      < lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))), 8, '0')
+ORDER BY doc_id
+"""
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: the summary a data curator publishes
+    with a corpus release. One groupBy pass — every agg (count, sum,
+    countDistinct, avg, exact percentile) partial-aggregates
+    map-side, so the corpus shuffles k source-groups, not rows."""
+    docs = Catalog(spark, sf_dir).documents
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).cast("long")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(n_tokens).cast("long").alias("total_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.round(F.avg(n_tokens), 2).alias("avg_tokens"),
+            F.round(F.percentile("n_chars", 0.5), 2).alias("p50_chars"),
+            F.round(F.percentile("n_chars", 0.9), 2).alias("p90_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_STATS_SQL = r"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(avg(len(regexp_extract_all(text, '\S+'))), 2) AS avg_tokens,
+       round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 2) AS p90_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram-LM scoring (the KenLM-shaped quality
+    signal, reduced to order 1 so it is exactly SQL-checkable):
+    token frequencies over the whole corpus, then each document
+    scored by its mean negative log-likelihood and perplexity.
+
+    Plan: one explode -> vocab agg (map-side combinable; Heaps' law
+    keeps the vocab sublinear in corpus size, so it broadcasts even
+    when the corpus is 100 TB) -> broadcast-join scoring pass ->
+    per-doc agg. The corpus shuffles once, on doc_id, for the final
+    agg; with documents already hash-partitioned by doc_id even that
+    exchange disappears.
+    """
+    from last_minute_legends_spark.functions.text import words
+
+    docs = Catalog(spark, sf_dir).documents
+    tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    total = freq.agg(F.sum("c").alias("tot"))
+    neg_ll = F.avg(-F.log(F.col("c") / F.col("tot")))
+    return (
+        tok.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(neg_ll, 4).alias("avg_neg_logprob"),
+            F.round(F.exp(F.round(neg_ll, 4)), 2).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_UNIGRAM_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+    FROM documents
+), f AS (
+    SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY tok
+), tot AS (
+    SELECT sum(c) AS tot FROM f
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(c / tot)), 4) AS avg_neg_logprob,
+       round(exp(round(avg(-ln(c / tot)), 4)), 2) AS ppl
+FROM t JOIN f USING (tok), tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 SPARK = {
     "text_pii_redact": text_pii_redact,
     "text_repetition": text_repetition,
@@ -331,6 +455,9 @@ SPARK = {
     "decontaminate": decontaminate_train,
     "curated_training_set": curated_training_set,
     "pack_shards": pack_training_shards,
+    "mixture_sample": mixture_sample_weighted,
+    "corpus_stats": corpus_stats,
+    "text_unigram_logprob": text_unigram_logprob,
 }
 
 # Driver window is full — external gate sees these rows-only.
@@ -345,4 +472,7 @@ LOCAL_SQL = {
     "decontaminate": DECONTAMINATE_SQL,
     "curated_training_set": CURATED_TRAINING_SET_SQL,
     "pack_shards": PACK_SHARDS_SQL,
+    "mixture_sample": MIXTURE_SAMPLE_SQL,
+    "corpus_stats": CORPUS_STATS_SQL,
+    "text_unigram_logprob": TEXT_UNIGRAM_SQL,
 }

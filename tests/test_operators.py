@@ -618,3 +618,37 @@ def test_pack_shards_planted(spark):
     assert out[10].start_pos == 0 and out[10].shard == 0
     assert out[11].start_pos == 2 and out[11].shard == 0
     assert out[11].n_tokens == 7
+
+
+def test_mixture_sample_weighted(spark):
+    from last_minute_legends_spark.operators.sampling import mixture_sample
+
+    # 300 docs in a, 300 in b, 50 in c
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 300 else ("b" if i < 600 else "c")) for i in range(650)],
+        "doc_id long, source string",
+    )
+    out = mixture_sample(docs, weights={"a": 2.0, "b": 1.0, "c": 0.0})
+    kept = out.groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in kept}
+    # c has weight 0 -> dropped entirely
+    assert "c" not in by_src
+    # t = min(300/2, 300/1) = 150: a (the scarcest weighted source)
+    # keeps all 300 at rate 1.0; b downsamples to ~150 at rate 0.5
+    rates = {r.source: r.rate for r in out.select("source", "rate").distinct().collect()}
+    assert rates["a"] == 1.0 and by_src["a"] == 300
+    assert rates["b"] == 0.5
+    assert abs(by_src["b"] - 150) <= 25, f"b kept {by_src['b']}, want ~150"
+
+    out2 = mixture_sample(docs, weights={"a": 1.0, "b": 4.0})
+    # t = min(300/1, 300/4) = 75 -> a keeps ~75 (rate .25), b all 300
+    by2 = {r.source: r["count"] for r in out2.groupBy("source").count().collect()}
+    assert by2["b"] == 300
+    assert abs(by2["a"] - 75) <= 20, f"a kept {by2['a']}, want ~75"
+
+    # determinism across partitionings
+    a = sorted(r.doc_id for r in out2.collect())
+    b = sorted(r.doc_id for r in
+               mixture_sample(docs.repartition(13),
+                              weights={"a": 1.0, "b": 4.0}).collect())
+    assert a == b
