@@ -183,13 +183,16 @@ def curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
       ∧ not repetitive ∧ PII-free ∧ not contaminated ∧ not eval
 
     All per-document signals (quality, language, repetition, PII)
-    are computed in ONE narrow pass over the scan; the only
-    shuffles are the keeper-election window on the fingerprint and
-    the broadcast contamination join — same two exchanges as the
-    plain ``training_set`` plus zero-shuffle column math.
+    are computed in ONE narrow projection over a single scan — no
+    self-joins of per-signal frames. The keeper-election window then
+    shuffles only (doc_id, fp, two booleans, a double), never the
+    text, and the only other exchange is the contamination join.
     """
     from last_minute_legends_spark.functions.text import (
-        count_matches, normalize_text,
+        count_matches, normalize_text, words,
+    )
+    from last_minute_legends_spark.operators.curation import (
+        pii_free_col, repetition_fracs,
     )
     from pyspark.sql import Window
 
@@ -209,23 +212,25 @@ def curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1.0) - punct_ratio)
         * (F.lit(0.5) + F.lit(0.5) * stop_ratio)
     )
-    fp = F.md5(normalize_text(F.col("text")))
-    keeper = F.min("doc_id").over(Window.partitionBy(fp))
+    top_frac, dup2 = repetition_fracs(F.col("_w"))
+    sig = docs.select(
+        "doc_id", "text", words(F.col("text")).alias("_w")
+    ).select(
+        "doc_id",
+        F.md5(normalize_text(F.col("text"))).alias("fp"),
+        F.round(score, 4).alias("quality_score"),
+        is_en.alias("is_en"),
+        ((top_frac > 0.20) | (dup2 > 0.40)).alias("repetitive"),
+        pii_free_col(F.col("text")).alias("pii_free"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
 
-    rep = repetition_signals(docs).select("doc_id", "repetitive")
-    pii = pii_redact(docs).select("doc_id", "pii_free")
     train = docs.filter(F.col("doc_id") % 7 != 0)
     eval_set = docs.filter(F.col("doc_id") % 7 == 0)
     cont = decontaminate(train, eval_set, n=8).select("doc_id", "contaminated")
-
-    base = docs.select(
-        "doc_id",
-        F.round(score, 4).alias("quality_score"),
-        is_en.alias("is_en"),
-        (keeper == F.col("doc_id")).alias("is_keeper"),
-    )
     return (
-        base.join(rep, "doc_id").join(pii, "doc_id").join(cont, "doc_id")
+        sig.withColumn("is_keeper", keeper == F.col("doc_id"))
+        .join(cont, "doc_id")
         .filter(
             F.col("is_en") & F.col("is_keeper")
             & (F.col("quality_score") >= 0.5)

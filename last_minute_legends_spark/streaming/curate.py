@@ -27,6 +27,7 @@ import atexit
 import shutil
 import tempfile
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,17 +39,18 @@ from last_minute_legends_spark.functions.text import (
     word_shingles,
 )
 from last_minute_legends_spark.operators.curation import (
-    EMAIL_RE,
-    IPV4_RE,
-    PHONE_RE,
-    SSN_RE,
-    _ngrams,
+    pii_free_col,
+    repetition_fracs,
 )
 from last_minute_legends_spark.functions.text import words
 from last_minute_legends_spark.sources.tables import load_table
 
 DOC_WIRE_SCHEMA = ("doc_id long, text string, lang string, source string, "
                    "n_chars long")
+
+# Above this, the decontamination set rides a broadcast variable +
+# Arrow UDF instead of a plan literal (see curation_gate).
+_LITERAL_SHINGLE_MAX = 512
 
 RESULT_SCHEMA = "doc_id long, quality_score double"
 
@@ -91,30 +93,32 @@ def curation_gate(eval_shingles: list[str], ngram_n: int = 8):
         * (F.lit(0.5) + F.lit(0.5) * stop_ratio)
     )
 
-    w = words(F.col("text"))
-    wn = F.size(w)
-    top_cnt = F.array_max(
-        F.transform(F.array_distinct(w),
-                    lambda x: F.size(F.filter(w, lambda y: y == x)))
-    )
-    g2, d2 = F.size(_ngrams(w, 2)), F.size(F.array_distinct(_ngrams(w, 2)))
-    repetitive = (
-        (top_cnt / F.greatest(wn, F.lit(1)) > 0.20)
-        | ((g2 - d2) / F.greatest(g2, F.lit(1)) > 0.40)
-    )
-
-    pii = sum(
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(p), 0))
-        for p in (EMAIL_RE, SSN_RE, IPV4_RE, PHONE_RE)
-    )
-    if eval_shingles:
+    top_frac, dup2 = repetition_fracs(words(F.col("text")))
+    repetitive = (top_frac > 0.20) | (dup2 > 0.40)
+    if not eval_shingles:
+        contaminated = F.lit(False)
+    elif len(eval_shingles) <= _LITERAL_SHINGLE_MAX:
         contaminated = F.arrays_overlap(
             word_shingles(F.col("text"), ngram_n), F.lit(eval_shingles)
         )
     else:
-        contaminated = F.lit(False)
+        # Large eval suite: a literal array would (a) re-compile a
+        # huge constant into every micro-batch's plan and (b) make
+        # arrays_overlap probe the BIG set per row (it hashes the
+        # smaller side). A broadcast frozenset behind an
+        # Arrow-batched UDF probes O(|doc shingles|) per row instead
+        # — the "register as a broadcast variable" scale path.
+        spark = SparkSession.getActiveSession()
+        bc = spark.sparkContext.broadcast(frozenset(eval_shingles))
+
+        @F.pandas_udf("boolean")
+        def _contam(sh: pd.Series) -> pd.Series:
+            ev = bc.value
+            return sh.map(lambda arr: any(x in ev for x in arr))
+
+        contaminated = _contam(word_shingles(F.col("text"), ngram_n))
     keep = (is_en & (F.round(score, 4) >= 0.5) & ~repetitive
-            & (pii == 0) & ~contaminated)
+            & pii_free_col(F.col("text")) & ~contaminated)
     return keep, F.round(score, 4)
 
 
@@ -130,7 +134,12 @@ def run_curation_stream(spark: SparkSession, sf_dir: str,
     staging = tempfile.mkdtemp(prefix="llm_spark_curate_")
     atexit.register(shutil.rmtree, staging, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents")
-    docs_as_json(docs).write.mode("overwrite").text(f"{staging}/in")
+    # stage as 32 files, 8 per trigger: 4 micro-batches (incremental
+    # arrival is really exercised) and each batch's gate runs 8-way
+    # parallel (one task per file — a micro-batch's partition count
+    # IS its file count, so file granularity is the streaming
+    # equivalent of the batch side's CPU-spread scan)
+    docs_as_json(docs).repartition(32).write.mode("overwrite").text(f"{staging}/in")
 
     # eval-set shingle vocabulary = bounded model-side data
     eval_shingles = sorted(
@@ -142,7 +151,7 @@ def run_curation_stream(spark: SparkSession, sf_dir: str,
     )
 
     stream = parse_doc_json(
-        spark.readStream.option("maxFilesPerTrigger", "1").text(f"{staging}/in")
+        spark.readStream.option("maxFilesPerTrigger", "8").text(f"{staging}/in")
     ).filter(F.col("doc_id") % 7 != 0)   # eval docs never enter training
     keep, score = curation_gate(eval_shingles, ngram_n)
     kept = stream.filter(keep).select("doc_id", score.alias("quality_score"))
