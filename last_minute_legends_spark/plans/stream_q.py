@@ -220,6 +220,35 @@ def stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation_stream(spark, sf_dir)
 
 
+def simulate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live load-generation pipeline: rate-micro-batch source →
+    closed-form event generator → per-topic wire JSON → single-scan
+    typed parse, run as a real stream and bounded to the first 2000
+    events (the batch generator reproduces them exactly —
+    parity-tested in tests/test_streaming.py). sf_dir unused."""
+    import time as _time
+
+    from last_minute_legends_spark.sources.simulator import (
+        simulate_user_activity_stream, simulated_as_typed_json,
+    )
+    from last_minute_legends_spark.sources.streams import parse_typed_events
+
+    sim = simulate_user_activity_stream(spark, rows_per_batch=1000)
+    parsed = parse_typed_events(simulated_as_typed_json(sim))
+    q = (parsed.writeStream.format("memory").queryName("simulated_events")
+         .outputMode("append").start())
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table("simulated_events").count() >= 2000:
+                break
+            _time.sleep(0.25)
+    finally:
+        q.stop()
+    return (spark.table("simulated_events")
+            .orderBy(F.col("timestamp").cast("long")).limit(2000))
+
+
 SPARK = {
     "stream_json_parse": stream_json_parse,
     "events_typed_parse": events_typed_parse,
@@ -231,6 +260,7 @@ SPARK = {
     "stream_dedup": stream_dedup,
     "stream_curate": stream_curate,
     "simulate_events": simulate_events,
+    "simulate_stream": simulate_stream,
 }
 
 SQL = {
@@ -244,4 +274,5 @@ SQL = {
     "stream_dedup": None,    # streaming run: exactly-once parity test
     "stream_curate": None,   # streaming run: batch-parity test
     "simulate_events": None,  # generator: determinism/integrity tests
+    "simulate_stream": None,  # streaming run: batch-parity test
 }

@@ -49,12 +49,13 @@ ACTION_TYPES = ("sign_in", "sign_out", "item_view", "added_to_cart",
                 "checkout_to_cart")
 
 
-def simulate_user_activity(spark: SparkSession, n_events: int = 10_000,
-                           start_us: int = 1_700_000_000_000_000,
-                           step_us: int = 1_000_000, seed: int = 0,
-                           n_items: int = 200) -> DataFrame:
-    """(union-view typed event frame) — ``n_events`` deterministic
-    user-activity events, one per ``step_us`` of simulated time."""
+def simulated_event_columns(start_us: int = 1_700_000_000_000_000,
+                            step_us: int = 1_000_000, seed: int = 0,
+                            n_items: int = 200) -> list:
+    """The generator itself: TYPED_UNION_SCHEMA-ordered column
+    expressions, each a pure hash/arithmetic function of an ``id``
+    column. Works over any monotonically-ids'd frame — batch
+    ``spark.range`` and the streaming rate source alike."""
     def h(k: int):
         return F.xxhash64(F.col("id"), F.lit(seed), F.lit(k))
 
@@ -99,11 +100,44 @@ def simulate_user_activity(spark: SparkSession, n_events: int = 10_000,
         "payment_method": F.when(ev == "checkout_to_cart",
                                  pick(("card", "paypal", "apple_pay"), 8)),
     }
-    return spark.range(n_events).select(*[
+    return [
         (cols[f.name] if f.name in cols else F.lit(None))
         .cast(f.dataType).alias(f.name)
         for f in TYPED_UNION_SCHEMA.fields
-    ])
+    ]
+
+
+def simulate_user_activity(spark: SparkSession, n_events: int = 10_000,
+                           start_us: int = 1_700_000_000_000_000,
+                           step_us: int = 1_000_000, seed: int = 0,
+                           n_items: int = 200) -> DataFrame:
+    """(union-view typed event frame) — ``n_events`` deterministic
+    user-activity events, one per ``step_us`` of simulated time."""
+    return spark.range(n_events).select(
+        *simulated_event_columns(start_us, step_us, seed, n_items))
+
+
+def simulate_user_activity_stream(spark: SparkSession,
+                                  rows_per_batch: int = 1000,
+                                  seed: int = 0) -> DataFrame:
+    """Unbounded streaming twin of ``simulate_user_activity``: the
+    rate-micro-batch source supplies monotonically increasing ids
+    (``value``), and every event field is the same pure function of
+    the id — so the stream is a live load generator whose content is
+    REPRODUCIBLE: batch ``simulate_user_activity(n)`` equals the
+    first ``n`` streamed events exactly (parity-tested). Feed
+    ``simulated_as_typed_json`` + ``parse_typed_events`` (or the
+    gated Kafka sink) downstream, mirroring the reference's
+    simulator -> topic -> consumer loop as ONE streaming plan.
+    """
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", max(1, rows_per_batch // 250))
+        .load()
+    )
+    return raw.select(F.col("value").alias("id")).select(
+        *simulated_event_columns(seed=seed))
 
 
 def simulated_as_typed_json(sim: DataFrame) -> DataFrame:

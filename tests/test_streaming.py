@@ -537,3 +537,33 @@ def test_simulator_wire_roundtrip(spark):
     back = parse_typed_events(simulated_as_typed_json(sim))
     diff = sim.exceptAll(back).count() + back.exceptAll(sim).count()
     assert diff == 0, f"{diff} rows changed in simulator wire round-trip"
+
+
+def test_simulator_stream_matches_batch(spark):
+    """The rate-source streaming generator must produce EXACTLY the
+    batch generator's events: same pure function of the id, so the
+    first N streamed rows == simulate_user_activity(N)."""
+    import time as _time
+
+    from last_minute_legends_spark.sources.simulator import (
+        simulate_user_activity, simulate_user_activity_stream,
+    )
+
+    sim = simulate_user_activity_stream(spark, rows_per_batch=500)
+    q = (sim.writeStream.format("memory").queryName("sim_stream")
+         .outputMode("append").start())
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if spark.table("sim_stream").count() >= 1000:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    streamed = spark.table("sim_stream")
+    n = streamed.count()
+    assert n >= 1000, f"stream produced only {n} rows in 60s"
+    want = {tuple(r) for r in simulate_user_activity(spark, n_events=1000).collect()}
+    got = {tuple(r) for r in
+           streamed.orderBy(F.col("timestamp").cast("long")).limit(1000).collect()}
+    assert got == want, "streamed events diverge from the batch generator"
