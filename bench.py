@@ -87,6 +87,9 @@ HEADLINE = [
     "ann_quantized_topk",
     "multimodal_resize",
     "simulate_events",
+    "mixture_sample",
+    "corpus_stats",
+    "text_unigram_logprob",
 ]
 
 

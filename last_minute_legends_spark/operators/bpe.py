@@ -1,0 +1,158 @@
+"""Distributed BPE tokenizer training (Sennrich et al., ACL 2016).
+
+The piece of a pretraining pipeline that sits after curation: learn
+the merge table for a byte-pair-encoding tokenizer FROM the corpus,
+then tokenize the corpus with it.
+
+The key scale property: after the first pass, BPE training never
+touches the corpus again — it iterates on the WORD-FREQUENCY table
+(vocab-sized; Heaps' law keeps it sublinear in corpus size, a few
+GB at 100 TB), so each merge round is an agg over a small frame:
+
+  corpus --(one explode + groupBy)--> (word, freq, symbols)
+  repeat n_merges times:
+      adjacent-pair counts weighted by freq  (map-side combinable)
+      top pair -> driver (ONE row: a model parameter, not data)
+      merge the pair inside every word's symbol array (narrow HOF)
+
+The driver-side part is strictly the argmax pair per round — the
+same "literalize trained parameters" pattern as the IVF centroids
+(operators/similarity.py). Lineage is truncated with
+localCheckpoint every few rounds so round k does not re-evaluate
+rounds 1..k-1 (the Lloyd-loop lesson).
+
+Encoding reuses the same trick in the other direction: the learned
+merges are applied once per DISTINCT word (vocab-sized frame), and
+documents get their token arrays back through a broadcast join —
+the corpus is scanned once, tokenized via hash lookup, never
+re-folded per merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from last_minute_legends_spark.functions.text import words
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """array<struct<l,r>> of adjacent symbol pairs (with
+    multiplicity — pair counting needs it)."""
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("l"),
+                F.element_at(syms, (i + 1).cast("int")).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+
+def _merge_pair(syms: Column, left: str, right: str) -> Column:
+    """One greedy left-to-right merge pass: every adjacent (left,
+    right) becomes the single symbol left+right — the standard BPE
+    apply step. Linear fold; word arrays are short, so the per-step
+    array rebuild is immaterial."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left) & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, syms) — the corpus' word-frequency table with
+    each word exploded into its initial character symbols. The ONLY
+    corpus-wide pass in BPE training."""
+    return (
+        docs.select(F.explode(words(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word").agg(F.count("*").cast("long").alias("freq"))
+        .select("word", "freq", F.split("word", "").alias("syms"))
+    )
+
+
+def train_bpe(docs: DataFrame, n_merges: int = 30, min_count: int = 2,
+              text_col: str = "text",
+              checkpoint_every: int = 8) -> list[dict]:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Returns the ordered merge table as a list of dicts
+    ``{rank, left, right, merged, count}`` — model parameters, like
+    trained centroids. Ties break on (count desc, pair asc) so the
+    result is deterministic. Stops early when no pair reaches
+    ``min_count``.
+    """
+    wf = word_frequencies(docs, text_col).localCheckpoint()
+    # size the iteration frame to the vocab, not the cluster: each
+    # round is a full job over this frame, and 32 near-empty tasks
+    # per round is pure scheduler overhead (measured 2x). At 100 TB
+    # the vocab is ~10^7 rows and this saturates the cores again.
+    n_vocab = wf.count()
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    wf = wf.repartition(max(1, min(parallelism, n_vocab // 4096 + 1)))
+    merges: list[dict] = []
+    for rank in range(n_merges):
+        top = (
+            wf.select("freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy("p").agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("p.l"), F.asc("p.r"))
+            .limit(1).collect()
+        )
+        if not top or top[0].cnt < min_count:
+            break
+        left, right, cnt = top[0].p.l, top[0].p.r, top[0].cnt
+        merges.append({"rank": rank, "left": left, "right": right,
+                       "merged": left + right, "count": int(cnt)})
+        wf = wf.withColumn("syms", _merge_pair(F.col("syms"), left, right))
+        if (rank + 1) % checkpoint_every == 0:
+            # truncate the per-round HOF chain so round k doesn't
+            # re-evaluate rounds 1..k-1 on every action
+            wf = wf.localCheckpoint()
+    return merges
+
+
+def bpe_encode(docs: DataFrame, merges: list[dict],
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, tokens, n_tokens) — tokenize with a learned merge table.
+
+    The merge fold runs once per DISTINCT word (vocab-sized frame);
+    documents join their words' token arrays back by hash — the
+    corpus itself is never re-folded per merge.
+    """
+    vocab = (
+        docs.select(F.explode(words(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0).distinct()
+        .select("word", F.split("word", "").alias("syms"))
+    )
+    for m in merges:
+        vocab = vocab.withColumn(
+            "syms", _merge_pair(F.col("syms"), m["left"], m["right"]))
+    per_word = vocab.select("word", F.col("syms").alias("word_tokens"))
+    exploded = (
+        docs.select(F.col(id_col),
+                    F.posexplode(words(F.col(text_col))).alias("pos", "word"))
+        .filter(F.length("word") > 0)
+        .join(F.broadcast(per_word), "word")
+    )
+    return (
+        exploded.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "word_tokens"))),
+                    lambda s: s.word_tokens,
+                )
+            ).alias("tokens"),
+        )
+        .select(id_col, "tokens", F.size("tokens").cast("long").alias("n_tokens"))
+    )

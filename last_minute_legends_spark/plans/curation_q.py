@@ -453,6 +453,39 @@ ORDER BY doc_id
 """
 
 
+def train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BPE merge table (operators/bpe.py): 16 merge
+    rounds over the word-frequency table. Iterative by nature →
+    rows-only externally; exact merge sequences are asserted on
+    planted corpora in tests/test_operators.py."""
+    from last_minute_legends_spark.operators.bpe import train_bpe
+
+    docs = Catalog(spark, sf_dir).documents
+    merges = train_bpe(docs, n_merges=16)
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["merged"], m["count"])
+         for m in merges],
+        "rank long, left string, right string, merged string, count long",
+    ).orderBy("rank")
+
+
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with a freshly trained merge table: the
+    train→encode round trip a tokenizer pipeline runs. Encoding
+    folds merges once per DISTINCT word and broadcast-joins token
+    arrays back — the corpus is scanned once."""
+    from last_minute_legends_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = Catalog(spark, sf_dir).documents
+    merges = train_bpe(docs, n_merges=16)
+    return (
+        bpe_encode(docs, merges)
+        .select("doc_id", "n_tokens",
+                F.slice("tokens", 1, 8).alias("head_tokens"))
+        .orderBy("doc_id")
+    )
+
+
 SPARK = {
     "text_pii_redact": text_pii_redact,
     "text_repetition": text_repetition,
@@ -463,6 +496,8 @@ SPARK = {
     "mixture_sample": mixture_sample_weighted,
     "corpus_stats": corpus_stats,
     "text_unigram_logprob": text_unigram_logprob,
+    "train_bpe": train_bpe_merges,
+    "bpe_tokenize": bpe_tokenize,
 }
 
 # Driver window is full — external gate sees these rows-only.

@@ -652,3 +652,44 @@ def test_mixture_sample_weighted(spark):
                mixture_sample(docs.repartition(13),
                               weights={"a": 1.0, "b": 4.0}).collect())
     assert a == b
+
+
+def test_bpe_train_planted(spark):
+    """Hand-computed BPE on a planted corpus: merge order, counts,
+    greedy left-to-right apply, min-count stop."""
+    from last_minute_legends_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa bb"), (2, "aaa")], "doc_id long, text string")
+    # words: aaa x3, bb x1
+    # round 1: (a,a) appears 2x per 'aaa' -> cnt 6 -> merge 'aa'
+    # round 2: 'aaa' folds greedily to [aa, a] -> (aa, a) cnt 3 -> 'aaa'
+    # round 3: only (b,b) cnt 1 < min_count -> stop
+    merges = train_bpe(docs, n_merges=10, min_count=2)
+    got = [(m["left"], m["right"], m["count"]) for m in merges]
+    assert got == [("a", "a", 6), ("aa", "a", 3)], got
+
+
+def test_bpe_encode_planted(spark):
+    """Encoding applies the learned merges per distinct word and
+    reassembles token streams in document order."""
+    from last_minute_legends_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa bb"), (2, "aaa")], "doc_id long, text string")
+    merges = train_bpe(docs, n_merges=10, min_count=2)
+    out = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    assert list(out[1].tokens) == ["aaa", "aaa", "b", "b"]
+    assert out[1].n_tokens == 4
+    assert list(out[2].tokens) == ["aaa"] and out[2].n_tokens == 1
+
+
+def test_bpe_ties_deterministic(spark):
+    """Equal-count pairs break lexicographically, so training is
+    reproducible run to run."""
+    from last_minute_legends_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame([(1, "xy xy zw zw")], "doc_id long, text string")
+    merges = train_bpe(docs, n_merges=2, min_count=2)
+    got = [(m["left"], m["right"]) for m in merges]
+    assert got == [("x", "y"), ("z", "w")], got
