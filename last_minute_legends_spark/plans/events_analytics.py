@@ -524,6 +524,36 @@ ORDER BY user_id
 """
 
 
+def skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim join (operators/skew.py): events x customer on
+    user_id with an 8-way salt so no single reducer ever owns a hot
+    key. The oracle is the PLAIN equi-join — salting must be
+    row-identical to it, and the local value check proves exactly
+    that on real tables (the planted-skew unit test covers the hot
+    key path)."""
+    from last_minute_legends_spark.operators.skew import salted_join
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select("event_id", "user_id", "event_type",
+                           F.round("value", 2).alias("value"))
+    cust = cat.customer.select(F.col("c_custkey").alias("user_id"),
+                               "c_name", "c_nationkey")
+    return (
+        salted_join(ev, cust, "user_id", "event_id", salt_n=8)
+        .select("event_id", "user_id", "event_type", "value",
+                "c_name", "c_nationkey")
+        .orderBy("event_id")
+    )
+
+
+SKEW_JOIN_SQL = """
+SELECT e.event_id, e.user_id, e.event_type, round(e.value, 2) AS value,
+       c.c_name, c.c_nationkey
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+ORDER BY e.event_id
+"""
+
+
 SPARK = {
     "events_by_type": events_by_type,
     "events_windowed": events_windowed,
@@ -541,6 +571,11 @@ SPARK = {
     "events_sketches": events_sketches,
     "rollup_timeseries": rollup_timeseries,
     "latest_by_user": latest_by_user,
+    "skew_join": skew_join,
+}
+
+LOCAL_SQL = {
+    "skew_join": SKEW_JOIN_SQL,
 }
 
 SQL = {

@@ -18,7 +18,7 @@ from last_minute_legends_spark.sources.streams import (
     parse_event_json,
     parse_typed_events,
 )
-from last_minute_legends_spark.sources.tables import Catalog
+from last_minute_legends_spark.sources.tables import Catalog, spread_cpu_scan
 from last_minute_legends_spark.sources.text_catalog import (
     compose_item_lines,
     parse_item_blocks,
@@ -41,7 +41,9 @@ def stream_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated. The oracle computes the same aggregate DIRECTLY from
     the base table, so any round-trip/parse infidelity (types, micros,
     nulls) hash-mismatches."""
-    events = Catalog(spark, sf_dir).events
+    # the JSON render+parse is CPU-bound per row: give the wire
+    # pipeline full-core parallelism even off an under-split scan
+    events = spread_cpu_scan(spark, Catalog(spark, sf_dir).events)
     parsed = parse_event_json(events_as_json(events))
     return (
         parsed.groupBy("event_type")
@@ -82,7 +84,7 @@ def events_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIRECTLY from the base tables via the same deterministic field
     derivations — any schema/parse/union infidelity hash-mismatches."""
     cat = Catalog(spark, sf_dir)
-    wire = events_as_typed_json(cat.events).unionByName(
+    wire = events_as_typed_json(spread_cpu_scan(spark, cat.events)).unionByName(
         catalog_as_typed_json(cat.part)
     )
     parsed = parse_typed_events(wire)
@@ -163,7 +165,7 @@ def events_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_schema,
     )
 
-    events = Catalog(spark, sf_dir).events.select(
+    events = spread_cpu_scan(spark, Catalog(spark, sf_dir).events).select(
         "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
         "event_type", "value", "props",
     )

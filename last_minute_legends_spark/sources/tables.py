@@ -38,11 +38,11 @@ BROADCAST_DIMS = ("region", "nation")
 
 # Tables whose per-row work is CPU-heavy (regexp tokenization,
 # shingling, vector math), where an under-split scan serializes the
-# whole pipeline on one core (see _spread_cpu_scan).
+# whole pipeline on one core (see spread_cpu_scan).
 _CPU_HEAVY = ("documents", "embeddings")
 
 
-def _spread_cpu_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+def spread_cpu_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Round-robin repartition a scan that cannot parallelize.
 
     A parquet scan parallelizes at best per row group; the testdata
@@ -75,7 +75,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = (df.withColumn("ts_ns", F.col("ts"))
                 .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
     if name in _CPU_HEAVY:
-        df = _spread_cpu_scan(spark, df)
+        df = spread_cpu_scan(spark, df)
     return df
 
 

@@ -133,7 +133,7 @@ def test_asof_join_single_user_shuffle(spark, sf_dir):
 
 def _assert_no_keyed_exchange(plan: str, label: str) -> None:
     """No hash/range-keyed shuffle. The CPU-spread scan
-    (sources/tables.py _spread_cpu_scan) injects one ROUND-ROBIN
+    (sources/tables.py spread_cpu_scan) injects one ROUND-ROBIN
     exchange on small under-split inputs — deliberate, key-free, and
     structurally absent at scale — so only keyed repartitionings
     count as a formulation bug here."""
