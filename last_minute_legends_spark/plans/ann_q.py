@@ -20,15 +20,23 @@ from last_minute_legends_spark.operators.similarity import (
     train_centroids,
     with_unit_vectors,
 )
-from last_minute_legends_spark.sources.tables import Catalog
+from last_minute_legends_spark.sources.tables import Catalog, spread_cpu_scan
 
 TOP_K = 10
 N_QUERIES = 5
 N_CENTROIDS = 8
 
 
-def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_unit_vectors(Catalog(spark, sf_dir).embeddings)
+def _vectors(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    """Unit-normalized embeddings. ``spread=True`` round-robins the
+    under-split scan first — used by the multi-pass (Lloyd training)
+    and per-row-transform-heavy (quantize) entries; brute force stays
+    on the plain scan (its per-row work is one broadcast-side dot
+    product and the exchange measured 2.2x slower in r6)."""
+    emb = Catalog(spark, sf_dir).embeddings
+    if spread:
+        emb = spread_cpu_scan(spark, emb)
+    return with_unit_vectors(emb)
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,7 +67,7 @@ ORDER BY q_id, rn
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vectors(spark, sf_dir)
+    vecs = _vectors(spark, sf_dir, spread=True)
     queries = vecs.filter(F.col("id") < N_QUERIES)
     candidates = vecs.filter(F.col("id") >= N_QUERIES)
     centroids = train_centroids(candidates, k=N_CENTROIDS, iters=3)
@@ -74,7 +82,7 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     4x-smaller quantized table, dequantized on the fly in the scan
     (narrow). Demonstrates the storage/bandwidth path; recall vs the
     float baseline is asserted in tests."""
-    vecs = _vectors(spark, sf_dir)
+    vecs = _vectors(spark, sf_dir, spread=True)
     queries = vecs.filter(F.col("id") < N_QUERIES)
     candidates = dequantize(quantize_int8(vecs.filter(F.col("id") >= N_QUERIES)))
     return brute_topk(queries, candidates, k=TOP_K).orderBy("q_id", "rn")

@@ -34,11 +34,19 @@ from last_minute_legends_spark.operators.curation import (
     pii_redact,
     repetition_signals,
 )
-from last_minute_legends_spark.sources.tables import Catalog
+from last_minute_legends_spark.sources.tables import Catalog, spread_cpu_scan
+
+
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan, round-robin spread for the regexp/tokenize-heavy
+    curation passes (mixture_sample and corpus_stats stay on the plain
+    scan — one md5/agg per row, the exchange costs more than it
+    unlocks)."""
+    return spread_cpu_scan(spark, Catalog(spark, sf_dir).documents)
 
 
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_spread(spark, sf_dir)
     return pii_redact(docs).orderBy("doc_id")
 
 
@@ -65,7 +73,7 @@ ORDER BY doc_id
 
 
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_spread(spark, sf_dir)
     return repetition_signals(docs).orderBy("doc_id")
 
 
@@ -101,7 +109,7 @@ ORDER BY doc_id
 
 
 def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_spread(spark, sf_dir)
     return paragraph_dedup(docs).orderBy("doc_id")
 
 
@@ -137,7 +145,7 @@ ORDER BY doc_id
 
 
 def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_spread(spark, sf_dir)
     train = docs.filter(F.col("doc_id") % 7 != 0)
     eval_set = docs.filter(F.col("doc_id") % 7 == 0)
     return decontaminate(train, eval_set, n=8).orderBy("doc_id")
@@ -196,7 +204,7 @@ def curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_spread(spark, sf_dir)
     low = F.lower(F.col("text"))
     n_en = count_matches(low, STOPWORDS_EN)
     n_de = count_matches(low, STOPWORDS_DE)
@@ -305,7 +313,7 @@ ORDER BY d.doc_id
 
 
 def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_spread(spark, sf_dir)
     return pack_shards(docs, budget_tokens=256).orderBy("doc_id")
 
 
@@ -415,7 +423,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from last_minute_legends_spark.functions.text import words
 
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_spread(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
     freq = tok.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
     total = freq.agg(F.sum("c").alias("tot"))
@@ -460,7 +468,7 @@ def train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted corpora in tests/test_operators.py."""
     from last_minute_legends_spark.operators.bpe import train_bpe
 
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_spread(spark, sf_dir)
     merges = train_bpe(docs, n_merges=16)
     return spark.createDataFrame(
         [(m["rank"], m["left"], m["right"], m["merged"], m["count"])
@@ -476,7 +484,7 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays back — the corpus is scanned once."""
     from last_minute_legends_spark.operators.bpe import bpe_encode, train_bpe
 
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_spread(spark, sf_dir)
     merges = train_bpe(docs, n_merges=16)
     return (
         bpe_encode(docs, merges)

@@ -18,11 +18,19 @@ from last_minute_legends_spark.functions.text import (
     count_matches,
     normalize_text,
 )
-from last_minute_legends_spark.sources.tables import Catalog
+from last_minute_legends_spark.sources.tables import Catalog, spread_cpu_scan
+
+
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan, round-robin spread for the regexp/tokenize-heavy
+    pipelines below (train_val_split stays on the plain scan — its
+    per-row work is one md5 of the id, and the spread exchange would
+    cost more than it unlocks; measured 2.6x in r6)."""
+    return spread_cpu_scan(spark, Catalog(spark, sf_dir).documents)
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_spread(spark, sf_dir)
     low = F.lower(F.col("text"))
     d = docs.select(
         "doc_id",
@@ -64,7 +72,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity). One narrow pass over the scan — all per-row column
     math, no shuffle (subsumes the former separate ``text_tokens``
     and ``text_fingerprint`` registry entries)."""
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_spread(spark, sf_dir)
     n_chars = F.length("text").cast("long")
     n_tokens = count_matches(F.col("text"), r"\S+")
     n_bpe = count_matches(F.col("text"), BPE_RE)
@@ -119,7 +127,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row frame, window on doc_id for the top-3. At 100 TB the df
     table is the only global state and it's per-term — millions of
     rows, broadcastable or shuffle-joined, never per-document."""
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_spread(spark, sf_dir)
     from last_minute_legends_spark.functions.text import words
 
     toks = docs.select(
@@ -190,7 +198,7 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-asserted window-free in tests/test_plans.py."""
     from last_minute_legends_spark.functions.text import words
 
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_spread(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.explode(words(F.col("text"))).alias("term")
     )
@@ -224,7 +232,7 @@ def training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     ∧ quality threshold → the documents that would enter a training
     run. One fingerprint shuffle for keeper selection; everything else
     is narrow column math over the same scan."""
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_spread(spark, sf_dir)
     low = F.lower(F.col("text"))
     n_en = count_matches(low, STOPWORDS_EN)
     n_de = count_matches(low, STOPWORDS_DE)

@@ -36,12 +36,6 @@ TABLE_NAMES = (
 BROADCAST_DIMS = ("region", "nation")
 
 
-# Tables whose per-row work is CPU-heavy (regexp tokenization,
-# shingling, vector math), where an under-split scan serializes the
-# whole pipeline on one core (see spread_cpu_scan).
-_CPU_HEAVY = ("documents", "embeddings")
-
-
 def spread_cpu_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Round-robin repartition a scan that cannot parallelize.
 
@@ -54,6 +48,13 @@ def spread_cpu_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     unlocks (measured 16x on the repetition filters). At 100 TB the
     dataset has orders of magnitude more files than cores and this
     is a structural no-op — no code path change, no config.
+
+    Applied EXPLICITLY at the entry of CPU-heavy pipelines (regexp
+    tokenization, shingling, vector math) — never inside
+    ``load_table``: a blanket spread taxes cheap one-shuffle
+    aggregates with an exchange they don't need (measured 2-3x on
+    dedup_exact / train_val_split when r6 spread every documents
+    consumer).
 
     Catalyst pushes column pruning and predicate pushdown below the
     Repartition, so the exchange carries only what the query reads.
@@ -74,8 +75,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the raw nanos around as ts_ns for integer-domain window math.
         df = (df.withColumn("ts_ns", F.col("ts"))
                 .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
-    if name in _CPU_HEAVY:
-        df = spread_cpu_scan(spark, df)
     return df
 
 
