@@ -99,6 +99,12 @@ def test_oracle_entries_fit_driver_window():
     head = list(QUERIES)[:ORACLE_WINDOW]
     missing = set(ORACLE_SQL) - set(head)
     assert not missing, f"oracle-backed entries outside the window: {missing}"
+    # r7 rotation: the approximate tiers must actually occupy the
+    # slots the demoted OLAP entries freed (rows-only driver check).
+    from last_minute_legends_spark.plans.queries import WINDOW_ROTATE
+
+    rotated_out = set(WINDOW_ROTATE) - set(head)
+    assert not rotated_out, f"rotated entries missed the window: {rotated_out}"
     # and every oracle key must actually be a registered query
     dangling = set(ORACLE_SQL) - set(QUERIES)
     assert not dangling, f"oracle SQL without a query: {dangling}"
