@@ -7,12 +7,19 @@ its movie catalog ≙ ``part``, consumers ≙ ``customer``, user-activity
 topics ≙ ``events`` partitioned by ``event_type``
 (cf. /root/reference/UserEvents.py:59-162).
 
-``events.ts`` arrives as parquet TIMESTAMP(NANOS); with
-``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) it
-reads as int64 nanoseconds. The loader normalizes it to a proper
-timestamp via exact integer division to microseconds (``ts div
-1000``), which matches DuckDB's own nanos→micros truncation — so
-Spark results and the DuckDB oracle see identical timestamps.
+``events.ts`` has arrived in two parquet encodings across testdata
+generations, and ``load_table`` normalizes both to one shape
+(session-UTC ``timestamp`` + int64 ``ts_ns``):
+
+- TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong=true``
+  (session.py) it reads as int64 nanoseconds; normalized via exact
+  integer division to microseconds (``ts div 1000``), matching
+  DuckDB's own nanos→micros truncation.
+- timestamp[us]: reads as TIMESTAMP_NTZ; cast to session-zone
+  TIMESTAMP (tz is UTC — value-preserving), ``ts_ns`` synthesized.
+
+Either way, Spark results and the DuckDB oracle (which reads the same
+parquet) see identical timestamp values.
 
 Scale notes: plain ``spark.read.parquet`` keeps predicate pushdown and
 column pruning available to Catalyst — no eager caching here. At
@@ -70,11 +77,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # int64 nanos → timestamp (micros), exact integer math; keep
-        # the raw nanos around as ts_ns for integer-domain window math.
-        df = (df.withColumn("ts_ns", F.col("ts"))
-                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    if name == "events":
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            # int64 nanos → timestamp (micros), exact integer math;
+            # keep the raw nanos as ts_ns for integer-domain math.
+            df = (df.withColumn("ts_ns", F.col("ts"))
+                    .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+        elif ts_dtype == "timestamp_ntz":
+            # parquet timestamp[us] reads as TIMESTAMP_NTZ; cast to the
+            # session-zone TIMESTAMP (session tz is UTC, session.py —
+            # value-preserving) so unix_micros()/window() call sites
+            # work identically for both ingest shapes, and synthesize
+            # ts_ns so both shapes expose the same columns.
+            df = (df.withColumn("ts", F.col("ts").cast("timestamp"))
+                    .withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)))
     return df
 
 
