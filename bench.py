@@ -90,6 +90,10 @@ HEADLINE = [
     "mixture_sample",
     "corpus_stats",
     "text_unigram_logprob",
+    # round-8: previously unbenched registry entries
+    "skew_join",
+    "train_bpe",
+    "bpe_tokenize",
 ]
 
 
@@ -120,8 +124,14 @@ def main() -> None:
      .mapInPandas(lambda it: it, "id long")
      .write.mode("overwrite").format("noop").save())
 
+    # Machine load per cell: BENCH_r07 was contaminated by a contended
+    # box (uniform 2-8x inflation across unrelated queries). Recording
+    # the 1-min load average next to each timing makes a polluted run
+    # self-evident instead of masquerading as a plan regression.
     timings: dict[str, float] = {}
+    loadavg: dict[str, float] = {"suite_start": round(os.getloadavg()[0], 2)}
     for name in HEADLINE:
+        loadavg[name] = round(os.getloadavg()[0], 2)
         try:
             timings[name] = round(run(name), 3)
         except Exception as exc:  # never lose the whole bench to one query
@@ -132,8 +142,9 @@ def main() -> None:
     # kept OUT of the headline total so batch regressions stay visible)
     streaming: dict[str, float] = {}
     for name in ("stream_pipeline", "stream_enrich", "stream_sessionize",
-                 "stream_dedup", "stream_curate"):
+                 "stream_dedup", "stream_curate", "simulate_stream"):
         try:
+            loadavg[name] = round(os.getloadavg()[0], 2)
             t0 = time.perf_counter()
             n = QUERIES[name](spark, SF_DIR).count()
             streaming[name] = round(time.perf_counter() - t0, 3)
@@ -147,6 +158,7 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    loadavg["suite_end"] = round(os.getloadavg()[0], 2)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({
         "metric": "headline_suite_total_sec",
@@ -154,6 +166,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "streaming": streaming,
+        "loadavg_1m": loadavg,
         "sf": sf,
     }))
     spark.stop()
