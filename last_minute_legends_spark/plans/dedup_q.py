@@ -144,6 +144,12 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle stays the exact all-pairs SQL (cheap at sf0.01),
     so any LSH recall loss at the threshold would surface as a hash
     mismatch; a planted-dup unit test covers recall independently."""
+    # Deliberately NOT spread_cpu_scan'd: measured at sf0.1 (quiet
+    # box, min-of-2), spreading the 2k-row single-file embeddings scan
+    # costs 3.3s -> 5.1s — the exchange of the vector column outweighs
+    # the 64-plane fold, which Tungsten chews through in-line. At
+    # 100 TB the dataset has more files than cores and spread_cpu_scan
+    # is a structural no-op anyway.
     emb = with_unit_vectors(Catalog(spark, sf_dir).embeddings)
     planes = random_hyperplanes(spark)
     return embedding_lsh_pairs(emb, planes, threshold=COSINE_THRESHOLD).orderBy(

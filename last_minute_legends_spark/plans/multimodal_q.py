@@ -18,6 +18,22 @@ from last_minute_legends_spark.operators.multimodal import (
 from last_minute_legends_spark.sources.tables import Catalog
 
 
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as (doc_id, binary payload) for the mapInPandas ops.
+
+    Deliberately NOT spread_cpu_scan'd: the decode work behind these
+    entries is a deterministic stub (no codec libs in this sandbox),
+    so per-row CPU is trivial and the spread's payload exchange is
+    pure tax — measured at sf0.1 (quiet box, min-of-2),
+    multimodal_features goes 1.0s -> 4.6s and framesample 1.0s -> 3.9s
+    when spread. With a REAL decoder (seconds per image/video), the
+    balance flips and the spread belongs here; at 100 TB the scan has
+    more files than cores and spread_cpu_scan is a no-op either way.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents
     n_bytes = F.octet_length("text").cast("long")
@@ -47,11 +63,7 @@ FROM documents ORDER BY doc_id
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents
-    with_payload = docs.select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
-    )
-    return extract_features(with_payload).orderBy("doc_id")
+    return extract_features(_payloads(spark, sf_dir)).orderBy("doc_id")
 
 
 def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,12 +71,8 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape a video keyframe sampler has at scale. The oracle checks the
     fan-out geometry (index/offset/size); the per-frame checksum stays
     operator-internal, covered by the unit test."""
-    docs = Catalog(spark, sf_dir).documents
-    with_payload = docs.select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
-    )
     return (
-        sample_frames(with_payload, frame_size=64, stride=4)
+        sample_frames(_payloads(spark, sf_dir), frame_size=64, stride=4)
         .select("doc_id", "frame_idx", "frame_offset", "frame_bytes")
         .orderBy("doc_id", "frame_idx")
     )
@@ -94,11 +102,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the checked surface is the operator's Spark shape — Arrow batches
     in, typed geometry rows out, blobs never shuffled. Geometry is
     asserted in tests/test_operators.py."""
-    docs = Catalog(spark, sf_dir).documents
-    with_payload = docs.select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
-    )
-    return resize_images(with_payload, out_width=64, out_height=48).orderBy("doc_id")
+    return resize_images(
+        _payloads(spark, sf_dir), out_width=64, out_height=48
+    ).orderBy("doc_id")
 
 
 SPARK = {

@@ -57,11 +57,15 @@ def spread_cpu_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     is a structural no-op — no code path change, no config.
 
     Applied EXPLICITLY at the entry of CPU-heavy pipelines (regexp
-    tokenization, shingling, vector math) — never inside
-    ``load_table``: a blanket spread taxes cheap one-shuffle
-    aggregates with an exchange they don't need (measured 2-3x on
-    dedup_exact / train_val_split when r6 spread every documents
-    consumer).
+    tokenization, shingling) — never inside ``load_table``: a blanket
+    spread taxes cheap one-shuffle aggregates with an exchange they
+    don't need (measured 2-3x on dedup_exact / train_val_split when
+    r6 spread every documents consumer). "CPU-heavy" is a measured
+    property, not a structural one: the multimodal mapInPandas passes
+    and the embedding sign-LSH fold LOOK heavy but their per-row work
+    is trivial (stubbed decode / 64 fused multiply-adds), and
+    spreading them costs 4x in exchange overhead (measured sf0.1,
+    r8) — those entries document their own opt-out in place.
 
     Catalyst pushes column pruning and predicate pushdown below the
     Repartition, so the exchange carries only what the query reads.
