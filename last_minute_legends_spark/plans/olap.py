@@ -760,16 +760,14 @@ SQL = {
     "q9_product_margin": Q9_SQL,
     "q15_top_supplier": Q15_SQL,
     "q16_supplier_count": Q16_SQL,
-}
-
-# r7 rotation (VERDICT r6 #4): q14/q17/q19 exercise filter-agg /
-# broadcast-scalar shapes that q6/q8/q18 already cover driver-side,
-# so their window slots go to the approximate tiers
-# (dedup_minhash_lsh / dedup_simhash / ann_ivf_topk) for one round of
-# driver-visible confirmation. These three keep the SAME value-level
-# DuckDB compare locally via tests/test_oracle.py.
-LOCAL_SQL = {
+    # Restored to the driver window in r8: the r7 rotation lent these
+    # three slots to the approximate tiers (dedup_minhash_lsh /
+    # dedup_simhash / ann_ivf_topk) for one round of driver-visible
+    # row confirmation — delivered in CORRECTNESS_r07 — and the stated
+    # plan was to rotate back the next round.
     "q14_promo_effect": Q14_SQL,
     "q17_small_quantity": Q17_SQL,
     "q19_or_predicate": Q19_SQL,
 }
+
+LOCAL_SQL = {}

@@ -92,17 +92,26 @@ def test_oracle_entries_fit_driver_window():
         QUERIES,
     )
 
-    assert len(ORACLE_SQL) <= ORACLE_WINDOW, (
-        f"{len(ORACLE_SQL)} oracle-backed queries > {ORACLE_WINDOW}-entry "
-        "driver window — merge or demote entries"
+    from last_minute_legends_spark.plans.queries import WINDOW_ROTATE
+
+    # rotation keys must exist at all before window placement is
+    # meaningful — a soft-import failure dropping a plan family would
+    # otherwise surface as a misleading "missed the window" error
+    unregistered = set(WINDOW_ROTATE) - set(QUERIES)
+    assert not unregistered, (
+        f"WINDOW_ROTATE keys not in the registry at all: {unregistered} — "
+        "check for a plans-module import failure (stderr WARNING)"
+    )
+    # the window budget is shared by oracle-backed AND rotated entries
+    need = len(ORACLE_SQL) + len(WINDOW_ROTATE)
+    assert need <= ORACLE_WINDOW, (
+        f"{len(ORACLE_SQL)} oracle-backed + {len(WINDOW_ROTATE)} rotated "
+        f"rows-only queries = {need} > {ORACLE_WINDOW}-entry driver window "
+        "— demote an oracle entry to LOCAL_SQL or drop a rotation key"
     )
     head = list(QUERIES)[:ORACLE_WINDOW]
     missing = set(ORACLE_SQL) - set(head)
     assert not missing, f"oracle-backed entries outside the window: {missing}"
-    # r7 rotation: the approximate tiers must actually occupy the
-    # slots the demoted OLAP entries freed (rows-only driver check).
-    from last_minute_legends_spark.plans.queries import WINDOW_ROTATE
-
     rotated_out = set(WINDOW_ROTATE) - set(head)
     assert not rotated_out, f"rotated entries missed the window: {rotated_out}"
     # and every oracle key must actually be a registered query
