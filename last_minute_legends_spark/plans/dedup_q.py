@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from last_minute_legends_spark.operators.dedup import (
     connected_components,
@@ -143,14 +144,32 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH candidates + exact-cosine verify — never all-pairs.
     The DuckDB oracle stays the exact all-pairs SQL (cheap at sf0.01),
     so any LSH recall loss at the threshold would surface as a hash
-    mismatch; a planted-dup unit test covers recall independently."""
+    mismatch; a planted-dup unit test covers recall independently.
+
+    The synthetic embeddings contain NO pairs above 0.95, which made
+    the driver check vacuous ("doesn't crash") through r7. Every 50th
+    vector is therefore re-planted as a near-dup (same deterministic
+    arithmetic on both engines: +0.1 on the first component, id
+    +1_000_000), so the value-level compare now proves the LSH finds
+    real near-dups AND computes their cosines exactly.
+    """
     # Deliberately NOT spread_cpu_scan'd: measured at sf0.1 (quiet
     # box, min-of-2), spreading the 2k-row single-file embeddings scan
     # costs 3.3s -> 5.1s — the exchange of the vector column outweighs
     # the 64-plane fold, which Tungsten chews through in-line. At
     # 100 TB the dataset has more files than cores and spread_cpu_scan
     # is a structural no-op anyway.
-    emb = with_unit_vectors(Catalog(spark, sf_dir).embeddings)
+    emb_raw = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb_raw.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ).alias("embedding"),
+    )
+    emb = with_unit_vectors(emb_raw.unionByName(planted))
     planes = random_hyperplanes(spark)
     return embedding_lsh_pairs(emb, planes, threshold=COSINE_THRESHOLD).orderBy(
         "vec_a", "vec_b"
@@ -158,10 +177,16 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EMBEDDING_SQL = f"""
-WITH n AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v,
-           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-    FROM embeddings
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), planted AS (
+    SELECT vec_id + 1000000 AS vec_id,
+           list_concat([v[1] + 0.1], v[2:]) AS v
+    FROM base WHERE vec_id % 50 = 0
+), allv AS (
+    SELECT * FROM base UNION ALL SELECT * FROM planted
+), n AS (
+    SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM allv
 )
 SELECT vec_a, vec_b, round(c, 4) AS cosine
 FROM (
