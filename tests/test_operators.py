@@ -693,3 +693,37 @@ def test_bpe_ties_deterministic(spark):
     merges = train_bpe(docs, n_merges=2, min_count=2)
     got = [(m["left"], m["right"]) for m in merges]
     assert got == [("x", "y"), ("z", "w")], got
+
+
+def test_bpe_merge_udf_matches_hof(spark):
+    """The Arrow-batched merge replay (_apply_merges_udf) must be
+    bit-identical to the per-merge HOF fold (_merge_pair) it replaced
+    for plan-construction cost — _merge_pair stays as the executable
+    spec of one greedy left-to-right pass."""
+    from pyspark.sql import functions as F
+
+    from last_minute_legends_spark.operators.bpe import (
+        _apply_merges_udf, _merge_pair,
+    )
+
+    merges = [
+        {"rank": 0, "left": "a", "right": "a", "merged": "aa"},
+        {"rank": 1, "left": "aa", "right": "b", "merged": "aab"},
+        {"rank": 2, "left": "b", "right": "c", "merged": "bc"},
+    ]
+    words_ = ["aaab", "aaaab", "abc", "bcbc", "a", "", "cab", "aabaab"]
+    df = spark.createDataFrame(
+        [(w, list(w)) for w in words_], "word string, syms array<string>")
+    hof = F.col("syms")
+    for m in merges:
+        hof = _merge_pair(hof, m["left"], m["right"])
+    # the HOF chain must live in its own projection: a Python UDF
+    # cannot appear inside a lambda, and vice-versa keeps plans legal
+    both = (
+        df.select("word", hof.alias("expected"))
+        .join(df.select(
+            "word", _apply_merges_udf(merges)(F.col("syms")).alias("got")),
+            "word")
+    )
+    for r in both.collect():
+        assert list(r.got) == list(r.expected), (r.word, r.got, r.expected)
