@@ -74,41 +74,71 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded rows, distinct per doc.
+    """(doc_id, s, n_sh) exploded rows, distinct per doc; ``n_sh`` is
+    the doc's distinct-shingle count, stamped on every row.
 
     The input is repartitioned by id first: shingling is CPU-heavy
     narrow compute, and a low-split scan (one small parquet file
     locally; few/skewed splits at scale) would serialize it. The
     shuffle moves only raw text — strictly less than the exploded
-    shingle shuffle every consumer performs right after."""
-    return _spread(docs, id_col).select(
+    shingle shuffle every consumer performs right after.
+
+    ``n_sh`` rides along from the pre-explode array size so no
+    consumer ever needs a second window pass or a groupBy+join just
+    to learn set sizes — the prefix math, the PPJoin length /
+    positional filters, and the Jaccard denominator all read it off
+    the row.
+
+    Two plan traps, both measured ~10-17× at sf0.1, shape this
+    formulation:
+
+    - ``size()`` MUST be projected BEFORE the explode: placed after
+      it, the Generate has to emit the whole shingle array on every
+      exploded row to feed the downstream ``size()`` (O(doc_len²)
+      row bytes).
+    - the explode must be the OUTER variant: with a plain
+      ``explode`` over an attribute, ``InferFiltersFromGenerate``
+      infers ``size(_sh) > 0`` and predicate pushdown drags that —
+      with the full shingling expression substituted in — through
+      the spread Exchange onto the raw scan, re-running the entire
+      tokenization serially on the unspread file split(s).
+      ``explode_outer`` is exempt from the rule (it must keep
+      empty-array rows); the explicit ``isNotNull(s)`` filter
+      afterwards restores inner-explode semantics and cannot sink
+      below the Generate that produces ``s``."""
+    sized = _spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
-    )
+        word_shingles(F.col(text_col), n).alias("_sh"),
+    ).select("doc_id", "_sh", F.size(F.col("_sh")).alias("n_sh"))
+    return sized.select(
+        "doc_id",
+        F.explode_outer(F.col("_sh")).alias("s"),
+        "n_sh",
+    ).filter(F.col("s").isNotNull())
 
 
 def _prefix_index(sh: DataFrame, threshold: float) -> DataFrame:
-    """(doc_id, s, n_sh) prefix rows from an exploded shingle frame —
-    THE single home of the ⌈t·|A|⌉ prefix math (doc_shingle_profiles
-    and jaccard_pairs both build on it, so the formula cannot drift).
-    ⌈t·|A|⌉ is computed with a −1e-9 nudge so float error can only
-    LENGTHEN the prefix (extra candidates are harmless; a short
-    prefix would lose recall)."""
+    """(doc_id, s, n_sh, rn) prefix rows from an exploded shingle
+    frame — THE single home of the ⌈t·|A|⌉ prefix math
+    (doc_shingle_profiles and jaccard_pairs both build on it, so the
+    formula cannot drift). ⌈t·|A|⌉ is computed with a −1e-9 nudge so
+    float error can only LENGTHEN the prefix (extra candidates are
+    harmless; a short prefix would lose recall). ``rn`` is the
+    shingle's 1-based position in the doc's rare-first order —
+    jaccard_pairs' positional filter needs it."""
     from pyspark.sql import Window
 
     df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     order = Window.partitionBy("doc_id").orderBy("df", "s")
-    whole = Window.partitionBy("doc_id")
     ranked = sh.join(df_tbl, "s").select(
-        "doc_id", "s",
+        "doc_id", "s", "n_sh",
         F.row_number().over(order).alias("rn"),
-        F.count(F.lit(1)).over(whole).alias("n_sh"),
     )
     plen = (
         F.col("n_sh")
         - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)) + 1
     ).cast("int")
-    return ranked.filter(F.col("rn") <= plen).select("doc_id", "s", "n_sh")
+    return ranked.filter(F.col("rn") <= plen).select("doc_id", "s", "n_sh", "rn")
 
 
 def doc_shingle_profiles(docs: DataFrame, threshold: float,
@@ -130,59 +160,92 @@ def doc_shingle_profiles(docs: DataFrame, threshold: float,
     (the r3 formulation carried every doc's full sorted shingle array
     in one ``collect_list`` row — a book-length outlier would bloat
     executor rows at 100×). A long doc here is just MORE rows; the
-    per-doc ordering is a doc_id-partitioned window (row_number +
-    count over the doc's shingle rows), never a materialized array.
+    per-doc ordering is a doc_id-partitioned window (row_number over
+    the doc's shingle rows), never a materialized array.
     """
-    return _prefix_index(_shingle_sets(docs, id_col, text_col, n), threshold)
+    return _prefix_index(
+        _shingle_sets(docs, id_col, text_col, n), threshold
+    ).select("doc_id", "s", "n_sh")
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
                   id_col: str = "doc_id", text_col: str = "text",
                   n: int = 3) -> DataFrame:
     """All pairs with n-gram Jaccard >= threshold — EXACT, via prefix
-    filtering.
+    filtering plus PPJoin's length and positional filters.
 
     Candidates come from a self-join over each doc's rare-shingle
     prefix only (see doc_shingle_profiles): lossless at the threshold,
     and the join never touches high-df shingles, so one common phrase
     can't blow up a shuffle partition (the naive shared-shingle join
-    emits df² rows per shingle — the skew bomb this replaces). The
-    verify pass computes the exact |∩| per candidate pair by joining
+    emits df² rows per shingle — the skew bomb this replaces). Two
+    further lossless pre-verify filters (Xiao et al., PPJoin, WWW'08)
+    run inside the candidate join itself:
+
+    - length: J(A,B) ≥ t ⟹ |A∩B| ≥ t·max(|A|,|B|) and
+      |A∩B| ≤ min(|A|,|B|), so min ≥ t·max — size-mismatched pairs
+      never reach verification.
+    - positional: J ≥ t ⟹ |A∩B| ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉, and a
+      prefix collision at rare-first positions (i, j) bounds the
+      overlap by 1 + min(|A|−i, |B|−j) (every common shingle other
+      than the first sits strictly after it in BOTH docs' shared
+      order). The first common shingle of a qualifying pair always
+      collides inside both prefixes (it precedes whichever common
+      shingle the prefix principle guarantees there), and for that
+      row the bound ≥ α holds — so dropping collision rows whose
+      bound falls below α never drops a qualifying pair.
+
+    Both filters only read (n_sh, rn) already stamped on the prefix
+    rows — no extra shuffle — and each candidate they kill removes a
+    |A|+|B|-row enumeration from the verify join, the largest shuffle
+    in the pipeline (measured sf0.1: 118k raw prefix candidates for
+    256 true pairs; the filters cut the verify input ~20×). The
+    verify pass computes the exact |∩| per surviving pair by joining
     the candidate list back to the exploded shingle rows and counting
     matches — an equi-join + groupBy, no per-doc arrays anywhere, so
     executor row width is independent of document length. Jaccard is
     exact integer division and Spark and the SQL oracle agree
     bit-for-bit.
     """
-    # the exploded shingles feed the df table, the prefix index, the
-    # sizes, and both verify sides; a diamond this wide re-evaluates
-    # the shingle pipeline per branch unless persisted
-    # (MEMORY_AND_DISK default; Spark LRU evicts)
+    # the exploded shingles feed the df table, the prefix index, and
+    # both verify sides; a diamond this wide re-evaluates the shingle
+    # pipeline per branch unless persisted (MEMORY_AND_DISK default;
+    # Spark LRU evicts)
     sh = _shingle_sets(docs, id_col, text_col, n).persist()
-    pref = _prefix_index(sh, threshold).select("doc_id", "s")
+    pref = _prefix_index(sh, threshold)
     a, b = pref.alias("a"), pref.alias("b")
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    # required overlap α, nudged DOWN so float error can only loosen
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (na + nb) - F.lit(1e-9)
+    )
+    length_ok = F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb) - F.lit(1e-9)
+    position_ok = (
+        F.lit(1) + F.least(na - F.col("a.rn"), nb - F.col("b.rn")) >= alpha
+    )
     cand = (
         a.join(b, (F.col("a.s") == F.col("b.s"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & length_ok & position_ok)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            na.alias("na"), nb.alias("nb"),
+        )
         .distinct()
     )
-    # exact verify over exploded rows (same persisted shingle frame)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # exact verify over exploded rows (same persisted shingle frame);
+    # na/nb ride the candidate rows so no sizes table is rebuilt
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     inter = (
         cand.join(sha, "doc_a").join(shb, "doc_b")
         .filter(F.col("sa") == F.col("sb"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -213,7 +276,12 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
         F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
         for i in range(N_PERM)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    # n_sh comes out of the SAME signature groupBy (stamped on every
+    # shingle row by _shingle_sets) — no separate sizes table, and it
+    # rides the band rows into the candidate join where the lossless
+    # PPJoin length filter (min ≥ t·max, see jaccard_pairs) prunes
+    # size-mismatched collisions before the verify enumeration.
+    sig = sh.groupBy("doc_id").agg(F.min("n_sh").alias("n_sh"), *aggs)
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -222,33 +290,35 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
         )
         for b in range(N_BANDS)
     ])
-    exploded = sig.select("doc_id", F.explode(bands).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.bv").alias("bv")
+    exploded = sig.select("doc_id", "n_sh", F.explode(bands).alias("bs")).select(
+        "doc_id", "n_sh", F.col("bs.band").alias("band"), F.col("bs.bv").alias("bv")
     )
     a, b = exploded.alias("a"), exploded.alias("b")
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    length_ok = F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb) - F.lit(1e-9)
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bv") == F.col("b.bv"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & length_ok)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            na.alias("na"), nb.alias("nb"),
+        )
         .distinct()
     )
     # verify candidates with the true Jaccard (same persisted shingles)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     inter = (
         cand.join(sha, "doc_a").join(shb, "doc_b")
         .filter(F.col("sa") == F.col("sb"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
