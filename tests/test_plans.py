@@ -216,3 +216,36 @@ def test_ivf_assignment_is_narrow(spark, sf_dir):
     plan = _plan(assign_buckets(vecs, cents))
     _assert_no_keyed_exchange(plan, "IVF assignment")
     assert "Join" not in plan, "assignment must not join"
+
+
+def test_shingle_spread_stage_stays_clean(spark, sf_dir):
+    """The shingle explode must tokenize AFTER the spread exchange.
+
+    Catalyst's InferFiltersFromGenerate + predicate pushdown can drag
+    an inferred ``size(shingles) > 0`` — with the whole tokenization
+    expression substituted in — below the Repartition onto the raw
+    scan, re-running the regexp pipeline serially on the unspread
+    split (measured 10× at sf0.1; see _shingle_sets for the
+    explode_outer formulation that prevents it). Lock the fixed plan:
+    below the spread Exchange there must be nothing but the scan."""
+    from last_minute_legends_spark.operators.dedup import _shingle_sets
+    from last_minute_legends_spark.sources.tables import Catalog
+
+    plan = _plan(_shingle_sets(
+        Catalog(spark, sf_dir).documents, "doc_id", "text"))
+    assert "Exchange" in plan, "spread exchange missing from shingle plan"
+    below = plan.split("Exchange", 1)[1]
+    assert "regexp_replace" not in below, (
+        "tokenization sank below the spread exchange — the explode "
+        "stage will serialize on the scan's splits"
+    )
+    # and n_sh must not re-trigger the array-copy trap: no shingle
+    # array column may survive past the Generate (match the exact
+    # `_sh#NN` attribute — `n_sh#NN` is the legitimate size column)
+    import re
+
+    gen = plan.split("Generate", 1)[0]
+    assert not re.search(r"(?<![A-Za-z0-9_])_sh#", gen), (
+        "shingle array column escapes the Generate — every exploded "
+        "row is carrying the whole array"
+    )
