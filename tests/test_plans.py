@@ -231,6 +231,11 @@ def test_shingle_spread_stage_stays_clean(spark, sf_dir):
     from last_minute_legends_spark.operators.dedup import _shingle_sets
     from last_minute_legends_spark.sources.tables import Catalog
 
+    # earlier tests (test_oracle runs first alphabetically) leave the
+    # jaccard pipeline's persisted shingle frame in the cache, and the
+    # matching subtree here would print as an InMemoryRelation — this
+    # test locks the FRESH plan shape, so drop caches first
+    spark.catalog.clearCache()
     plan = _plan(_shingle_sets(
         Catalog(spark, sf_dir).documents, "doc_id", "text"))
     assert "Exchange" in plan, "spread exchange missing from shingle plan"
