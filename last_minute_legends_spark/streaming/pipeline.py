@@ -48,11 +48,25 @@ RESULT_SCHEMA = (
 )
 
 
-def stage_events_json(spark: SparkSession, sf_dir: str) -> str:
+def stage_events_json(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
     """Materialize the events table as a directory of Kafka-value-shaped
-    JSON lines for the file stream; returns the staging root
+    JSON lines for the file stream; returns ``(staging_root, max_ts)``
     (``<root>/in`` = topic, ``<root>/out`` = sink, ``<root>/ckpt`` =
-    checkpoints).
+    checkpoints; ``max_ts`` feeds the sentinel writer without a second
+    scan — the staged JSON would otherwise be re-read and re-parsed
+    just to learn it).
+
+    The topic is staged as ``defaultParallelism`` files: a micro-batch's
+    partition count IS its file count, so file granularity is the
+    streaming equivalent of the batch side's CPU-spread scan — a
+    single-file topic serializes every batch's from_json parse on one
+    core (measured: the enrich pipeline's data batch dominated by a
+    1-task parse stage). Callers pass ``STAGED_FILES`` (or a multiple)
+    as ``max_files_per_trigger`` so ALL real files land in the FIRST
+    micro-batch: the files are written round-robin, so every file's
+    event-time range spans the whole table, and any real file left to
+    a second batch would arrive behind the advanced watermark and be
+    dropped as late.
 
     The sink dir must outlive the call (the returned DataFrame scans
     it), so the root can't be removed eagerly; it is registered for
@@ -61,17 +75,35 @@ def stage_events_json(spark: SparkSession, sf_dir: str) -> str:
     staging = tempfile.mkdtemp(prefix="llm_spark_stream_")
     atexit.register(shutil.rmtree, staging, ignore_errors=True)
     events = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
-    events_as_json(events).write.mode("overwrite").text(f"{staging}/in")
-    return staging
+    max_ts = events.agg(F.max("ts").alias("m")).collect()[0].m
+    n = staged_files(spark)
+    (events_as_json(events).repartition(n)
+     .write.mode("overwrite").text(f"{staging}/in"))
+    return staging, max_ts
+
+
+def staged_files(spark: SparkSession) -> int:
+    """Number of files the staged topic is split into (= the first
+    micro-batch's parse parallelism)."""
+    return spark.sparkContext.defaultParallelism
 
 
 _EVENT_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def append_sentinels(spark: SparkSession, staging: str, max_ts,
-                     hours: tuple[int, ...] = (3, 6)) -> None:
-    """Write watermark-advancing sentinel events (one file each is a
-    micro-batch) so event-time state flushes deterministically."""
+                     hours: tuple[int, ...] = (3, 6), query=None) -> None:
+    """Write watermark-advancing sentinel events so event-time state
+    flushes deterministically. Two sentinels are needed because a
+    batch emits against the watermark computed at the END of the
+    PREVIOUS batch: the first sentinel's batch advances the watermark
+    past every real window, the second's batch performs the emission.
+    When ``query`` is given, each sentinel is drained into its own
+    micro-batch before the next is written — with
+    ``max_files_per_trigger`` sized to the staged topic, both sentinel
+    files would otherwise coalesce into ONE batch and the final
+    emission would hinge on the engine's no-data-batch behavior
+    instead of being structural."""
     for i, h in enumerate(hours):
         sentinel = spark.createDataFrame(
             [(-(i + 1), max_ts + datetime.timedelta(hours=h),
@@ -80,6 +112,8 @@ def append_sentinels(spark: SparkSession, staging: str, max_ts,
             "value double, props string",
         )
         events_as_json(sentinel).write.mode("append").text(f"{staging}/in")
+        if query is not None:
+            query.processAllAvailable()
 
 
 def run_windowed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,11 +121,11 @@ def run_windowed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     events and return the windowed aggregate read back from the
     parquet sink (distributed — the sink directory is the pipeline's
     output dataset and outlives this call)."""
-    staging = stage_events_json(spark, sf_dir)
-    raw_events = parse_event_json(spark.read.text(f"{staging}/in"))
-    max_ts = raw_events.agg(F.max("ts").alias("m")).collect()[0].m
+    staging, max_ts = stage_events_json(spark, sf_dir)
 
-    stream = parse_event_json(file_json_stream(spark, f"{staging}/in"))
+    stream = parse_event_json(
+        file_json_stream(spark, f"{staging}/in",
+                         max_files_per_trigger=staged_files(spark)))
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -112,8 +146,7 @@ def run_windowed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.processAllAvailable()
-    append_sentinels(spark, staging, max_ts)
-    q.processAllAvailable()
+    append_sentinels(spark, staging, max_ts, query=q)
     q.stop()
 
     out = (
@@ -144,14 +177,27 @@ def run_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     a redelivery that is exactly the correct outcome (the original
     already emitted), so the output is each event exactly once
     however the redelivery interleaves. Batch parity asserted in
-    tests/test_streaming.py."""
+    tests/test_streaming.py.
+
+    ``max_files_per_trigger`` covers originals AND redeliveries in one
+    micro-batch: the staged files are round-robin (every file's
+    event-time range spans the table), so if any ORIGINAL file slid to
+    a second batch its rows would arrive behind the watermark the
+    first batch advanced and be dropped as late — losing events, not
+    just duplicates. The file source's intra-batch order is not part
+    of its contract, so the safe unit is one batch; the state store
+    still does the dedup work (``dropDuplicatesWithinWatermark``
+    dedups within a batch through the same per-key state)."""
     import glob
 
-    staging = stage_events_json(spark, sf_dir)
-    for f in glob.glob(f"{staging}/in/part-*"):
+    staging, _max_ts = stage_events_json(spark, sf_dir)
+    originals = glob.glob(f"{staging}/in/part-*")
+    for f in originals:
         shutil.copy(f, f"{f}-redelivered.txt")
 
-    stream = parse_event_json(file_json_stream(spark, f"{staging}/in"))
+    stream = parse_event_json(
+        file_json_stream(spark, f"{staging}/in",
+                         max_files_per_trigger=2 * len(originals)))
     deduped = (
         stream.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
@@ -184,9 +230,7 @@ def run_enriched_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the watermarked window. The reference enriches its stream
     against the warehouse the same way; at scale the dimension is a
     broadcast, so the stream side never shuffles for the join."""
-    staging = stage_events_json(spark, sf_dir)
-    raw_events = parse_event_json(spark.read.text(f"{staging}/in"))
-    max_ts = raw_events.agg(F.max("ts").alias("m")).collect()[0].m
+    staging, max_ts = stage_events_json(spark, sf_dir)
 
     dim = (
         load_table(spark, sf_dir, "customer")
@@ -195,7 +239,9 @@ def run_enriched_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("user_id"),
                 F.col("n_name").alias("nation"))
     )
-    stream = parse_event_json(file_json_stream(spark, f"{staging}/in"))
+    stream = parse_event_json(
+        file_json_stream(spark, f"{staging}/in",
+                         max_files_per_trigger=staged_files(spark)))
     agg = (
         stream.join(F.broadcast(dim), "user_id", "left")
         .withWatermark("ts", "1 hour")
@@ -218,8 +264,7 @@ def run_enriched_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.processAllAvailable()
-    append_sentinels(spark, staging, max_ts)
-    q.processAllAvailable()
+    append_sentinels(spark, staging, max_ts, query=q)
     q.stop()
 
     out = (

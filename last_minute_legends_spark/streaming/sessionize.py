@@ -50,6 +50,7 @@ from last_minute_legends_spark.sources.streams import (
 from last_minute_legends_spark.streaming.pipeline import (
     append_sentinels,
     stage_events_json,
+    staged_files,
 )
 
 GAP_MINUTES = 30
@@ -118,8 +119,7 @@ def _drive(spark: SparkSession, staging: str, sessions: DataFrame,
         .start()
     )
     q.processAllAvailable()
-    append_sentinels(spark, staging, max_ts)
-    q.processAllAvailable()
+    append_sentinels(spark, staging, max_ts, query=q)
     q.stop()
 
     out = (
@@ -139,11 +139,11 @@ def run_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts; the session end reported is the LAST EVENT's ts (min/max
     aggregates), matching the batch sessionization contract (the
     window's own ``end`` is last event + gap)."""
-    staging = stage_events_json(spark, sf_dir)
-    raw_events = parse_event_json(spark.read.text(f"{staging}/in"))
-    max_ts = raw_events.agg(F.max("ts").alias("m")).collect()[0].m
+    staging, max_ts = stage_events_json(spark, sf_dir)
 
-    stream = parse_event_json(file_json_stream(spark, f"{staging}/in"))
+    stream = parse_event_json(
+        file_json_stream(spark, f"{staging}/in",
+                         max_files_per_trigger=staged_files(spark)))
     sessions = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(
@@ -166,11 +166,11 @@ def run_stream_sessionize_python_state(spark: SparkSession,
     event-time timeouts — the template for session logic the native
     aggregates can't express. Same sources, sink, and gap rule as the
     native path (asserted equal in tests/test_streaming.py)."""
-    staging = stage_events_json(spark, sf_dir)
-    raw_events = parse_event_json(spark.read.text(f"{staging}/in"))
-    max_ts = raw_events.agg(F.max("ts").alias("m")).collect()[0].m
+    staging, max_ts = stage_events_json(spark, sf_dir)
 
-    stream = parse_event_json(file_json_stream(spark, f"{staging}/in"))
+    stream = parse_event_json(
+        file_json_stream(spark, f"{staging}/in",
+                         max_files_per_trigger=staged_files(spark)))
     sessions = (
         stream.withWatermark("ts", "1 hour")
         .groupBy("user_id")
