@@ -88,14 +88,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # keep the raw nanos as ts_ns for integer-domain math.
             df = (df.withColumn("ts_ns", F.col("ts"))
                     .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
-        elif ts_dtype == "timestamp_ntz":
-            # parquet timestamp[us] reads as TIMESTAMP_NTZ; cast to the
-            # session-zone TIMESTAMP (session tz is UTC, session.py —
-            # value-preserving) so unix_micros()/window() call sites
-            # work identically for both ingest shapes, and synthesize
-            # ts_ns so both shapes expose the same columns.
+        elif ts_dtype in ("timestamp_ntz", "timestamp"):
+            # parquet timestamp[us] reads as TIMESTAMP_NTZ (and the
+            # adjusted-to-UTC variant as TIMESTAMP — same instant under
+            # the UTC session tz, session.py); cast to the session-zone
+            # TIMESTAMP (value-preserving, a no-op for the already-
+            # timestamp shape) so unix_micros()/window() call sites
+            # work identically for every ingest shape, and synthesize
+            # ts_ns so all shapes expose the same columns.
             df = (df.withColumn("ts", F.col("ts").cast("timestamp"))
                     .withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)))
+        else:  # a new testdata encoding would break 12+ entries at
+            # plan time with a cryptic AnalysisException each — fail
+            # here with the one place to fix instead
+            raise TypeError(
+                f"events.ts arrived as unhandled dtype {ts_dtype!r}; "
+                "extend load_table's normalization (sources/tables.py) "
+                "to produce (ts timestamp, ts_ns bigint)")
     return df
 
 

@@ -2,7 +2,8 @@
 
 The driver has regenerated the testdata's ``events.ts`` encoding once
 already (parquet TIMESTAMP(NANOS) through round 6, plain
-``timestamp[us]`` from round 7). ``load_table`` must normalize every
+``timestamp[us]`` from round 7; the adjusted-to-UTC micros variant is
+covered pre-emptively). ``load_table`` must normalize every
 shape it has ever seen to one output schema — session-UTC ``timestamp``
 plus int64 ``ts_ns`` — so the 20+ ``unix_micros(ts)`` call sites keep
 working no matter which generation of parquet is on disk.
@@ -48,26 +49,44 @@ def shaped_dirs(tmp_path_factory):
         str(tmp_path_factory.mktemp("micros")),
         pa.array(micros, pa.timestamp("us")),
     )
-    return nanos_dir, micros_dir
-
-
-def test_both_parquet_shapes_normalize_identically(spark, shaped_dirs):
-    nanos_dir, micros_dir = shaped_dirs
-    a = load_table(spark, nanos_dir, "events")
-    b = load_table(spark, micros_dir, "events")
-    assert a.schema == b.schema, (
-        f"ingest shapes diverge: nanos={a.schema} micros={b.schema}"
+    # the adjusted-to-UTC variant Spark reads as plain TIMESTAMP
+    # (not NTZ) — a plausible next driver encoding
+    utc_dir = _write_events(
+        str(tmp_path_factory.mktemp("utc")),
+        pa.array(micros, pa.timestamp("us", tz="UTC")),
     )
+    return nanos_dir, micros_dir, utc_dir
+
+
+def test_all_parquet_shapes_normalize_identically(spark, shaped_dirs):
+    loaded = [load_table(spark, d, "events") for d in shaped_dirs]
+    a = loaded[0]
+    for b in loaded[1:]:
+        assert a.schema == b.schema, (
+            f"ingest shapes diverge: {a.schema} vs {b.schema}"
+        )
     assert dict(a.dtypes)["ts"] == "timestamp"
     assert dict(a.dtypes)["ts_ns"] == "bigint"
-    rows_a = sorted(a.select("event_id", "ts", "ts_ns").collect())
-    rows_b = sorted(b.select("event_id", "ts", "ts_ns").collect())
-    assert rows_a == rows_b
+    rows = [sorted(df.select("event_id", "ts", "ts_ns").collect())
+            for df in loaded]
+    for other in rows[1:]:
+        assert rows[0] == other
     # spot-check the actual values (session tz is UTC, so the wall
     # clock must equal the epoch micros we wrote)
-    by_id = {r["event_id"]: r for r in rows_a}
+    by_id = {r["event_id"]: r for r in rows[0]}
     assert by_id[1]["ts"] == datetime.datetime(2023, 11, 14, 22, 13, 20)
     assert by_id[2]["ts_ns"] == 1_700_000_123_456_789 * 1000
+
+
+def test_unknown_ts_dtype_fails_loudly(spark, tmp_path):
+    """A fourth encoding must fail AT LOAD with a pointer to the fix,
+    not at plan time in 12 call sites."""
+    _write_events(
+        str(tmp_path),
+        pa.array([str(r[1]) for r in _ROWS], pa.string()),
+    )
+    with pytest.raises(TypeError, match="unhandled dtype"):
+        load_table(spark, str(tmp_path), "events")
 
 
 def test_unix_micros_works_on_loaded_events(spark, shaped_dirs):
