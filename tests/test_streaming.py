@@ -567,3 +567,23 @@ def test_simulator_stream_matches_batch(spark):
     got = {tuple(r) for r in
            streamed.orderBy(F.col("timestamp").cast("long")).limit(1000).collect()}
     assert got == want, "streamed events diverge from the batch generator"
+
+
+def test_staged_topic_is_spread_across_files(spark, sf_dir):
+    """The staged JSON topic must be defaultParallelism files, not one:
+    a micro-batch's partition count IS its file count, so single-file
+    staging serializes every batch's from_json parse on one core (the
+    regression this locks out re-cost the enrich pipeline 2x)."""
+    import glob
+
+    from last_minute_legends_spark.streaming.pipeline import (
+        stage_events_json, staged_files,
+    )
+
+    staging, max_ts = stage_events_json(spark, sf_dir)
+    files = glob.glob(f"{staging}/in/part-*")
+    assert len(files) == staged_files(spark), (
+        f"staged {len(files)} files; want {staged_files(spark)} "
+        "(= first micro-batch's parse parallelism)"
+    )
+    assert max_ts is not None, "stage must return the real max event ts"
