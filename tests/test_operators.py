@@ -178,13 +178,25 @@ def test_jaccard_prefix_filter_matches_bruteforce(spark):
             texts[d] = " ".join(
                 pick(f"{corpus_seed}:{d}:{j}", vocab) for j in range(n_words)
             )
+        # pathological shapes the random corpus never produces:
+        # byte-identical pair (jaccard exactly 1.0), an empty doc and
+        # a doc shorter than the shingle width (both shingle-less —
+        # must appear in NO pair, not crash), a doc that is a strict
+        # superset of another
+        texts[100] = texts[0]
+        texts[101] = ""
+        texts[102] = "w0 w1"
+        texts[103] = texts[1] + " w11 w10"
         # python reference: distinct 3-gram shingle sets, exact jaccard
         def shingles(t):
             w = t.split()
             return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
 
         sets = {d: shingles(t) for d, t in texts.items() if len(t.split()) >= 3}
-        for threshold in (0.3, 0.5, 0.8):
+        # 1.0 exercises the one-shingle-prefix edge (p = n − ⌈t·n⌉ + 1
+        # = 1): only the single globally-rarest shingle is indexed and
+        # exact duplicates must STILL collide on it
+        for threshold in (0.2, 0.3, 0.5, 0.8, 1.0):
             expect = set()
             for a in sets:
                 for b in sets:
@@ -216,6 +228,47 @@ def test_connected_components_chain_and_islands(spark):
     got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property check: on hypothesis-generated edge lists the Spark
+    min-label propagation must produce EXACTLY the components a
+    pure-Python union-find computes (same min-member labels). Random
+    graphs reach shapes the planted fixtures don't — self-loops,
+    parallel/reversed edges, several components of mixed diameter."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from last_minute_legends_spark.operators.dedup import connected_components
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1, max_size=30,
+    ))
+    def check(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {x: find(x) for x in parent}
+
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r.id: r.cluster_id
+               for r in connected_components(pairs).collect()}
+        assert got == expect, f"edges={edges}"
+
+    check()
 
 
 def test_simhash_identical_zero_hamming(spark):
