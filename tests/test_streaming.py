@@ -587,3 +587,84 @@ def test_staged_topic_is_spread_across_files(spark, sf_dir):
         "(= first micro-batch's parse parallelism)"
     )
     assert max_ts is not None, "stage must return the real max event ts"
+
+
+def test_stream_restart_from_checkpoint(spark, sf_dir):
+    """Stop/restart recovery: a windowed stream stopped mid-topic and
+    restarted from the SAME checkpoint must produce exactly the
+    one-continuous-run (= batch) result — no lost windows, no
+    duplicated windows. The topic halves are split by event TIME
+    (early files, then late files): a restart boundary is also a
+    watermark boundary, so data arriving after the restart must be
+    younger than the checkpointed watermark to survive append-mode
+    semantics — the same constraint a real deployment's replayable
+    source ordering provides."""
+    import shutil as _sh
+    import tempfile
+
+    from last_minute_legends_spark.plans.events_analytics import (
+        events_windowed,
+    )
+    from last_minute_legends_spark.sources.streams import (
+        events_as_json, file_json_stream, parse_event_json,
+    )
+    from last_minute_legends_spark.sources.tables import load_table
+    from last_minute_legends_spark.streaming.pipeline import (
+        RESULT_SCHEMA, SENTINEL_TYPE, append_sentinels, staged_files,
+    )
+
+    root = tempfile.mkdtemp(prefix="ckpt_restart_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props")
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        split = lo + (hi - lo) / 2
+        n = staged_files(spark)
+
+        def start_query():
+            stream = parse_event_json(
+                file_json_stream(spark, f"{root}/in",
+                                 max_files_per_trigger=n))
+            agg = (
+                stream.withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.round(F.sum("value"), 2).alias("sum_value"))
+                .select(F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                        "event_type", "n_events", "sum_value")
+            )
+            return (
+                agg.writeStream.format("parquet")
+                .option("path", f"{root}/out")
+                .option("checkpointLocation", f"{root}/ckpt")
+                .outputMode("append")
+                .start()
+            )
+
+        # phase 1: early half of the topic, then a hard stop
+        (events_as_json(ev.filter(F.col("ts") <= F.lit(split)))
+         .repartition(n).write.mode("overwrite").text(f"{root}/in"))
+        q1 = start_query()
+        q1.processAllAvailable()
+        q1.stop()
+
+        # phase 2: late half arrives; a NEW query resumes from the
+        # SAME checkpoint (file source replays nothing, state store
+        # restores the open windows)
+        (events_as_json(ev.filter(F.col("ts") > F.lit(split)))
+         .repartition(n).write.mode("append").text(f"{root}/in"))
+        q2 = start_query()
+        q2.processAllAvailable()
+        append_sentinels(spark, root, hi, query=q2)
+        q2.stop()
+
+        got = {tuple(r) for r in
+               spark.read.schema(RESULT_SCHEMA).parquet(f"{root}/out")
+               .filter(F.col("event_type") != SENTINEL_TYPE).collect()}
+        want = {tuple(r) for r in events_windowed(spark, sf_dir).collect()}
+        assert got == want, (
+            f"restart diverged from continuous run: lost={want - got} "
+            f"dup_or_extra={got - want}"
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
