@@ -88,7 +88,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS (not just pairs): connected components over
     the exact Jaccard pair graph — the keeper-selection step a real
     dedup pipeline runs after pair generation. cluster_id = min doc id
-    in the component (the canonical keeper)."""
+    in the component (the canonical keeper).
+
+    Layout note for 100 TB: pair generation and CC deliberately do
+    NOT share a shuffle layout. The pair graph is orders of magnitude
+    smaller than the exploded shingle frame (near-dup pairs vs one
+    row per doc×shingle), and CC partitions by node id while the
+    candidate join partitions by shingle — co-locating them would
+    force the label iterations onto the shingle key space for no
+    reuse. The one materialization that matters (the edge list,
+    checkpointed once before iterating so the candidate pipeline
+    never re-executes per round) is in connected_components itself."""
     docs = Catalog(spark, sf_dir).documents
     pairs = jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
     return (
