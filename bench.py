@@ -94,6 +94,19 @@ HEADLINE = [
     "skew_join",
     "train_bpe",
     "bpe_tokenize",
+    # round-8 cont.: the last uncovered registry entries — every
+    # queries() key now has a bench cell (streaming section aside),
+    # so no regression anywhere is invisible
+    "q4_order_priority",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q22_idle_customers",
+    "user_pivot",
+    "json_props",
+    "new_records",
+    "price_extraction",
+    "text_langid",
+    "multimodal_meta",
 ]
 
 
