@@ -9,11 +9,22 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Stopword vote sets for language ID. text_langid counts them via
+# one split-tokenize + in-array membership (single text pass); the
+# derived \b-patterns below serve count_matches consumers
+# (text_quality's stop_ratio). Derivation from ONE word list keeps
+# the two formulations provably in sync.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "was", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "pour", "une"),
+}
+
 # The word-boundary patterns are ASCII-only on purpose: Java regex
 # (Spark) and RE2 (DuckDB) agree on \b for ASCII.
-STOPWORDS_EN = r"\b(the|and|of|to|in|is|was|for)\b"
-STOPWORDS_DE = r"\b(der|die|das|und|ist|nicht|mit|ein)\b"
-STOPWORDS_FR = r"\b(le|la|les|et|est|pas|pour|une)\b"
+STOPWORDS_EN = r"\b(" + "|".join(LANG_STOPWORDS["en"]) + r")\b"
+STOPWORDS_DE = r"\b(" + "|".join(LANG_STOPWORDS["de"]) + r")\b"
+STOPWORDS_FR = r"\b(" + "|".join(LANG_STOPWORDS["fr"]) + r")\b"
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single symbol
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

@@ -130,9 +130,9 @@ SPARK = {
 SQL = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_ivf_topk": None,  # approximate: rows-only + recall unit test
-}
-
-# past the driver window — value-checked by tests/test_oracle.py
-LOCAL_SQL = {
+    # r9: promoted into the driver window (never externally observed
+    # before; an OLAP entry lends its slot for the round).
     "ann_quantized_topk": ANN_QUANTIZED_SQL,
 }
+
+LOCAL_SQL = {}

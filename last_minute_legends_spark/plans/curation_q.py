@@ -508,12 +508,10 @@ SPARK = {
     "bpe_tokenize": bpe_tokenize,
 }
 
-# Driver window is full — external gate sees these rows-only.
-SQL = {}
-
-# Value-level oracles run by tests/test_oracle.py (same comparison
-# as the driver's gate, executed locally).
-LOCAL_SQL = {
+# r9 rotation: seven curation oracles promoted into the driver window
+# for their first external value-level observation (OLAP entries lend
+# the slots for the round — plans/olap.py LOCAL_SQL).
+SQL = {
     "text_pii_redact": TEXT_PII_REDACT_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "dedup_paragraph": DEDUP_PARAGRAPH_SQL,
@@ -521,6 +519,11 @@ LOCAL_SQL = {
     "curated_training_set": CURATED_TRAINING_SET_SQL,
     "pack_shards": PACK_SHARDS_SQL,
     "mixture_sample": MIXTURE_SAMPLE_SQL,
+}
+
+# Value-level oracles run by tests/test_oracle.py (same comparison
+# as the driver's gate, executed locally).
+LOCAL_SQL = {
     "corpus_stats": CORPUS_STATS_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_SQL,
 }

@@ -28,14 +28,39 @@ COSINE_THRESHOLD = 0.95
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents
-    return exact_duplicates(docs).orderBy("fp")
+    """Exact dedup groups (fp, n_docs, keeper_doc_id).
+
+    The synthetic documents contain NO exact duplicates at any SF, so
+    through r8 the driver's value compare was vacuous (0 rows on both
+    engines — it proved only that both found nothing). Every 10th doc
+    is therefore re-planted as a case+whitespace variant
+    (``'  ' || upper(text)``, id +1_000_000; identical arithmetic in
+    the DuckDB oracle), so the hash compare now proves the
+    normalization (lower/trim/whitespace-collapse), the fingerprint
+    grouping, AND keeper election (min id = the original, never the
+    planted copy) on real nonzero groups — the dedup_embedding
+    de-vacuization pattern applied here.
+    """
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text"))).alias("text"),
+    )
+    return exact_duplicates(docs.unionByName(planted)).orderBy("fp")
 
 
 DEDUP_EXACT_SQL = """
+WITH base AS (
+    SELECT doc_id, text FROM documents
+), planted AS (
+    SELECT doc_id + 1000000 AS doc_id, '  ' || upper(text) AS text
+    FROM base WHERE doc_id % 10 = 0
+), allv AS (
+    SELECT * FROM base UNION ALL SELECT * FROM planted
+)
 SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
        count(*) AS n_docs, min(doc_id) AS keeper_doc_id
-FROM documents
+FROM allv
 GROUP BY fp HAVING count(*) > 1
 ORDER BY fp
 """

@@ -746,28 +746,31 @@ SPARK = {
 SQL = {
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
-    "q4_order_priority": Q4_SQL,
-    "q5_local_supplier_volume": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
-    "q10_returned_items": Q10_SQL,
-    "q13_customer_distribution": Q13_SQL,
     "q18_large_volume_customer": Q18_SQL,
-    "q22_idle_customers": Q22_SQL,
     "topn_per_group": TOPN_SQL,
     "cube_agg": CUBE_SQL,
-    "q7_nation_volume": Q7_SQL,
-    "q8_market_share": Q8_SQL,
     "q9_product_margin": Q9_SQL,
     "q15_top_supplier": Q15_SQL,
     "q16_supplier_count": Q16_SQL,
-    # Restored to the driver window in r8: the r7 rotation lent these
-    # three slots to the approximate tiers (dedup_minhash_lsh /
-    # dedup_simhash / ann_ivf_topk) for one round of driver-visible
-    # row confirmation — delivered in CORRECTNESS_r07 — and the stated
-    # plan was to rotate back the next round.
+}
+
+# r9 rotation: these ten multi-round-proven OLAP entries lend their
+# driver-window slots to entries the external gate has NEVER observed
+# (8 promoted curation/ANN value-level oracles + the
+# catalog_text_etl / events_sketches rows-only pair — see
+# plans/queries.py WINDOW_ROTATE). They keep the identical value-level
+# DuckDB compare locally via tests/test_oracle.py, and rotate back
+# next round, as the r7→r8 minhash/simhash/ivf rotation did.
+LOCAL_SQL = {
+    "q4_order_priority": Q4_SQL,
+    "q5_local_supplier_volume": Q5_SQL,
+    "q7_nation_volume": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q13_customer_distribution": Q13_SQL,
     "q14_promo_effect": Q14_SQL,
     "q17_small_quantity": Q17_SQL,
     "q19_or_predicate": Q19_SQL,
+    "q22_idle_customers": Q22_SQL,
 }
-
-LOCAL_SQL = {}

@@ -63,9 +63,13 @@ ORACLE_WINDOW = 50
 # locally via the owning module's LOCAL_SQL + tests/test_oracle.py).
 # r7 lent three slots to dedup_minhash_lsh / dedup_simhash /
 # ann_ivf_topk (rows delivered in CORRECTNESS_r07); r8 rotated the
-# OLAP trio back in, so the window is exactly full of value-level
-# oracle checks and no slots remain to lend.
-WINDOW_ROTATE: list[str] = []
+# OLAP trio back. r9 rotates bigger: ten proven OLAP entries lend
+# their slots (plans/olap.py LOCAL_SQL) to eight never-observed
+# value-level oracles (7 curation + ann_quantized_topk, promoted in
+# their owning modules' SQL dicts) plus these two genuinely
+# non-SQL-expressible entries, which get their one round of
+# driver-visible rows confirmation here.
+WINDOW_ROTATE: list[str] = ["catalog_text_etl", "events_sketches"]
 
 _order = (
     [k for k in QUERIES if k in ORACLE_SQL]

@@ -7,11 +7,15 @@ agree on every match.
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from last_minute_legends_spark.functions.text import (
     BPE_RE,
+    LANG_STOPWORDS,
     STOPWORDS_DE,
     STOPWORDS_EN,
     STOPWORDS_FR,
@@ -30,14 +34,39 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID via stopword voting.
+
+    Single-pass formulation (r9): one ``split`` tokenization + three
+    in-array membership counts, replacing three full-text
+    ``regexp_extract_all`` scans (the suite's slowest cell at 2.2 s /
+    sf0.1 — the regex engine walked every char of every doc three
+    times). Count equivalence with the old ``\\b(w1|w2|…)\\b`` form is
+    exact: Java/RE2 ``\\b`` sits between ``[a-z0-9_]`` and anything
+    else, so a boundary-delimited stopword occurrence is precisely a
+    maximal ``[a-z0-9_]``-run equal to the stopword — which is what
+    splitting on ``[^a-z0-9_]+`` and comparing whole tokens counts.
+    All codegen (no UDF); the token array lives only inside the
+    projection, so nothing wide is shuffled or materialized.
+    """
     docs = _docs_spread(spark, sf_dir)
-    low = F.lower(F.col("text"))
-    d = docs.select(
-        "doc_id",
-        count_matches(low, STOPWORDS_EN).alias("n_en"),
-        count_matches(low, STOPWORDS_DE).alias("n_de"),
-        count_matches(low, STOPWORDS_FR).alias("n_fr"),
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9_]+"),
+        lambda t: t != F.lit(""),
     )
+    # Column.isin is not usable inside HOF lambdas (NOT_ITERABLE);
+    # an 8-way OR of equality comparisons codegens just as well.
+    def member(words: tuple[str, ...]):
+        return lambda t: reduce(operator.or_, [t == F.lit(w) for w in words])
+
+    counts = {
+        name: F.size(F.filter(toks, member(words))).cast("long")
+        for name, words in (
+            ("n_en", LANG_STOPWORDS["en"]),
+            ("n_de", LANG_STOPWORDS["de"]),
+            ("n_fr", LANG_STOPWORDS["fr"]),
+        )
+    }
+    d = docs.select("doc_id", *[c.alias(n) for n, c in counts.items()])
     pred = (
         F.when((F.col("n_en") >= F.col("n_de")) & (F.col("n_en") >= F.col("n_fr"))
                & (F.col("n_en") > 0), F.lit("en"))
@@ -48,13 +77,22 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn("pred_lang", pred).orderBy("doc_id")
 
 
+def _sql_wordlist(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
 TEXT_LANGID_SQL = f"""
-WITH d AS (
+WITH tok AS (
     SELECT doc_id,
-           CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_EN}')) AS BIGINT) AS n_en,
-           CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_DE}')) AS BIGINT) AS n_de,
-           CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_FR}')) AS BIGINT) AS n_fr
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                       t -> t <> '') AS toks
     FROM documents
+), d AS (
+    SELECT doc_id,
+           CAST(len(list_filter(toks, t -> t IN ({_sql_wordlist(LANG_STOPWORDS["en"])}))) AS BIGINT) AS n_en,
+           CAST(len(list_filter(toks, t -> t IN ({_sql_wordlist(LANG_STOPWORDS["de"])}))) AS BIGINT) AS n_de,
+           CAST(len(list_filter(toks, t -> t IN ({_sql_wordlist(LANG_STOPWORDS["fr"])}))) AS BIGINT) AS n_fr
+    FROM tok
 )
 SELECT doc_id, n_en, n_de, n_fr,
        CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en > 0 THEN 'en'

@@ -62,6 +62,12 @@ def get_spark(app_name: str = "last_minute_legends_spark",
         # emission can flip this back; no pipeline here requires it.
         .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         .config("spark.ui.enabled", "false")
+        # The driver's bench gate captures the LAST 2000 chars of
+        # combined stdout+stderr; the stage progress bar (stderr)
+        # shares that window with bench.py's one machine-readable
+        # JSON line (BENCH_r07's tail shows progress-bar frames
+        # eating ~180 chars of it). No human watches these runs.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     # Only force a master when none was provided externally (tests,
     # bare `python` runs). spark-submit injects its --master into the
