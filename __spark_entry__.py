@@ -20,11 +20,9 @@ def _prepare(spark: SparkSession) -> None:
     SparkSession (nanos-timestamp parquet reads, UTC determinism)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # run-to-completion streaming entries pay ~1 s of state-store
-    # fixed cost per micro-batch; emission is structural (two
-    # sentinel batches — streaming/pipeline.py), so no-data batches
-    # are pure overhead and correct to skip under any session
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    # (no-data micro-batches: the run-to-completion streaming drivers
+    # scope that opt-out around their own queries — streaming/
+    # pipeline.py sentinel_paced — so no session-level replay here)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -50,17 +50,12 @@ def get_spark(app_name: str = "last_minute_legends_spark",
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # The streaming drivers (streaming/pipeline.py, sessionize.py)
-        # make state emission STRUCTURAL: two watermark sentinels, the
-        # second of whose DATA batches performs the final emission —
-        # completeness never rides on the engine's no-data batches. For
-        # these run-to-completion pipelines a no-data batch is pure
-        # fixed cost (~1s state-store round per batch on local[32]);
-        # disabling them cut the windowed pipeline 8.6 → 5.3 s at
-        # sf0.1 (3 batches instead of 6, identical output — A/B'd).
-        # An always-on deployment that wants eager watermark-only
-        # emission can flip this back; no pipeline here requires it.
-        .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        # NOTE: spark.sql.streaming.noDataMicroBatches stays at the
+        # engine default here. The run-to-completion streaming drivers
+        # disable it around their own queries (streaming/pipeline.py
+        # sentinel_paced) — scoping it there keeps the library-wide
+        # default correct for always-on deployments, which need
+        # windows/sessions/timeouts to emit on watermark progress.
         .config("spark.ui.enabled", "false")
         # The driver's bench gate captures the LAST 2000 chars of
         # combined stdout+stderr; the stage progress bar (stderr)

@@ -27,7 +27,9 @@ micro-batch; the parquet sink append is idempotent per window.
 from __future__ import annotations
 
 import atexit
+import contextlib
 import datetime
+import glob
 import shutil
 import tempfile
 
@@ -88,22 +90,79 @@ def staged_files(spark: SparkSession) -> int:
     return spark.sparkContext.defaultParallelism
 
 
+def staged_file_count(staging: str) -> int:
+    """ACTUAL number of staged topic part files, counted from disk.
+
+    ``max_files_per_trigger`` must cover every staged file: the files
+    are written round-robin, so each one's event-time range spans the
+    whole table, and any file left to a later micro-batch arrives
+    behind the watermark the first batch advanced and is silently
+    dropped as late — wrong results, not an error. Sizing the trigger
+    from ``staged_files(spark)`` (the requested repartition count)
+    made correctness silently depend on the write producing <= that
+    many files; counting the real files removes the assumption."""
+    n = len(glob.glob(f"{staging}/in/part-*"))
+    if n == 0:
+        raise RuntimeError(f"no staged part files under {staging}/in")
+    return n
+
+
+@contextlib.contextmanager
+def sentinel_paced(spark: SparkSession):
+    """Disable no-data micro-batches for a run-to-completion pipeline
+    whose state emission is STRUCTURAL (two watermark sentinels, the
+    second of whose DATA batches performs the final emission —
+    completeness never rides on the engine's no-data batches). For
+    these pipelines a no-data batch is pure fixed cost (~1 s of
+    state-store round per batch on local[32]; disabling cut the
+    windowed pipeline 8.6 -> 5.3 s at sf0.1, identical output, A/B'd).
+
+    Scoped HERE, around each driver, rather than set globally in
+    session.py: an always-on deployment (the reference's Kafka shape)
+    wants windows/sessions/timeouts to emit on watermark progress, not
+    only on new-data arrival, so the library-wide default must stay
+    the engine's. The conf is read at query start, so wrapping
+    start()..stop() is sufficient; the previous value is restored on
+    exit whoever owns the session."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 _EVENT_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def append_sentinels(spark: SparkSession, staging: str, max_ts,
-                     hours: tuple[int, ...] = (3, 6), query=None) -> None:
+                     hours: tuple[int, ...] = (3, 6), *, query) -> None:
     """Write watermark-advancing sentinel events so event-time state
     flushes deterministically. Two sentinels are needed because a
     batch emits against the watermark computed at the END of the
     PREVIOUS batch: the first sentinel's batch advances the watermark
     past every real window, the second's batch performs the emission.
-    When ``query`` is given, each sentinel is drained into its own
+
+    ``query`` is REQUIRED: each sentinel must be drained into its own
     micro-batch before the next is written — with
     ``max_files_per_trigger`` sized to the staged topic, both sentinel
-    files would otherwise coalesce into ONE batch and the final
-    emission would hinge on the engine's no-data-batch behavior
-    instead of being structural."""
+    files would otherwise coalesce into ONE batch and (with no-data
+    batches disabled by ``sentinel_paced``) the final emission would
+    silently never happen. A default of None invited exactly that
+    bug, so the drain-per-sentinel contract is enforced at the call
+    site."""
+    if query is None:
+        raise ValueError(
+            "append_sentinels requires the running StreamingQuery: each "
+            "sentinel must drain into its own micro-batch "
+            "(query.processAllAvailable) or the final emission is lost")
     for i, h in enumerate(hours):
         sentinel = spark.createDataFrame(
             [(-(i + 1), max_ts + datetime.timedelta(hours=h),
@@ -125,7 +184,7 @@ def run_windowed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = parse_event_json(
         file_json_stream(spark, f"{staging}/in",
-                         max_files_per_trigger=staged_files(spark)))
+                         max_files_per_trigger=staged_file_count(staging)))
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -138,16 +197,17 @@ def run_windowed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "sum_value",
         )
     )
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", f"{staging}/out")
-        .option("checkpointLocation", f"{staging}/ckpt")
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    append_sentinels(spark, staging, max_ts, query=q)
-    q.stop()
+    with sentinel_paced(spark):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", f"{staging}/out")
+            .option("checkpointLocation", f"{staging}/ckpt")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        append_sentinels(spark, staging, max_ts, query=q)
+        q.stop()
 
     out = (
         spark.read.schema(RESULT_SCHEMA).parquet(f"{staging}/out")
@@ -188,8 +248,6 @@ def run_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its contract, so the safe unit is one batch; the state store
     still does the dedup work (``dropDuplicatesWithinWatermark``
     dedups within a batch through the same per-key state)."""
-    import glob
-
     staging, _max_ts = stage_events_json(spark, sf_dir)
     originals = glob.glob(f"{staging}/in/part-*")
     for f in originals:
@@ -202,15 +260,16 @@ def run_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", f"{staging}/out")
-        .option("checkpointLocation", f"{staging}/ckpt")
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with sentinel_paced(spark):
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", f"{staging}/out")
+            .option("checkpointLocation", f"{staging}/ckpt")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
 
     out = spark.read.schema(EVENT_SCHEMA).parquet(f"{staging}/out")
     shutil.rmtree(f"{staging}/in", ignore_errors=True)
@@ -241,7 +300,7 @@ def run_enriched_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = parse_event_json(
         file_json_stream(spark, f"{staging}/in",
-                         max_files_per_trigger=staged_files(spark)))
+                         max_files_per_trigger=staged_file_count(staging)))
     agg = (
         stream.join(F.broadcast(dim), "user_id", "left")
         .withWatermark("ts", "1 hour")
@@ -256,16 +315,17 @@ def run_enriched_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation", "n_events", "sum_value",
         )
     )
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", f"{staging}/out")
-        .option("checkpointLocation", f"{staging}/ckpt")
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    append_sentinels(spark, staging, max_ts, query=q)
-    q.stop()
+    with sentinel_paced(spark):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", f"{staging}/out")
+            .option("checkpointLocation", f"{staging}/ckpt")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        append_sentinels(spark, staging, max_ts, query=q)
+        q.stop()
 
     out = (
         spark.read.schema(ENRICH_SCHEMA).parquet(f"{staging}/out")

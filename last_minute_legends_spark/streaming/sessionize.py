@@ -49,8 +49,9 @@ from last_minute_legends_spark.sources.streams import (
 )
 from last_minute_legends_spark.streaming.pipeline import (
     append_sentinels,
+    sentinel_paced,
     stage_events_json,
-    staged_files,
+    staged_file_count,
 )
 
 GAP_MINUTES = 30
@@ -111,16 +112,17 @@ def _drive(spark: SparkSession, staging: str, sessions: DataFrame,
     deterministically (append mode only emits a session once the
     watermark passes its gap deadline); result read back from the
     parquet sink (distributed)."""
-    q = (
-        sessions.writeStream.format("parquet")
-        .option("path", f"{staging}/out")
-        .option("checkpointLocation", f"{staging}/ckpt")
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    append_sentinels(spark, staging, max_ts, query=q)
-    q.stop()
+    with sentinel_paced(spark):
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", f"{staging}/out")
+            .option("checkpointLocation", f"{staging}/ckpt")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        append_sentinels(spark, staging, max_ts, query=q)
+        q.stop()
 
     out = (
         spark.read.schema(OUTPUT_SCHEMA).parquet(f"{staging}/out")
@@ -143,7 +145,7 @@ def run_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = parse_event_json(
         file_json_stream(spark, f"{staging}/in",
-                         max_files_per_trigger=staged_files(spark)))
+                         max_files_per_trigger=staged_file_count(staging)))
     sessions = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(
@@ -170,7 +172,7 @@ def run_stream_sessionize_python_state(spark: SparkSession,
 
     stream = parse_event_json(
         file_json_stream(spark, f"{staging}/in",
-                         max_files_per_trigger=staged_files(spark)))
+                         max_files_per_trigger=staged_file_count(staging)))
     sessions = (
         stream.withWatermark("ts", "1 hour")
         .groupBy("user_id")

@@ -668,3 +668,162 @@ def test_stream_restart_from_checkpoint(spark, sf_dir):
         )
     finally:
         _sh.rmtree(root, ignore_errors=True)
+
+
+def test_sessionize_restart_from_checkpoint(spark, sf_dir):
+    """Session-window state recovery: a native session_window stream
+    stopped mid-topic and restarted from the SAME checkpoint must emit
+    exactly the continuous-run (= batch) session set. The topic halves
+    are split by event TIME, so sessions OPEN at the stop boundary are
+    restored from the checkpointed state store and extended by
+    phase-2 events — recovered state, not replay, determines their
+    start/end/count."""
+    import shutil as _sh
+    import tempfile
+
+    from last_minute_legends_spark.plans.events_analytics import sessionization
+    from last_minute_legends_spark.sources.streams import (
+        events_as_json, file_json_stream, parse_event_json,
+    )
+    from last_minute_legends_spark.sources.tables import load_table
+    from last_minute_legends_spark.streaming.pipeline import (
+        append_sentinels, sentinel_paced, staged_files,
+    )
+    from last_minute_legends_spark.streaming.sessionize import (
+        GAP_MINUTES, OUTPUT_SCHEMA, SENTINEL_USER,
+    )
+
+    root = tempfile.mkdtemp(prefix="ckpt_sess_restart_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props")
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        split = lo + (hi - lo) / 2
+        n = staged_files(spark)
+
+        def start_query():
+            stream = parse_event_json(
+                file_json_stream(spark, f"{root}/in",
+                                 max_files_per_trigger=n))
+            sessions = (
+                stream.withWatermark("ts", "1 hour")
+                .groupBy(F.session_window(
+                    "ts", f"{GAP_MINUTES} minutes").alias("w"), "user_id")
+                .agg(F.unix_micros(F.min("ts")).alias("session_start_us"),
+                     F.unix_micros(F.max("ts")).alias("session_end_us"),
+                     F.count(F.lit(1)).alias("n_events"))
+                .select("user_id", "session_start_us",
+                        "session_end_us", "n_events")
+            )
+            return (
+                sessions.writeStream.format("parquet")
+                .option("path", f"{root}/out")
+                .option("checkpointLocation", f"{root}/ckpt")
+                .outputMode("append")
+                .start()
+            )
+
+        with sentinel_paced(spark):
+            # phase 1: early half, then a hard stop mid-topic
+            (events_as_json(ev.filter(F.col("ts") <= F.lit(split)))
+             .repartition(n).write.mode("overwrite").text(f"{root}/in"))
+            q1 = start_query()
+            q1.processAllAvailable()
+            q1.stop()
+
+            # phase 2: late half; a NEW query resumes from the SAME
+            # checkpoint — open sessions restored from the state store
+            (events_as_json(ev.filter(F.col("ts") > F.lit(split)))
+             .repartition(n).write.mode("append").text(f"{root}/in"))
+            q2 = start_query()
+            q2.processAllAvailable()
+            append_sentinels(spark, root, hi, query=q2)
+            q2.stop()
+
+        got = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+               for r in spark.read.schema(OUTPUT_SCHEMA)
+               .parquet(f"{root}/out")
+               .filter(F.col("user_id") != SENTINEL_USER).collect()}
+        want = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+                for r in sessionization(spark, sf_dir).collect()}
+        assert got == want, (
+            f"sessionize restart diverged: lost={list(want - got)[:3]} "
+            f"dup_or_extra={list(got - want)[:3]}"
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+def test_dedup_restart_from_checkpoint(spark, sf_dir):
+    """dropDuplicatesWithinWatermark state recovery: stop after the
+    early half of the topic, then restart from the SAME checkpoint
+    with the late half PLUS a full redelivery of every file. The
+    restored per-key state (not replay) must drop the redelivered
+    rows inside the watermark horizon; redeliveries behind the
+    checkpointed watermark are dropped as late (the original already
+    emitted) — either way, each event lands exactly once."""
+    import glob as _glob
+    import shutil as _sh
+    import tempfile
+
+    from last_minute_legends_spark.sources.streams import (
+        events_as_json, file_json_stream, parse_event_json,
+    )
+    from last_minute_legends_spark.sources.tables import load_table
+    from last_minute_legends_spark.streaming.pipeline import (
+        EVENT_SCHEMA, sentinel_paced, staged_files,
+    )
+
+    root = tempfile.mkdtemp(prefix="ckpt_dedup_restart_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props")
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        split = lo + (hi - lo) / 2
+        n = staged_files(spark)
+
+        def start_query(max_files: int):
+            stream = parse_event_json(
+                file_json_stream(spark, f"{root}/in",
+                                 max_files_per_trigger=max_files))
+            deduped = (
+                stream.withWatermark("ts", "1 hour")
+                .dropDuplicatesWithinWatermark(["event_id"])
+            )
+            return (
+                deduped.writeStream.format("parquet")
+                .option("path", f"{root}/out")
+                .option("checkpointLocation", f"{root}/ckpt")
+                .outputMode("append")
+                .start()
+            )
+
+        with sentinel_paced(spark):
+            # phase 1: early-half originals only
+            (events_as_json(ev.filter(F.col("ts") <= F.lit(split)))
+             .repartition(n).write.mode("overwrite").text(f"{root}/in"))
+            q1 = start_query(n)
+            q1.processAllAvailable()
+            q1.stop()
+
+            # phase 2: redeliver EVERY phase-1 file, then append the
+            # late half; one batch covers all new files so no original
+            # can slide behind the watermark its own batch advances
+            originals = _glob.glob(f"{root}/in/part-*")
+            for f in originals:
+                _sh.copy(f, f"{f}-redelivered.txt")
+            (events_as_json(ev.filter(F.col("ts") > F.lit(split)))
+             .repartition(n).write.mode("append").text(f"{root}/in"))
+            q2 = start_query(len(originals) + n)
+            q2.processAllAvailable()
+            q2.stop()
+
+        got = spark.read.schema(EVENT_SCHEMA).parquet(f"{root}/out")
+        assert got.count() == ev.count(), (
+            f"exactly-once violated across restart: {got.count()} rows "
+            f"vs {ev.count()} distinct events"
+        )
+        diff = ev.exceptAll(got).count() + got.exceptAll(ev).count()
+        assert diff == 0, f"{diff} rows differ after restart dedup"
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
