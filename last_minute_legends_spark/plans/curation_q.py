@@ -494,6 +494,99 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle_ctes(n_merges: int = 16, min_count: int = 2) -> str:
+    """Generate the DuckDB CTE chain that replays BPE training
+    exactly: 16 unrolled rounds of (pair-count -> argmax -> greedy
+    merge fold), matching operators/bpe.py semantics symbol for
+    symbol.
+
+    The merge application MUST be a true left-to-right sequential
+    fold (the recursive fold{k} CTEs walk one symbol position per
+    iteration): a replace-until-fixpoint string rewrite looks
+    equivalent but diverges on runs — e.g. merging ('a','a') over
+    six a's gives [aa,aa,aa] under the fold but [aa,a,aa,a] under
+    non-overlapping replace, because the fold lets a symbol consumed
+    as a merge's RIGHT never start the next pair while replace
+    re-scans from a shared boundary.
+
+    Early stop parity: top{k} keeps only pairs with cnt >=
+    ``min_count``; when it is empty the scalar subqueries are NULL,
+    every CASE falls to the no-merge branch, the state freezes, and
+    all later rounds stay empty — exactly train_bpe's break."""
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    # Every state{k} is referenced twice by round k+1 (pair counting
+    # and the fold) — DuckDB inlines CTEs by default, which would
+    # expand state16 into 2^16 scans of the base table ("too many
+    # open files" long before any result). MATERIALIZED pins each
+    # round's state to one evaluation, the same shape as Spark's
+    # per-round localCheckpoint.
+    parts = [f"""wf AS MATERIALIZED (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split({norm}, ' ')) AS word FROM documents)
+    WHERE length(word) > 0 GROUP BY word
+), state0 AS MATERIALIZED (
+    SELECT word, freq,
+           list_transform(generate_series(1, length(word)), i -> word[i]) AS syms
+    FROM wf
+)"""]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(f"""pairs{k} AS (
+    SELECT s.syms[i] AS l, s.syms[i+1] AS r, CAST(sum(s.freq) AS BIGINT) AS cnt
+    FROM state{p} s, unnest(generate_series(1, len(s.syms) - 1)) t(i)
+    GROUP BY 1, 2
+), top{k} AS (
+    SELECT l, r, cnt FROM pairs{k}
+    WHERE cnt >= {min_count}
+    ORDER BY cnt DESC, l, r LIMIT 1
+), fold{k}(word, freq, syms, i, acc) AS (
+    SELECT word, freq, syms, 1, [syms[1]] FROM state{p}
+    UNION ALL
+    SELECT f.word, f.freq, f.syms, f.i + 1,
+           CASE WHEN f.acc[len(f.acc)] = (SELECT l FROM top{k})
+                 AND f.syms[f.i+1] = (SELECT r FROM top{k})
+                THEN list_append(f.acc[1:len(f.acc)-1],
+                                 (SELECT l || r FROM top{k}))
+                ELSE list_append(f.acc, f.syms[f.i+1]) END
+    FROM fold{k} f WHERE f.i < len(f.syms)
+), state{k} AS MATERIALIZED (
+    SELECT word, freq, acc AS syms FROM fold{k} WHERE i = len(syms)
+)""")
+    return ",\n".join(parts)
+
+
+_BPE_N_MERGES = 16
+
+TRAIN_BPE_SQL = (
+    "WITH RECURSIVE\n" + _bpe_oracle_ctes(_BPE_N_MERGES) + "\n"
+    + "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f'SELECT CAST({k - 1} AS BIGINT) AS rank, l AS "left", r AS "right", '
+        f'l || r AS merged, cnt AS "count" FROM top{k}'
+        for k in range(1, _BPE_N_MERGES + 1))
+    + "\n) ORDER BY rank"
+)
+
+BPE_TOKENIZE_SQL = (
+    "WITH RECURSIVE\n" + _bpe_oracle_ctes(_BPE_N_MERGES) + f""",
+docw AS (
+    SELECT doc_id, i AS pos, ws[i] AS word
+    FROM (SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+          FROM documents),
+         unnest(generate_series(1, len(ws))) t(i)
+    WHERE length(ws[i]) > 0
+), enc AS (
+    SELECT d.doc_id, flatten(list(s.syms ORDER BY d.pos)) AS tokens
+    FROM docw d JOIN state{_BPE_N_MERGES} s USING (word)
+    GROUP BY d.doc_id
+)
+SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+       tokens[1:8] AS head_tokens
+FROM enc ORDER BY doc_id"""
+)
+
+
 SPARK = {
     "text_pii_redact": text_pii_redact,
     "text_repetition": text_repetition,
@@ -522,8 +615,15 @@ SQL = {
 }
 
 # Value-level oracles run by tests/test_oracle.py (same comparison
-# as the driver's gate, executed locally).
+# as the driver's gate, executed locally). The BPE pair closes the
+# last oracle-less batch family: the training loop is replayed in
+# DuckDB as 16 unrolled rounds of recursive-CTE greedy folds
+# (_bpe_oracle_ctes), so both the learned merge table and the full
+# corpus tokenization are value-checked against an independent
+# engine, not just planted unit tests.
 LOCAL_SQL = {
     "corpus_stats": CORPUS_STATS_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_SQL,
+    "train_bpe": TRAIN_BPE_SQL,
+    "bpe_tokenize": BPE_TOKENIZE_SQL,
 }

@@ -43,6 +43,11 @@ def _norm_value(v):
             return None
         if isinstance(v, pd.Timestamp):
             return v.isoformat()
+        # array-typed result columns: Spark's toPandas yields
+        # numpy arrays, DuckDB yields lists — normalize both to
+        # tuples so tuple equality compares by value
+        if isinstance(v, (np.ndarray, list, tuple)):
+            return tuple(_norm_value(x) for x in v)
     except ImportError:
         pass
     return v
