@@ -251,12 +251,22 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     )
 
 
+def _xx_perm_hash(s, i: int):
+    """Default permutation hash: xxhash64(shingle, perm-index) — the
+    fastest JVM-codegen path. Injectable (see minhash_lsh_pairs) so
+    the cross-engine replay test can substitute an md5-prefix hash
+    that DuckDB computes identically."""
+    return F.xxhash64(s, F.lit(i))
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", n: int = 3) -> DataFrame:
+                       text_col: str = "text", n: int = 3,
+                       perm_hash=None) -> DataFrame:
     """(doc_id, h0..h{N_PERM-1}) minhash signature columns."""
+    perm_hash = perm_hash or _xx_perm_hash
     sh = _shingle_sets(docs, id_col, text_col, n)
     aggs = [
-        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+        F.min(perm_hash(F.col("s"), i)).alias(f"h{i}")
         for i in range(N_PERM)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -264,16 +274,26 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
                       id_col: str = "doc_id", text_col: str = "text",
-                      n: int = 3) -> DataFrame:
+                      n: int = 3, perm_hash=None, band_hash=None) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH candidates, verified with
     the true shingle Jaccard (so output = jaccard_pairs minus any
     LSH false negatives — at 8 bands × 4 rows the miss rate at
-    j=0.8 is (1-0.8^4)^8 ≈ 0.5%%)."""
+    j=0.8 is (1-0.8^4)^8 ≈ 0.5%%).
+
+    ``perm_hash(shingle_col, i) -> Column`` and
+    ``band_hash(*h_cols) -> Column`` default to the xxhash64 forms
+    (production hot path, JVM codegen). They are injectable ONLY so
+    tests/test_hash_replay.py can run the identical pipeline with an
+    md5-prefix hash both Spark and DuckDB compute bit-for-bit, turning
+    the banding/min-agg/verify arithmetic into a full cross-engine
+    value check (xxhash64 exists in no second engine)."""
+    perm_hash = perm_hash or _xx_perm_hash
+    band_hash = band_hash or F.xxhash64
     # shingles feed the signature pass, both verify sides, and sizes —
     # persist the exploded frame once (LRU-evicted, disk-spillable)
     sh = _shingle_sets(docs, id_col, text_col, n).persist()
     aggs = [
-        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+        F.min(perm_hash(F.col("s"), i)).alias(f"h{i}")
         for i in range(N_PERM)
     ]
     # n_sh comes out of the SAME signature groupBy (stamped on every
@@ -285,8 +305,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"h{b * ROWS_PER_BAND + r}")
-                         for r in range(ROWS_PER_BAND)]).alias("bv"),
+            band_hash(*[F.col(f"h{b * ROWS_PER_BAND + r}")
+                        for r in range(ROWS_PER_BAND)]).alias("bv"),
         )
         for b in range(N_BANDS)
     ])
@@ -325,7 +345,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text", token_hash=None) -> DataFrame:
     """(doc_id, simhash) — 64-bit signature per document: for each
     bit, majority vote of the distinct-token hashes' bit values
     (ties → 0).
@@ -347,13 +367,20 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     parallelism at scale, and the explicit spread shuffle measured
     ~3x the whole aggregation locally. ``explode_outer`` keeps empty
     documents (n=0 → every majority fails → simhash 0, matching the
-    fold-over-empty-array semantics)."""
+    fold-over-empty-array semantics).
+
+    ``token_hash(token_col) -> Column`` defaults to xxhash64 (the
+    production path); injectable only for the DuckDB cross-engine
+    replay (tests/test_hash_replay.py) — a 60-bit md5-prefix hash
+    leaves bits 60-63 zero on both engines, so the replay exercises
+    the packed-counter majority arithmetic bit-for-bit."""
+    token_hash = token_hash or F.xxhash64
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(F.array_distinct(words(F.col(text_col)))).alias("t"),
     ).select(
         "doc_id",
-        F.when(F.col("t").isNotNull(), F.xxhash64(F.col("t"))).alias("h"),
+        F.when(F.col("t").isNotNull(), token_hash(F.col("t"))).alias("h"),
     )
     # The packed-counter aggs and the 64-term majority word are built
     # as SQL strings: composing them from pyspark Column operators
@@ -381,13 +408,15 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  token_hash=None) -> DataFrame:
     """Candidate near-dup pairs: equal in at least one 16-bit band
     (guarantees recall for hamming <= 3; good heuristic above),
-    verified by bit_count(xor) <= max_hamming."""
+    verified by bit_count(xor) <= max_hamming. ``token_hash`` is the
+    simhash_signatures injection point (cross-engine replay only)."""
     # both sides of the band self-join read the signature — persist so
     # the 64-bit aggregate expression runs once per doc, not twice
-    sig = simhash_signatures(docs, id_col, text_col).persist()
+    sig = simhash_signatures(docs, id_col, text_col, token_hash).persist()
     bands = F.array(*[
         F.struct(
             F.lit(k).alias("band"),

@@ -51,12 +51,21 @@ ACTION_TYPES = ("sign_in", "sign_out", "item_view", "added_to_cart",
 
 def simulated_event_columns(start_us: int = 1_700_000_000_000_000,
                             step_us: int = 1_000_000, seed: int = 0,
-                            n_items: int = 200) -> list:
+                            n_items: int = 200, hash_fn=None) -> list:
     """The generator itself: TYPED_UNION_SCHEMA-ordered column
     expressions, each a pure hash/arithmetic function of an ``id``
     column. Works over any monotonically-ids'd frame — batch
-    ``spark.range`` and the streaming rate source alike."""
+    ``spark.range`` and the streaming rate source alike.
+
+    ``hash_fn(id_col, seed, k) -> Column`` defaults to the xxhash64
+    form (production path). Injectable only so the DuckDB replay test
+    (tests/test_simulator_replay.py) can swap in an md5-prefix hash
+    both engines compute identically, value-checking every closed-form
+    derivation (registration permutation, pool-bounded user refs,
+    per-type field sets) against an independent engine."""
     def h(k: int):
+        if hash_fn is not None:
+            return hash_fn(F.col("id"), seed, k)
         return F.xxhash64(F.col("id"), F.lit(seed), F.lit(k))
 
     def pick(options: tuple[str, ...], k: int):
@@ -110,11 +119,11 @@ def simulated_event_columns(start_us: int = 1_700_000_000_000_000,
 def simulate_user_activity(spark: SparkSession, n_events: int = 10_000,
                            start_us: int = 1_700_000_000_000_000,
                            step_us: int = 1_000_000, seed: int = 0,
-                           n_items: int = 200) -> DataFrame:
+                           n_items: int = 200, hash_fn=None) -> DataFrame:
     """(union-view typed event frame) — ``n_events`` deterministic
     user-activity events, one per ``step_us`` of simulated time."""
     return spark.range(n_events).select(
-        *simulated_event_columns(start_us, step_us, seed, n_items))
+        *simulated_event_columns(start_us, step_us, seed, n_items, hash_fn))
 
 
 def simulate_user_activity_stream(spark: SparkSession,

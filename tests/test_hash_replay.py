@@ -1,0 +1,179 @@
+"""Cross-engine value replay of the MinHash-LSH and SimHash pipelines.
+
+The production operators hash with ``xxhash64`` — the fastest JVM
+codegen path, but a function no second engine implements — so their
+external check has been rows-only (plus the brute-force recall
+cross-checks in tests/test_operators.py). Here the SAME operator code
+runs with an injected md5-prefix hash (first 15 hex chars of md5 →
+60-bit non-negative int) that DuckDB computes bit-for-bit identically,
+and a from-scratch DuckDB replay recomputes shingles → permutation
+min-hashes → band keys → length-filtered candidates → exact-Jaccard
+verify (resp. token hashes → per-bit majority → 16-bit bands →
+hamming verify). A full rows+schema+values compare then covers every
+arithmetic step of the banding pipelines, not just their row counts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from last_minute_legends_spark.operators.dedup import (
+    N_BANDS,
+    N_PERM,
+    ROWS_PER_BAND,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from last_minute_legends_spark.sources.tables import Catalog
+from tests.oracle import compare, run_oracle
+
+THRESHOLD = 0.8
+MAX_HAMMING = 3
+
+
+def _md5h(*cols):
+    """60-bit hash from the md5 of ':'-joined inputs — same string,
+    same digest, same integer on both engines."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", *cols)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _spark_perm_hash(s, i: int):
+    return _md5h(s, F.lit(str(i)))
+
+
+def _spark_band_hash(*cols):
+    # band key = '|'-joined decimal renderings (Long.toString and
+    # BIGINT::VARCHAR agree for non-negative values)
+    return F.concat_ws("|", *[c.cast("string") for c in cols])
+
+
+def _dh(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::UBIGINT::BIGINT"
+
+
+_SHINGLES_CTE = r"""
+tok AS (
+    SELECT doc_id,
+           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+    FROM tok, UNNEST(generate_series(1, len(w) - 2)) t(i)
+)"""
+
+
+def _minhash_replay_sql() -> str:
+    mins = ", ".join(
+        "min({h}) AS h{i}".format(h=_dh("s || ':{}'".format(i)), i=i)
+        for i in range(N_PERM)
+    )
+    band_selects = "\n    UNION ALL ".join(
+        "SELECT doc_id, n_sh, {b} AS band, {bv} AS bv FROM sig".format(
+            b=b,
+            bv=" || '|' || ".join(
+                f"h{b * ROWS_PER_BAND + r}::VARCHAR"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+    SELECT doc_id, count(*) AS n_sh, {mins}
+    FROM sh GROUP BY doc_id
+), bands AS (
+    {band_selects}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.n_sh AS na, b.n_sh AS nb
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+     AND least(a.n_sh, b.n_sh) >= {THRESHOLD} * greatest(a.n_sh, b.n_sh) - 1e-9
+), inter AS (
+    SELECT doc_a, doc_b, na, nb, count(*) AS inter
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.doc_a
+    JOIN sh sb ON sb.doc_id = cand.doc_b AND sa.s = sb.s
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(inter / (na + nb - inter), 4) AS jaccard
+FROM inter
+WHERE inter / (na + nb - inter) >= {THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _simhash_replay_sql() -> str:
+    csum = ", ".join(f"sum((h >> {b}) & 1) AS c{b}" for b in range(64))
+    majority = " | ".join(
+        f"(CASE WHEN 2 * c{b} > n THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(64)
+    )
+    return f"""
+WITH tokd AS (
+    SELECT DISTINCT doc_id, t
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
+        FROM documents
+    )
+), h AS (
+    SELECT doc_id, {_dh('t')} AS h FROM tokd
+), sums AS (
+    SELECT doc_id, count(*) AS n, {csum} FROM h GROUP BY doc_id
+), sig AS (
+    SELECT doc_id, ({majority}) AS simhash FROM sums
+), bands AS (
+    SELECT doc_id, simhash, k AS band,
+           (simhash >> (16 * k)) & 65535 AS bv
+    FROM sig, UNNEST([0, 1, 2, 3]) t(k)
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming
+FROM pairs WHERE hamming <= {MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return Catalog(spark, sf_dir).documents.select("doc_id", "text")
+
+
+def test_minhash_lsh_duckdb_replay(spark, sf_dir, docs):
+    sdf = minhash_lsh_pairs(
+        docs, threshold=THRESHOLD,
+        perm_hash=_spark_perm_hash, band_hash=_spark_band_hash,
+    ).orderBy("doc_a", "doc_b")
+    odf = run_oracle(_minhash_replay_sql(), sf_dir)
+    issues = compare(sdf, odf)
+    assert not issues, "minhash replay: " + "\n".join(issues)
+
+
+def test_simhash_duckdb_replay(spark, sf_dir, docs):
+    sdf = simhash_pairs(
+        docs, max_hamming=MAX_HAMMING, token_hash=_md5h
+    ).orderBy("doc_a", "doc_b")
+    odf = run_oracle(_simhash_replay_sql(), sf_dir)
+    issues = compare(sdf, odf)
+    assert not issues, "simhash replay: " + "\n".join(issues)
+
+
+def test_injected_hash_changes_nothing_semantic(spark, sf_dir, docs):
+    """The injection must not change WHAT the pipeline finds when the
+    hash is the production one: default-vs-explicit-default parity."""
+    from last_minute_legends_spark.operators.dedup import _xx_perm_hash
+
+    a = minhash_lsh_pairs(docs, threshold=THRESHOLD)
+    b = minhash_lsh_pairs(docs, threshold=THRESHOLD,
+                          perm_hash=_xx_perm_hash, band_hash=F.xxhash64)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
