@@ -1,0 +1,20 @@
+#!/bin/bash
+# One fresh JVM per cell: isolates each scaling exponent from the
+# old-gen GC pressure a shared long-lived local[32] JVM accumulates
+# (measured up to 3x inflation on late cells in whole-suite runs).
+# Results merge into scale_local.json across invocations.
+set -e
+cd "$(dirname "$0")/.."
+MULTS="${*:-1 3 10}"
+# SCALE_FRESH=1 starts a new scale_local.json; default accumulates
+# minima across invocations (the throttling-robust protocol)
+[ -n "$SCALE_FRESH" ] && rm -f scale_local.json
+CELLS="dedup_exact dedup_ngram_jaccard dedup_minhash_lsh dedup_simhash \
+dedup_embedding dedup_clusters ann_ivf_topk ann_quantized_topk \
+curated_training_set sessionization rollup_timeseries events_quantiles \
+latest_by_user funnel json_props"
+for c in $CELLS; do
+    # shellcheck disable=SC2086
+    python tools/scale_bench.py --mults $MULTS --cells "$c" 2>/dev/null \
+        | grep -E "^$c" || true
+done

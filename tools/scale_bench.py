@@ -1,0 +1,319 @@
+#!/usr/bin/env python
+"""1x / 3x / 10x scaling measurement for the LLM-pipeline operators.
+
+VERDICT r8 asked for the scale story to be *measured*, not asserted:
+the PPJoin/banding design claims candidate generation grows ~linearly
+in corpus size when near-dup density per document is held constant.
+The shipped testdata tops out at sf0.1 (5k docs / 2k vectors), so this
+tool generates deterministic scaled corpora and re-times the dedup
+tiers, IVF/quantized ANN, and the curation flagship at 1x, 3x and 10x
+of that size, then fits the scaling exponent
+``log(T_10x / T_1x) / log(10)`` per cell.
+
+Corpus design (why not just replicate sf0.1 10x):
+
+- Replicating the shipped documents verbatim would create exact-dup
+  clusters of size 10 and quadratic-width shingle groups — a changed
+  workload, not a scaled one. The shipped documents also draw from a
+  ~40-word vocabulary, so the number of RANDOM pairs above the 0.8
+  Jaccard threshold grows ~quadratically with corpus size: at that
+  distribution even a perfect algorithm has quadratic OUTPUT. A 100 TB
+  web corpus is the opposite regime (Heaps-law vocabulary growth,
+  near-constant per-doc dup rate), which is the regime the linearity
+  claim is about.
+- Generated docs therefore draw 30-70 words per doc from a 20k-token
+  vocabulary (plus a 20% mix of 40 common stopwords, so the prefix
+  filter still sees frequent shingles it must refuse to index), and
+  every 20th doc is a planted one-word-mutated copy of its predecessor
+  (3-gram Jaccard ~0.88, above the 0.8 threshold) — fixed near-dup
+  density, linear true-pair count, collision structure dominated by
+  the planted pairs exactly as at production scale.
+- Embeddings are deterministic pseudo-uniform [-1,1]^64 vectors
+  (cosines concentrate near 0) with a +0.1-perturbed copy planted
+  every 50th vector — same operating point as dedup_embedding.
+
+Everything is a pure hash/arithmetic function of the row id (the
+sources/simulator.py discipline): no RNG state, no driver loop,
+identical data at any partitioning.
+
+The timed cells are the REGISTRY callables (plans/queries.py) pointed
+at the generated directory — the exact code the driver benches, not
+reimplementations. min-of-2 with cache clearing between runs, noop
+sink, same harness shape as bench.py.
+
+Interpretation note recorded with the results: at these absolute sizes
+(sub-second to ~10 s cells) each cell carries ~0.2-0.5 s of fixed
+job-scheduling overhead, which DEFLATES exponents for fast cells; the
+honest read is "exponent <= ~1.1 and absolute times small", not the
+raw exponent alone.
+
+Cells run ONE PER PROCESS by default (tools/run_scale_bench.sh loops
+over them): a shared long-lived JVM accumulates old-gen pressure that
+inflated later cells up to 3x in whole-suite runs (jaccard x10 59.6 s
+mid-suite vs 19.5 s in a fresh JVM — measured, not hypothesized), and
+a per-cell fresh JVM plus a per-cell warmup run at the smallest mult
+(whole-stage codegen compiles per plan SHAPE, then caches across
+input paths) isolates each exponent from both effects. Results MERGE
+into scale_local.json so the per-cell invocations compose.
+
+Usage:  python tools/scale_bench.py [--mults 1 3 10] [--cells ...]
+        tools/run_scale_bench.sh       # one fresh JVM per cell
+Writes/merges scale_local.json at the repo root and prints a table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_DOCS = 5_000      # sf0.1's documents row count
+BASE_VECS = 2_000      # sf0.1's embeddings row count
+BASE_EVENTS = 100_000  # sf0.1's events row count
+BASE_USERS = 1_500     # sf0.1's distinct user_id count
+DIM = 64
+VOCAB = 20_000
+STOPWORDS = (
+    "the of and to in is was for on with as by at from it that this "
+    "be are were has had not but or an if then else when where who "
+    "what which how all any each"
+).split()  # 40 common tokens -> frequent shingles the prefix filter must skip
+
+CELLS = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_clusters",
+    "ann_ivf_topk",
+    "ann_quantized_topk",
+    "curated_training_set",
+    # event-analytics cells (scaled events: user count grows with the
+    # corpus, per-user event density constant — the production regime)
+    "sessionization",
+    "rollup_timeseries",
+    "events_quantiles",
+    "latest_by_user",
+    "funnel",
+    "json_props",
+]
+
+
+def gen_documents(spark, n_docs: int, out_path: str) -> None:
+    from pyspark.sql import functions as F
+
+    ids = spark.range(n_docs)
+    is_copy = F.col("id") % 20 == 1
+    base = F.when(is_copy, F.col("id") - 1).otherwise(F.col("id"))
+
+    def h(k, *cols):
+        return F.xxhash64(*cols, F.lit(k))
+
+    n_words = (F.pmod(h(0, base), F.lit(41)) + 30).cast("int")
+    # the one mutated position of a planted copy (interior, so three
+    # 3-gram shingles change): 5..24 < min doc length 30
+    mut_pos = (F.pmod(h(1, F.col("id")), F.lit(20)) + 5).cast("int")
+
+    def word(pos):
+        stop = F.element_at(
+            F.array(*[F.lit(s) for s in STOPWORDS]),
+            (F.pmod(h(2, base, pos), F.lit(len(STOPWORDS))) + 1).cast("int"),
+        )
+        rare = F.concat(F.lit("tok"),
+                        F.pmod(h(3, base, pos), F.lit(VOCAB)).cast("string"))
+        picked = F.when(F.pmod(h(4, base, pos), F.lit(5)) == 0, stop).otherwise(rare)
+        return F.when(is_copy & (pos == mut_pos),
+                      F.concat(F.lit("mut"), F.col("id").cast("string"))
+                      ).otherwise(picked)
+
+    words = F.transform(F.sequence(F.lit(0), n_words - 1), word)
+    text = F.array_join(words, " ")
+    docs = ids.select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("zh")),
+                     (F.pmod(h(5, F.col("id")), F.lit(4)) + 1).cast("int")
+                     ).alias("lang"),
+        F.concat(F.lit("src"), F.pmod(h(6, F.col("id")), F.lit(5)).cast("string")
+                 ).alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs.write.mode("overwrite").parquet(out_path)
+
+
+def gen_embeddings(spark, n_vecs: int, out_path: str) -> None:
+    from pyspark.sql import functions as F
+
+    ids = spark.range(n_vecs)
+    is_copy = F.col("id") % 50 == 1
+    base = F.when(is_copy, F.col("id") - 1).otherwise(F.col("id"))
+    comp = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda j: (F.pmod(F.xxhash64(base, j, F.lit(7)), F.lit(2001))
+                   / F.lit(1000.0) - 1).cast("float"),
+    )
+    vec = F.when(
+        is_copy,
+        F.concat(F.array((F.element_at(comp, 1) + F.lit(0.1)).cast("float")),
+                 F.expr("slice(__c, 2, {})".format(DIM - 1))),
+    ).otherwise(F.col("__c"))
+    emb = ids.withColumn("__c", comp).select(
+        F.col("id").alias("vec_id"),
+        vec.cast("array<float>").alias("embedding"),
+        F.pmod(F.xxhash64("id", F.lit(8)), F.lit(10)).cast("int").alias("label"),
+    )
+    emb.write.mode("overwrite").parquet(out_path)
+
+
+def gen_events(spark, n_events: int, n_users: int, out_path: str) -> None:
+    """sf0.1-shaped events at any size: ids are the clock (~0.4-0.8 s
+    hash-jittered gaps, so the time range grows with the corpus while
+    per-user density stays constant — user count scales with mult)."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(n_events)
+
+    def h(k):
+        return F.xxhash64(F.col("id"), F.lit(9), F.lit(k))
+
+    start_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+    ts_us = (F.lit(start_us) + F.col("id") * F.lit(400_000)
+             + F.pmod(h(1), F.lit(400_000)))
+    ev = ids.select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(ts_us).alias("ts"),
+        F.pmod(h(2), F.lit(n_users)).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in
+                      ("view", "click", "purchase", "signup", "error")]),
+            (F.pmod(h(3), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(h(4), F.lit(20_000)) / F.lit(100.0)).alias("value"),
+        F.concat(F.lit('{"k": '), F.pmod(h(5), F.lit(100)).cast("string"),
+                 F.lit("}")).alias("props"),
+    )
+    ev.write.mode("overwrite").parquet(out_path)
+
+
+def ensure_corpus(spark, mult: int, root: str) -> str:
+    d = os.path.join(root, f"x{mult}")
+    marker = os.path.join(d, "_GENERATED_v2")  # v2: + events.parquet
+    if not os.path.exists(marker):
+        t0 = time.perf_counter()
+        gen_documents(spark, BASE_DOCS * mult, os.path.join(d, "documents.parquet"))
+        gen_embeddings(spark, BASE_VECS * mult, os.path.join(d, "embeddings.parquet"))
+        gen_events(spark, BASE_EVENTS * mult, BASE_USERS * mult,
+                   os.path.join(d, "events.parquet"))
+        with open(marker, "w") as f:
+            f.write(json.dumps({"mult": mult, "docs": BASE_DOCS * mult,
+                                "vecs": BASE_VECS * mult,
+                                "events": BASE_EVENTS * mult,
+                                "gen_sec": round(time.perf_counter() - t0, 2)}))
+    return d
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", nargs="+", type=int, default=[1, 3, 10])
+    ap.add_argument("--out", default="/tmp/scale_corpora")
+    ap.add_argument("--cells", nargs="+", default=CELLS)
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from last_minute_legends_spark.session import get_spark
+    from last_minute_legends_spark.plans.queries import QUERIES
+
+    spark = get_spark("llm-spark-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs = {m: ensure_corpus(spark, m, args.out) for m in args.mults}
+
+    # warmup (JVM + codegen + python daemon fleet)
+    QUERIES["dedup_exact"](spark, dirs[args.mults[0]]).write.mode(
+        "overwrite").format("noop").save()
+
+    results: dict[str, dict] = {}
+    for name in args.cells:
+        per_mult: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        # per-cell warmup at the smallest mult: whole-stage codegen
+        # compiles once per plan SHAPE and is then cached across input
+        # paths, so without this the smallest mult absorbs the one-time
+        # compile cost and the fitted exponent is deflated (observed:
+        # jaccard x1 13.1 s > x3 7.8 s on the first full run)
+        QUERIES[name](spark, dirs[min(args.mults)]).write.mode(
+            "overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        for m in args.mults:
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, dirs[m]).write.mode(
+                    "overwrite").format("noop").save()
+                times.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            per_mult[str(m)] = round(min(times), 3)
+            rows[str(m)] = QUERIES[name](spark, dirs[m]).count()
+            spark.catalog.clearCache()
+        results[name] = {"sec": per_mult, "rows": rows,
+                         "loadavg_1m": round(os.getloadavg()[0], 2)}
+        print(f"{name:24s} " +
+              " ".join(f"x{m}={per_mult[str(m)]:7.3f}s" for m in args.mults) +
+              f"  rows {'/'.join(str(rows[str(m)]) for m in args.mults)}",
+              flush=True)
+
+    # Merge into scale_local.json taking the per-(cell, mult) MINIMUM
+    # across invocations: this box suffers intermittent hypervisor
+    # throttling invisible to the guest (nonzero vmstat steal; the
+    # r7/r8 bench contamination signature), inflating any single run
+    # 2-10x. Minima over repeated runs converge on the uncontended
+    # time — throttling can slow a run, never speed one up — and the
+    # exponent is fitted on the merged minima.
+    out_json = os.path.join(REPO, "scale_local.json")
+    try:
+        with open(out_json) as f:
+            payload = json.load(f)
+    except (OSError, ValueError):
+        payload = {}
+    cells = payload.setdefault("cells", {})
+    for name, rec in results.items():
+        old = cells.get(name, {})
+        sec = dict(old.get("sec", {}))
+        for m, v in rec["sec"].items():
+            sec[m] = min(sec.get(m, v), v)
+        runs = old.get("runs", 0) + 1
+        lo, hi = str(min(args.mults)), str(max(args.mults))
+        exp = None
+        if lo != hi and sec.get(lo, 0) > 0 and sec.get(hi):
+            exp = round(math.log(sec[hi] / sec[lo])
+                        / math.log(max(args.mults) / min(args.mults)), 3)
+        cells[name] = {"sec": sec, "rows": rec["rows"], "runs": runs,
+                       "exponent": exp,
+                       "loadavg_1m": rec["loadavg_1m"]}
+        print(f"merged {name}: " +
+              " ".join(f"x{m}={sec[m]:.3f}" for m in sorted(sec, key=int)) +
+              f" exponent={exp} ({runs} runs)", flush=True)
+    payload.update({
+        "base_docs": BASE_DOCS, "base_vecs": BASE_VECS, "dim": DIM,
+        "mults": args.mults,
+        "note": ("per-(cell,mult) MIN across repeated fresh-JVM runs "
+                 "(min-of-2 within a run), noop sink, registry "
+                 "callables on generated corpora, per-cell warmup at "
+                 "the smallest mult; minima defeat the intermittent "
+                 "host throttling this box exhibits; fixed ~0.2-0.5s "
+                 "job-scheduling overhead still deflates exponents of "
+                 "sub-second cells"),
+    })
+    with open(out_json, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
