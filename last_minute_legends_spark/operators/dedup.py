@@ -511,8 +511,46 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
-N_PLANES = 64        # sign-LSH signature bits
+N_PLANES = 64        # sign-LSH signature bits (legacy fixed config)
 EMB_BANDS = 8        # → 8 bits per band
+
+
+def lsh_params(n_vectors: int, threshold: float = 0.95,
+               target_recall: float = 0.98,
+               cands_per_vector: int = 32) -> tuple[int, int]:
+    """(bits_per_band, n_bands) for sign-LSH, sized to the corpus.
+
+    Sign-LSH per-bit agreement for a pair at cosine c is
+    p = 1 − arccos(c)/π (0.899 at c=0.95). A RANDOM pair (cos≈0)
+    agrees per bit w.p. 1/2, so a b-bit band collides w.p. 2⁻ᵇ and
+    expected random candidates are m·n²/2ᵇ⁺¹ — a FIXED band width is
+    a quadratic tier in disguise. Measured (tools/scale_bench.py,
+    BASELINE_LOCAL r9): the legacy 8×8 config hit 100 s / exponent
+    1.28 at 30× sf0.1 — the only superlinear cell in the suite.
+
+    This solves the fixpoint of
+        b = ⌈log₂(n·m / cands_per_vector)⌉      (expected random
+            candidates ≈ cands_per_vector·n/2 — linear in n)
+        m = ⌈ln(1−r) / ln(1−pᵇ)⌉                 (band count restoring
+            recall r at the threshold)
+    m grows only ~n^0.15 at threshold 0.95, so total candidate volume
+    is ~n^1.15 and signature work is b·m ≈ log n · n^0.15 planes per
+    vector — the 100 TB path. At sf0.001 sizes the fixpoint lands on
+    exactly the legacy 8 bands × 8 bits, so small-scale candidates
+    (and the driver-oracle output) are unchanged.
+    """
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    n = max(n_vectors, 2)
+    bits, m = 8, 8
+    for _ in range(8):  # converges in <=4 iterations in practice
+        new_bits = max(8, math.ceil(math.log2(max(n * m / cands_per_vector, 2))))
+        new_m = max(4, math.ceil(math.log(1.0 - target_recall)
+                                 / math.log(1.0 - p ** new_bits)))
+        if (new_bits, new_m) == (bits, m):
+            break
+        bits, m = new_bits, new_m
+    # band values are packed into one long — 63 usable bits
+    return min(bits, 63), m
 
 
 def random_hyperplanes(spark: SparkSession, n_planes: int = N_PLANES,
@@ -601,39 +639,118 @@ def embedding_signatures(emb: DataFrame, planes: DataFrame,
     )
 
 
-def embedding_lsh_pairs(emb: DataFrame, planes: DataFrame,
+def embedding_band_values(emb: DataFrame, planes: DataFrame,
+                          bits_per_band: int,
+                          id_col: str = "id", vec_col: str = "v") -> DataFrame:
+    """(id, band, bv) — sign-LSH band values computed DIRECTLY:
+    band k's value packs the sign bits of its own ``bits_per_band``
+    planes into one long. One broadcast join + one narrow groupBy —
+    no intermediate signature word, so the plane count is NOT capped
+    at 64 (the adaptive parameters need b·m > 64 at scale)."""
+    dot_pw = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("w"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    bits = _spread(emb, id_col).join(F.broadcast(planes)).select(
+        F.col(id_col).alias("id"),
+        (F.col("plane_id") / F.lit(bits_per_band)).cast("int").alias("band"),
+        F.when(dot_pw > 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("bit"),
+        F.pmod(F.col("plane_id"), F.lit(bits_per_band)).cast("int").alias("pos"),
+    )
+    return bits.groupBy("id", "band").agg(
+        F.expr("bit_or(shiftleft(bit, pos))").alias("bv"))
+
+
+def embedding_band_values_np(emb: DataFrame, planes: DataFrame,
+                             bits_per_band: int,
+                             id_col: str = "id",
+                             vec_col: str = "v") -> DataFrame:
+    """Arrow/BLAS sibling of ``embedding_band_values``: one
+    ``V @ W.T`` matmul per batch, then per-band bit packing — the
+    measured-faster path once the adaptive geometry pushes the plane
+    count past ~64 (the interpreted zip_with/aggregate fold pays per
+    element; BLAS pays per flop). Bit-for-bit identical output
+    (parity-tested)."""
+    import numpy as np
+    import pandas as pd
+
+    w_rows = planes.orderBy("plane_id").collect()  # model params only
+    W = np.array([list(r.w) for r in w_rows])      # (b*m) x dim
+    n_planes = W.shape[0]
+    n_bands = n_planes // bits_per_band
+    weights = (1 << np.arange(bits_per_band, dtype=np.uint64))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy())
+            bits = ((V @ W.T) > 0).astype(np.uint64)   # n x planes
+            bv = (
+                bits.reshape(len(pdf), n_bands, bits_per_band) * weights
+            ).sum(axis=2).view(np.int64)               # n x bands
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame({
+                "id": np.repeat(ids, n_bands),
+                "band": np.tile(np.arange(n_bands, dtype=np.int32), len(pdf)),
+                "bv": bv.ravel(),
+            })
+
+    return (
+        _spread(emb, id_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias(vec_col))
+        .mapInPandas(gen, "id long, band int, bv long")
+    )
+
+
+def embedding_lsh_pairs(emb: DataFrame, planes: DataFrame | None = None,
                         threshold: float = 0.95,
-                        n_bands: int = EMB_BANDS) -> DataFrame:
+                        n_bands: int = EMB_BANDS,
+                        n_vectors: int | None = None) -> DataFrame:
     """Near-dup embedding pairs (cosine >= threshold) via sign-LSH.
 
-    Candidates: pairs equal in at least one 8-bit signature band —
-    an equi-join on (band, value), never all-pairs. A random pair
-    (cos≈0) collides per band w.p. 2⁻⁸, so expected candidates are
-    ~3% of n²/2; a near-dup at cos c collides per bit w.p.
-    1 − arccos(c)/π (0.856 at c=0.95, 0.955 at c=0.99), giving band
-    recall p⁸ and overall 1−(1−p⁸)⁸ (≥ 0.93 at 0.95, ≥ 0.9999 at
-    0.99). Verify is the EXACT cosine, so false candidates never leak
-    into the output. ``emb`` as produced by
+    Candidates: pairs equal in at least one signature band — an
+    equi-join on (band, value), never all-pairs. A near-dup at cos c
+    collides per bit w.p. 1 − arccos(c)/π, giving band recall pᵇ and
+    overall 1−(1−pᵇ)ᵐ. Verify is the EXACT cosine, so false
+    candidates never leak into the output. ``emb`` as produced by
     operators.similarity.with_unit_vectors: (id, v, nrm).
+
+    With ``planes=None`` (the default, and the scale path) the band
+    geometry ADAPTS to the corpus: ``lsh_params`` sizes band width to
+    log₂(n) so expected random-pair collisions stay ~linear in n, and
+    band count to hold recall ≥0.98 at the threshold. A fixed-width
+    config (pass ``planes`` + ``n_bands`` explicitly — the legacy
+    8×8 shape the unit tests pin) measured 100 s / exponent 1.28 at
+    30× sf0.1 from the n²/2ᵇ random-collision term; the adaptive
+    geometry is what makes this tier 100 TB-shaped. ``n_vectors``
+    skips the sizing count() when the caller already knows n.
     """
-    bits_per_band = N_PLANES // n_bands
-    mask = (1 << bits_per_band) - 1
-    # emb feeds the signature pass and both verify sides; sig feeds
-    # both sides of the band self-join — persist both small frames so
-    # neither the scan+norm nor the 64-plane signature pass reruns
+    # emb feeds the signature pass and both verify sides; the band
+    # frame feeds both sides of the band self-join — persist both so
+    # neither the scan+norm nor the plane fold reruns
     emb = emb.persist()
-    sig = embedding_signatures(emb, planes).persist()
-    bands = F.array(*[
-        F.struct(
-            F.lit(k).alias("band"),
-            (F.shiftright("sig", bits_per_band * k)
-             .bitwiseAND(F.lit(mask))).alias("bv"),
-        )
-        for k in range(n_bands)
-    ])
-    exploded = sig.select("id", F.explode(bands).alias("bs")).select(
-        "id", F.col("bs.band").alias("band"), F.col("bs.bv").alias("bv")
-    )
+    n = None
+    if planes is None:
+        n = n_vectors if n_vectors is not None else emb.count()
+        bits_per_band, m = lsh_params(n, threshold)
+        dim = emb.select(F.size(F.col("v")).alias("d")).first()["d"]
+        n_planes = bits_per_band * m
+        planes = random_hyperplanes(emb.sparkSession, n_planes=n_planes, dim=dim)
+    else:
+        n_planes = planes.count()
+        bits_per_band = n_planes // n_bands
+    # signature backend, chosen by TOTAL plane-dot volume (A/B at the
+    # adaptive geometries, 2026-08-14): the JVM HOF fold wins below
+    # ~10M n·planes (Arrow transfer + python-worker startup dominate:
+    # 1.6 vs 2.7 s at n=2k/100 planes, 2.9 vs 3.8 s at n=20k/224
+    # planes), the BLAS matmul wins above (5.4 vs 11.1 s at n=61k/320
+    # planes — the interpreted fold pays per element, BLAS per flop).
+    # Legacy explicit-planes callers (n unknown) keep the HOF path.
+    band_fn = (embedding_band_values_np
+               if n is not None and n * n_planes > 10_000_000
+               else embedding_band_values)
+    exploded = band_fn(emb, planes, bits_per_band).persist()
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -11,7 +11,6 @@ from last_minute_legends_spark.operators.dedup import (
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
-    random_hyperplanes,
     simhash_pairs,
 )
 from last_minute_legends_spark.operators.similarity import with_unit_vectors
@@ -205,8 +204,11 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     emb = with_unit_vectors(emb_raw.unionByName(planted))
-    planes = random_hyperplanes(spark)
-    return embedding_lsh_pairs(emb, planes, threshold=COSINE_THRESHOLD).orderBy(
+    # Adaptive band geometry (operators.dedup.lsh_params): at sf0.01
+    # the fixpoint lands on the legacy 8x8 / 10x10 shape (oracle
+    # output unchanged); at 30x sf0.1 it is what removes the measured
+    # n^2/2^b quadratic tier (100 s -> see BASELINE_LOCAL r9).
+    return embedding_lsh_pairs(emb, threshold=COSINE_THRESHOLD).orderBy(
         "vec_a", "vec_b"
     )
 

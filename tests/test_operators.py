@@ -138,6 +138,52 @@ def test_embedding_lsh_finds_planted_dups(spark):
     ).filter(F.col("cos") >= 0.95)
     expect = {(r.vec_a, r.vec_b) for r in exact.collect()}
     assert got == expect
+    # the ADAPTIVE path (planes sized by lsh_params from the corpus
+    # count) must recover the same exact pair set at this scale
+    got_adaptive = {(r.vec_a, r.vec_b)
+                    for r in embedding_lsh_pairs(emb, threshold=0.95).collect()}
+    assert got_adaptive == expect
+
+
+def test_lsh_params_scaling():
+    """Band geometry math: degenerates to the legacy 8x8 at small n;
+    band width grows ~log2(n) at scale so expected random candidates
+    per vector stay bounded; recall at the threshold holds >=0.98."""
+    import math as _m
+
+    from last_minute_legends_spark.operators.dedup import lsh_params
+
+    assert lsh_params(200) == (8, 8)   # sf0.001 regime == legacy shape
+    p = 1 - _m.acos(0.95) / _m.pi
+    for n in (2_000, 61_200, 600_000, 10_000_000):
+        bits, m = lsh_params(n)
+        # expected random-pair collisions per vector: m * n / 2^bits
+        assert m * n / 2 ** bits <= 64, (n, bits, m)
+        recall = 1 - (1 - p ** bits) ** m
+        assert recall >= 0.98, (n, bits, m, recall)
+    # monotone: a 100x corpus never gets narrower bands
+    assert lsh_params(10_000_000)[0] >= lsh_params(100_000)[0]
+
+
+def test_embedding_band_value_paths_agree(spark, sf_dir):
+    """The BLAS band-value path (used when the adaptive geometry
+    exceeds 64 planes) must match the JVM HOF path bit-for-bit —
+    same (id, band, bv) triples on real vectors at a >64-plane
+    geometry."""
+    from last_minute_legends_spark.operators.dedup import (
+        embedding_band_values, embedding_band_values_np, random_hyperplanes,
+    )
+    from last_minute_legends_spark.operators.similarity import with_unit_vectors
+    from last_minute_legends_spark.sources.tables import Catalog
+
+    emb = with_unit_vectors(Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
+    planes = random_hyperplanes(spark, n_planes=110, dim=64)
+    hof = {(r.id, r.band): r.bv
+           for r in embedding_band_values(emb, planes, 11).collect()}
+    blas = {(r.id, r.band): r.bv
+            for r in embedding_band_values_np(emb, planes, 11).collect()}
+    assert hof == blas
 
 
 def test_embedding_signature_paths_agree(spark, sf_dir):
