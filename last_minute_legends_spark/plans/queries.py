@@ -64,12 +64,14 @@ ORACLE_WINDOW = 50
 # r7 lent three slots to dedup_minhash_lsh / dedup_simhash /
 # ann_ivf_topk (rows delivered in CORRECTNESS_r07); r8 rotated the
 # OLAP trio back. r9 rotates bigger: ten proven OLAP entries lend
-# their slots (plans/olap.py LOCAL_SQL) to eight never-observed
-# value-level oracles (7 curation + ann_quantized_topk, promoted in
-# their owning modules' SQL dicts) plus these two genuinely
-# non-SQL-expressible entries, which get their one round of
-# driver-visible rows confirmation here.
-WINDOW_ROTATE: list[str] = ["catalog_text_etl", "events_sketches"]
+# their slots (plans/olap.py LOCAL_SQL) to nine never-observed
+# value-level oracles (7 curation + ann_quantized_topk +
+# catalog_text_etl, promoted in their owning modules' SQL dicts —
+# catalog_text_etl turned out SQL-expressible after all: its oracle
+# derives the expected wide rows directly from ``part``) plus this
+# one genuinely non-SQL-expressible entry (approximate sketches),
+# which gets its one round of driver-visible rows confirmation here.
+WINDOW_ROTATE: list[str] = ["events_sketches"]
 
 _order = (
     [k for k in QUERIES if k in ORACLE_SQL]

@@ -28,9 +28,29 @@ from last_minute_legends_spark.sources.text_catalog import (
 def catalog_text_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ITEM-block text lines (rendered from ``part``) → parsed wide
     catalog; re-expresses the reference's Movies.txt batch job
-    (/root/reference/services/spark_batch_processor.py:26-73)."""
+    (/root/reference/services/spark_batch_processor.py:26-73).
+
+    Oracle-checked end-to-end: the DuckDB oracle computes the
+    expected wide rows DIRECTLY from ``part`` (item_id is the running
+    ITEM-marker count over line_no = p_partkey*6+pos, i.e. the
+    rank of p_partkey; the price string round-trips to
+    round(p_retailprice, 2)), so any infidelity in the render, the
+    distributed prefix-sum id assignment, the k=v parse, the pivot,
+    or the price extraction hash-mismatches."""
     lines = compose_item_lines(Catalog(spark, sf_dir).part)
     return parse_item_blocks(lines).orderBy("item_id")
+
+
+CATALOG_TEXT_ETL_SQL = """
+SELECT CAST(row_number() OVER (ORDER BY p_partkey) AS BIGINT) AS item_id,
+       p_name AS name,
+       p_brand AS brand,
+       p_type AS type,
+       CAST(p_size AS INT) AS size,
+       round(p_retailprice, 2) AS price_usd
+FROM part
+ORDER BY item_id
+"""
 
 
 def stream_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,7 +288,7 @@ SPARK = {
 SQL = {
     "stream_json_parse": STREAM_JSON_PARSE_SQL,
     "events_typed_parse": EVENTS_TYPED_PARSE_SQL,
-    "catalog_text_etl": None,
+    "catalog_text_etl": CATALOG_TEXT_ETL_SQL,
     "events_avro_roundtrip": None,  # wire-format op; row-level parity test
     "stream_pipeline": None,
     "stream_sessionize": None,
