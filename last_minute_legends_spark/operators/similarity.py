@@ -55,8 +55,17 @@ def brute_topk(queries: DataFrame, candidates: DataFrame, k: int = 10) -> DataFr
     )
 
 
+def _xx_id_hash(c: Column) -> Column:
+    """Default id hash for seed striping / training sampling:
+    xxhash64 (JVM codegen). Injectable (see train_centroids) so the
+    cross-engine replay test can substitute an md5-prefix hash that
+    DuckDB computes bit-for-bit."""
+    return F.xxhash64(c)
+
+
 def train_centroids(vecs: DataFrame, k: int = 8, iters: int = 3,
-                    sample_mod: int | None = None) -> DataFrame:
+                    sample_mod: int | None = None,
+                    id_hash=None) -> DataFrame:
     """Deterministic Lloyd k-means over (id, v, nrm) vectors → a
     k-row (id, v, nrm) centroid set.
 
@@ -82,20 +91,28 @@ def train_centroids(vecs: DataFrame, k: int = 8, iters: int = 3,
       ``xxhash64(id) % sample_mod == 0`` — at 100 TB you train on a
       bounded sample and assign the full set afterwards.
 
+    ``id_hash(id_col) -> Column`` defaults to xxhash64 (production
+    path); injectable ONLY so tests/test_ivf_replay.py can run the
+    identical training loop with an md5-prefix hash both Spark and
+    DuckDB compute bit-for-bit, making the full Lloyd derivation
+    (seed striping → argmax assignment → 8-dp bucket means → norm
+    re-form) a cross-engine value check.
+
     Collecting k·dim mean cells is model-parameter extraction
     (k≈8 × dim≈64), not a data-path collect — same shape as MLlib's
     KMeansModel update loop.
     """
     spark = vecs.sparkSession
+    id_hash = id_hash or _xx_id_hash
     train = vecs
     if sample_mod:
-        train = train.filter(F.pmod(F.xxhash64(F.col("id")), sample_mod) == 0)
+        train = train.filter(F.pmod(id_hash(F.col("id")), sample_mod) == 0)
     # each Lloyd pass re-reads the training frame — keep it resident
     # for the duration of training (unpersisted before returning)
     train = train.persist()
     seeds = (
         train.select(
-            F.pmod(F.xxhash64(F.col("id")), F.lit(k)).cast("int").alias("bucket"),
+            F.pmod(id_hash(F.col("id")), F.lit(k)).cast("int").alias("bucket"),
             "id", "v", "nrm",
         )
         .groupBy("bucket")
