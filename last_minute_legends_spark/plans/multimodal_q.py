@@ -107,6 +107,48 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# The deterministic byte-level features ARE SQL-expressible — the
+# byte sum comes out of DuckDB's hex(blob) as per-pair integer sums
+# (exact for any UTF-8 payload, unlike ord()-per-char) — so even the
+# mapInPandas paths get a value-level DuckDB compare. These run past
+# the driver's 50-entry window, hence LOCAL_SQL
+# (tests/test_oracle.py::test_local_oracle_match).
+MULTIMODAL_FEATURES_SQL = """
+WITH d AS (
+    SELECT doc_id, strlen(text) AS n, hex(text::BLOB) AS hx
+    FROM documents
+), e AS (
+    SELECT doc_id,
+           ('0x' || substr(hx, 2 * i - 1, 2))::INT AS byte
+    FROM d, UNNEST(generate_series(1, n)) t(i)
+    WHERE n > 0
+), s AS (
+    SELECT doc_id, CAST(sum(byte) AS BIGINT) AS bsum
+    FROM e GROUP BY doc_id
+), f AS (
+    SELECT d.doc_id,
+           CAST(d.n AS BIGINT) AS n_bytes,
+           coalesce(s.bsum, 0) % 2147483648 AS checksum,
+           coalesce(s.bsum, 0) AS bsum
+    FROM d LEFT JOIN s ON s.doc_id = d.doc_id
+)
+SELECT doc_id, n_bytes, checksum,
+       CAST(64 + checksum % 193 AS INT) AS fake_width,
+       CAST(64 + (checksum // 193) % 129 AS INT) AS fake_height,
+       CASE WHEN n_bytes > 0 THEN bsum / CAST(n_bytes AS DOUBLE)
+            ELSE 0.0 END AS byte_mean
+FROM f ORDER BY doc_id
+"""
+
+MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS src_bytes,
+       CAST(64 AS INT) AS out_width,
+       CAST(48 AS INT) AS out_height,
+       CAST(64 * 48 * 3 AS BIGINT) AS out_bytes
+FROM documents ORDER BY doc_id
+"""
+
 SPARK = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
@@ -116,7 +158,12 @@ SPARK = {
 
 SQL = {
     "multimodal_meta": MULTIMODAL_META_SQL,
-    "multimodal_features": None,  # mapInPandas byte features: rows-only
+    "multimodal_features": None,  # past the window: value check in LOCAL_SQL
     "multimodal_framesample": MULTIMODAL_FRAMESAMPLE_SQL,
-    "multimodal_resize": None,  # stubbed decode: geometry unit test
+    "multimodal_resize": None,    # past the window: value check in LOCAL_SQL
+}
+
+LOCAL_SQL = {
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
 }
