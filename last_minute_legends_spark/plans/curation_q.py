@@ -250,7 +250,15 @@ def curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CURATED_TRAINING_SET_SQL = rf"""
+def _curated_sql(dedup_gate: bool) -> str:
+    """DuckDB replay of the curation gates. ``dedup_gate=True`` is the
+    batch flagship (exact-dedup keeper election included);
+    ``dedup_gate=False`` is the STATELESS gate set — exactly what the
+    streaming curation path (streaming/curate.py curation_gate) can
+    apply in-flight, used as its cross-engine oracle by
+    tests/test_stream_oracle.py."""
+    keeper_gate = "AND keeper = doc_id\n  " if dedup_gate else ""
+    return rf"""
 WITH d AS (
     SELECT doc_id, text,
            CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_EN}')) AS BIGINT) AS n_en,
@@ -300,8 +308,7 @@ SELECT d.doc_id,
              * (0.5 + 0.5 * (n_en / greatest(n_tokens, 1))), 4) AS quality_score
 FROM d JOIN r USING (doc_id)
 WHERE n_en >= n_de AND n_en >= n_fr AND n_en > 0
-  AND keeper = doc_id
-  AND round(least(1.0, n_tokens / 50.0)
+  {keeper_gate}AND round(least(1.0, n_tokens / 50.0)
             * (1.0 - n_punct / greatest(n_chars, 1))
             * (0.5 + 0.5 * (n_en / greatest(n_tokens, 1))), 4) >= 0.5
   AND NOT (r.top_frac > 0.20 OR r.dup2 > 0.40)
@@ -310,6 +317,13 @@ WHERE n_en >= n_de AND n_en >= n_fr AND n_en > 0
   AND d.doc_id NOT IN (SELECT doc_id FROM cont)
 ORDER BY d.doc_id
 """
+
+
+CURATED_TRAINING_SET_SQL = _curated_sql(dedup_gate=True)
+# Oracle for the STREAMING curation entry: identical gates minus the
+# keeper election (exact dedup is stateful; the in-flight plan is
+# deliberately stateless — see streaming/curate.py).
+STREAM_CURATE_ORACLE_SQL = _curated_sql(dedup_gate=False)
 
 
 def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
