@@ -460,18 +460,27 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     driver-side value is the scalar changed-count that detects the
     fixpoint — label data never leaves the executors.
     """
-    # Materialize the edge list ONCE before iterating: ``pairs``
-    # usually carries an arbitrarily expensive upstream DAG (candidate
-    # generation + verify joins), and every round references ``und``
-    # — without this checkpoint the whole pair pipeline re-executes
-    # per round (measured: the r4 clusters entry spent ~20 s re-running
-    # the jaccard pipeline each of its rounds). The edge list itself
-    # is tiny (near-dup pairs), so the checkpoint is cheap.
-    und = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    # Materialize the pair list ONCE before anything references it:
+    # ``pairs`` usually carries an arbitrarily expensive upstream DAG
+    # (candidate generation + verify joins), and every round
+    # references ``und`` — without this checkpoint the whole pair
+    # pipeline re-executes per round (measured: the r4 clusters entry
+    # spent ~20 s re-running the jaccard pipeline each of its rounds).
+    # The checkpoint MUST come BEFORE the direction-doubling union:
+    # union(pairs, pairs.swapped) plans the candidate pipeline TWICE
+    # in one query, and at 100x corpus scale the two concurrent
+    # executions' broadcast builds + the persisted shingle frame
+    # exceeded a 20 GiB local heap ("Not enough memory to build and
+    # broadcast") — checkpointing the directed pairs first runs the
+    # expensive DAG once and unions already-materialized rows. The
+    # edge list itself is tiny (near-dup pairs), so both checkpoints
+    # are cheap.
+    directed = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    und = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
     labels = (
         und.select(F.col("src").alias("id")).distinct()
         .select("id", F.col("id").alias("label"))

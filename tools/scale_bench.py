@@ -57,7 +57,17 @@ input paths) isolates each exponent from both effects. Results MERGE
 into scale_local.json so the per-cell invocations compose.
 
 Usage:  python tools/scale_bench.py [--mults 1 3 10] [--cells ...]
+                                    [--vocab-beta 0.5]
         tools/run_scale_bench.sh       # one fresh JVM per cell
+
+``--vocab-beta 0.5`` generates Heaps-law-scaled vocabularies
+(vocab ∝ n^0.5 — the documented 100-TB web-corpus operating point)
+instead of the fixed 20k vocab; results are recorded under
+``<cell>@vb0.5`` keys. The fixed-vocab corpora measure the
+saturated-diversity stress regime, where per-shingle document
+frequency grows ∝ n and random shared-shingle candidates therefore
+grow ~quadratically BY CONSTRUCTION (output stays linear); the
+Heaps corpora measure the claimed-linear production regime.
 Writes/merges scale_local.json at the repo root and prints a table.
 """
 
@@ -106,7 +116,8 @@ CELLS = [
 ]
 
 
-def gen_documents(spark, n_docs: int, out_path: str) -> None:
+def gen_documents(spark, n_docs: int, out_path: str,
+                  vocab: int = VOCAB) -> None:
     from pyspark.sql import functions as F
 
     ids = spark.range(n_docs)
@@ -127,7 +138,7 @@ def gen_documents(spark, n_docs: int, out_path: str) -> None:
             (F.pmod(h(2, base, pos), F.lit(len(STOPWORDS))) + 1).cast("int"),
         )
         rare = F.concat(F.lit("tok"),
-                        F.pmod(h(3, base, pos), F.lit(VOCAB)).cast("string"))
+                        F.pmod(h(3, base, pos), F.lit(vocab)).cast("string"))
         picked = F.when(F.pmod(h(4, base, pos), F.lit(5)) == 0, stop).otherwise(rare)
         return F.when(is_copy & (pos == mut_pos),
                       F.concat(F.lit("mut"), F.col("id").cast("string"))
@@ -201,17 +212,21 @@ def gen_events(spark, n_events: int, n_users: int, out_path: str) -> None:
     ev.write.mode("overwrite").parquet(out_path)
 
 
-def ensure_corpus(spark, mult: int, root: str) -> str:
-    d = os.path.join(root, f"x{mult}")
+def ensure_corpus(spark, mult: int, root: str,
+                  vocab: int = VOCAB) -> str:
+    suffix = "" if vocab == VOCAB else f"v{vocab}"
+    d = os.path.join(root, f"x{mult}{suffix}")
     marker = os.path.join(d, "_GENERATED_v2")  # v2: + events.parquet
     if not os.path.exists(marker):
         t0 = time.perf_counter()
-        gen_documents(spark, BASE_DOCS * mult, os.path.join(d, "documents.parquet"))
+        gen_documents(spark, BASE_DOCS * mult,
+                      os.path.join(d, "documents.parquet"), vocab=vocab)
         gen_embeddings(spark, BASE_VECS * mult, os.path.join(d, "embeddings.parquet"))
         gen_events(spark, BASE_EVENTS * mult, BASE_USERS * mult,
                    os.path.join(d, "events.parquet"))
         with open(marker, "w") as f:
-            f.write(json.dumps({"mult": mult, "docs": BASE_DOCS * mult,
+            f.write(json.dumps({"mult": mult, "vocab": vocab,
+                                "docs": BASE_DOCS * mult,
                                 "vecs": BASE_VECS * mult,
                                 "events": BASE_EVENTS * mult,
                                 "gen_sec": round(time.perf_counter() - t0, 2)}))
@@ -223,6 +238,18 @@ def main() -> None:
     ap.add_argument("--mults", nargs="+", type=int, default=[1, 3, 10])
     ap.add_argument("--out", default="/tmp/scale_corpora")
     ap.add_argument("--cells", nargs="+", default=CELLS)
+    # Heaps-law vocabulary scaling: vocab(m) = VOCAB * m**beta. The
+    # default 0.0 keeps the original fixed-20k-vocab corpora (and
+    # their merged minima) untouched. beta=0.5 is the documented
+    # 100-TB operating point (web-corpus Heaps exponent ~0.5): with a
+    # FIXED vocab, per-shingle document frequency grows linearly in
+    # corpus size, so random shared-shingle candidates grow ~C(f,2)
+    # quadratically BY CONSTRUCTION of the corpus — a property of the
+    # saturated-diversity workload, not of the algorithms (output
+    # pair count stays exactly linear: the planted dups). Cells
+    # measured with beta != 0 are recorded under "<cell>@vb<beta>"
+    # so the two regimes never mix in the minima merge.
+    ap.add_argument("--vocab-beta", type=float, default=0.0)
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
@@ -232,7 +259,11 @@ def main() -> None:
     spark = get_spark("llm-spark-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    dirs = {m: ensure_corpus(spark, m, args.out) for m in args.mults}
+    def vocab_for(m: int) -> int:
+        return VOCAB if not args.vocab_beta else int(VOCAB * m ** args.vocab_beta)
+
+    dirs = {m: ensure_corpus(spark, m, args.out, vocab=vocab_for(m))
+            for m in args.mults}
 
     # warmup (JVM + codegen + python daemon fleet)
     QUERIES["dedup_exact"](spark, dirs[args.mults[0]]).write.mode(
@@ -261,8 +292,10 @@ def main() -> None:
             per_mult[str(m)] = round(min(times), 3)
             rows[str(m)] = QUERIES[name](spark, dirs[m]).count()
             spark.catalog.clearCache()
-        results[name] = {"sec": per_mult, "rows": rows,
-                         "loadavg_1m": round(os.getloadavg()[0], 2)}
+        key = (name if not args.vocab_beta
+               else f"{name}@vb{args.vocab_beta:g}")
+        results[key] = {"sec": per_mult, "rows": rows,
+                        "loadavg_1m": round(os.getloadavg()[0], 2)}
         print(f"{name:24s} " +
               " ".join(f"x{m}={per_mult[str(m)]:7.3f}s" for m in args.mults) +
               f"  rows {'/'.join(str(rows[str(m)]) for m in args.mults)}",
