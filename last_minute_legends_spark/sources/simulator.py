@@ -128,7 +128,8 @@ def simulate_user_activity(spark: SparkSession, n_events: int = 10_000,
 
 def simulate_user_activity_stream(spark: SparkSession,
                                   rows_per_batch: int = 1000,
-                                  seed: int = 0) -> DataFrame:
+                                  seed: int = 0,
+                                  hash_fn=None) -> DataFrame:
     """Unbounded streaming twin of ``simulate_user_activity``: the
     rate-micro-batch source supplies monotonically increasing ids
     (``value``), and every event field is the same pure function of
@@ -146,7 +147,7 @@ def simulate_user_activity_stream(spark: SparkSession,
         .load()
     )
     return raw.select(F.col("value").alias("id")).select(
-        *simulated_event_columns(seed=seed))
+        *simulated_event_columns(seed=seed, hash_fn=hash_fn))
 
 
 def simulated_as_typed_json(sim: DataFrame) -> DataFrame:

@@ -121,3 +121,34 @@ def test_injected_hash_default_unchanged(spark):
         hash_fn=lambda c, seed, k: F.xxhash64(c, F.lit(seed), F.lit(k)),
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_simulator_stream_duckdb_replay(spark, sf_dir):
+    """The LIVE streaming generator vs the DuckDB replay: the
+    rate-micro-batch stream with the injected hash must emit exactly
+    the replay's first N rows — cross-engine evidence that the
+    streaming plan (not just its batch twin) derives every field
+    correctly. ``timestamp`` is strictly increasing in the row id, so
+    ordering by it equals the replay's ORDER BY id."""
+    import time as _time
+
+    from last_minute_legends_spark.sources.simulator import (
+        simulate_user_activity_stream,
+    )
+
+    sim = simulate_user_activity_stream(
+        spark, rows_per_batch=1000, seed=SEED, hash_fn=_md5_hash_fn)
+    q = (sim.writeStream.format("memory").queryName("sim_replay_stream")
+         .outputMode("append").start())
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table("sim_replay_stream").count() >= N:
+                break
+            _time.sleep(0.25)
+    finally:
+        q.stop()
+    sdf = spark.table("sim_replay_stream").orderBy("timestamp").limit(N)
+    odf = run_oracle(_replay_sql(), sf_dir)
+    issues = compare(sdf, odf)
+    assert not issues, "stream simulator replay: " + "\n".join(issues)
