@@ -615,9 +615,14 @@ SPARK = {
     "bpe_tokenize": bpe_tokenize,
 }
 
-# r9 rotation: seven curation oracles promoted into the driver window
-# for their first external value-level observation (OLAP entries lend
-# the slots for the round — plans/olap.py LOCAL_SQL).
+# r9 promoted the seven curation oracles into the driver window for
+# their first external value-level observation; r10 keeps them there
+# and additionally promotes the last four oracle-less-at-the-gate
+# batch entries (corpus_stats / text_unigram_logprob and the BPE
+# pair, whose training loop is replayed in DuckDB as 16 unrolled
+# rounds of recursive-CTE greedy folds, _bpe_oracle_ctes — both the
+# learned merge table and the full corpus tokenization value-checked
+# against an independent engine, not just planted unit tests).
 SQL = {
     "text_pii_redact": TEXT_PII_REDACT_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
@@ -626,18 +631,10 @@ SQL = {
     "curated_training_set": CURATED_TRAINING_SET_SQL,
     "pack_shards": PACK_SHARDS_SQL,
     "mixture_sample": MIXTURE_SAMPLE_SQL,
-}
-
-# Value-level oracles run by tests/test_oracle.py (same comparison
-# as the driver's gate, executed locally). The BPE pair closes the
-# last oracle-less batch family: the training loop is replayed in
-# DuckDB as 16 unrolled rounds of recursive-CTE greedy folds
-# (_bpe_oracle_ctes), so both the learned merge table and the full
-# corpus tokenization are value-checked against an independent
-# engine, not just planted unit tests.
-LOCAL_SQL = {
     "corpus_stats": CORPUS_STATS_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_SQL,
     "train_bpe": TRAIN_BPE_SQL,
     "bpe_tokenize": BPE_TOKENIZE_SQL,
 }
+
+LOCAL_SQL = {}

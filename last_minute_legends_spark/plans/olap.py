@@ -745,32 +745,37 @@ SPARK = {
 
 SQL = {
     "q1_pricing_summary": Q1_SQL,
-    "q3_shipping_priority": Q3_SQL,
-    "q6_forecast_revenue": Q6_SQL,
-    "q18_large_volume_customer": Q18_SQL,
-    "topn_per_group": TOPN_SQL,
-    "cube_agg": CUBE_SQL,
-    "q9_product_margin": Q9_SQL,
-    "q15_top_supplier": Q15_SQL,
-    "q16_supplier_count": Q16_SQL,
 }
 
-# r9 rotation: these ten multi-round-proven OLAP entries lend their
-# driver-window slots to entries the external gate has NEVER observed
-# (8 promoted curation/ANN value-level oracles + the
-# catalog_text_etl / events_sketches rows-only pair — see
-# plans/queries.py WINDOW_ROTATE). They keep the identical value-level
-# DuckDB compare locally via tests/test_oracle.py, and rotate back
-# next round, as the r7→r8 minhash/simhash/ivf rotation did.
+# r10 rotation: the remaining 18 OLAP entries all lend their
+# driver-window slots this round so the LAST never-driver-observed
+# registry entries (the 7 newly promoted r9 value-level oracles —
+# skew_join / multimodal_resize / events_avro_roundtrip /
+# corpus_stats / text_unigram_logprob / train_bpe / bpe_tokenize —
+# plus the 5 rows-only streaming/simulator runs in
+# plans/queries.py WINDOW_ROTATE) each get one round of external
+# observation. Every entry here has been driver-hash-green in 2+
+# prior rounds (r2–r8) and keeps the identical value-level DuckDB
+# compare locally via tests/test_oracle.py; they rotate back in r11
+# exactly as the r7→r8 minhash/simhash/ivf rotation did. q1 stays
+# in-window as the flagship entry.
 LOCAL_SQL = {
+    "q3_shipping_priority": Q3_SQL,
     "q4_order_priority": Q4_SQL,
     "q5_local_supplier_volume": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
     "q7_nation_volume": Q7_SQL,
     "q8_market_share": Q8_SQL,
+    "q9_product_margin": Q9_SQL,
     "q10_returned_items": Q10_SQL,
     "q13_customer_distribution": Q13_SQL,
     "q14_promo_effect": Q14_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q16_supplier_count": Q16_SQL,
     "q17_small_quantity": Q17_SQL,
+    "q18_large_volume_customer": Q18_SQL,
     "q19_or_predicate": Q19_SQL,
     "q22_idle_customers": Q22_SQL,
+    "topn_per_group": TOPN_SQL,
+    "cube_agg": CUBE_SQL,
 }
