@@ -9,10 +9,16 @@ MULTS="${*:-1 3 10}"
 # SCALE_FRESH=1 starts a new scale_local.json; default accumulates
 # minima across invocations (the throttling-robust protocol)
 [ -n "$SCALE_FRESH" ] && rm -f scale_local.json
-CELLS="dedup_exact dedup_ngram_jaccard dedup_minhash_lsh dedup_simhash \
+CELLS="${SCALE_CELLS:-dedup_exact dedup_ngram_jaccard dedup_minhash_lsh dedup_simhash \
 dedup_embedding dedup_clusters ann_ivf_topk ann_quantized_topk \
 curated_training_set sessionization rollup_timeseries events_quantiles \
-latest_by_user funnel json_props"
+latest_by_user funnel json_props \
+moving_avg user_segmentation events_by_type user_pivot events_windowed \
+text_langid text_quality text_tfidf_topterms text_vocab_topk \
+corpus_stats text_unigram_logprob train_bpe bpe_tokenize \
+text_pii_redact text_repetition dedup_paragraph pack_shards \
+mixture_sample decontaminate training_set train_val_split \
+multimodal_features multimodal_framesample multimodal_resize}"
 for c in $CELLS; do
     # shellcheck disable=SC2086
     python tools/scale_bench.py --mults $MULTS --cells "$c" 2>/dev/null \

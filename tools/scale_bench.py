@@ -113,6 +113,34 @@ CELLS = [
     "latest_by_user",
     "funnel",
     "json_props",
+    "moving_avg",
+    "user_segmentation",
+    "events_by_type",
+    "user_pivot",
+    "events_windowed",
+    # r10: text / curation / BPE / multimodal family — every
+    # documents-reading registry entry gets a measured exponent
+    # (skew_join and catalog_text_etl are excluded: they read the
+    # TPC-H tables the generator does not scale)
+    "text_langid",
+    "text_quality",
+    "text_tfidf_topterms",
+    "text_vocab_topk",
+    "corpus_stats",
+    "text_unigram_logprob",
+    "train_bpe",
+    "bpe_tokenize",
+    "text_pii_redact",
+    "text_repetition",
+    "dedup_paragraph",
+    "pack_shards",
+    "mixture_sample",
+    "decontaminate",
+    "training_set",
+    "train_val_split",
+    "multimodal_features",
+    "multimodal_framesample",
+    "multimodal_resize",
 ]
 
 
