@@ -24,10 +24,24 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-def _spread(df: DataFrame, id_col: str) -> DataFrame:
-    """Explicit repartition before the Arrow pass: a single-split scan
-    would serialize all Python workers onto one core (same rationale
-    as operators/dedup._spread)."""
+def _maybe_spread(df: DataFrame, id_col: str, spread: bool) -> DataFrame:
+    """Optional repartition before the Arrow pass — OFF by default.
+
+    The default honors the module contract above: the binary column
+    never passes through a shuffle; the scan's split granularity
+    governs Arrow-pass parallelism, and at production scale a media
+    corpus has far more files than cores, so a payload exchange buys
+    nothing and moves every blob. Measured at sf0.1/local[32]
+    (min-of-2, idle box): the always-on repartition this replaces
+    cost 4x on the stubbed passes (features 1.0 s -> 4.6 s).
+
+    ``spread=True`` is for the opposite regime — a genuinely
+    CPU-bound decoder (seconds per image/video) reading a LOW-SPLIT
+    source, where serializing the decode on a handful of cores costs
+    more than one payload exchange (same trade as
+    operators/dedup._spread, where the per-row work is real)."""
+    if not spread:
+        return df
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, F.col(id_col))
 
@@ -72,7 +86,8 @@ def _probe_decode(raws: list[bytes]) -> None:
 
 
 def extract_features(binary_df: DataFrame, id_col: str = "doc_id",
-                     payload_col: str = "payload") -> DataFrame:
+                     payload_col: str = "payload", *,
+                     spread: bool = False) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches of
     (id, payload: binary) — numpy-vectorized per batch (no per-row
     Python loops; see _segment_sums)."""
@@ -92,7 +107,7 @@ def extract_features(binary_df: DataFrame, id_col: str = "doc_id",
                 "byte_mean": np.where(lens > 0, sums / np.maximum(lens, 1), 0.0),
             })
 
-    src = _spread(binary_df, id_col).select(
+    src = _maybe_spread(binary_df, id_col, spread).select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias(payload_col)
     )
     return src.mapInPandas(gen, schema=FEATURE_SCHEMA)
@@ -106,7 +121,8 @@ FRAME_SCHEMA = (
 
 def sample_frames(binary_df: DataFrame, frame_size: int = 64,
                   stride: int = 4, id_col: str = "doc_id",
-                  payload_col: str = "payload") -> DataFrame:
+                  payload_col: str = "payload", *,
+                  spread: bool = False) -> DataFrame:
     """Frame sampling over opaque video-ish payloads: chunk each
     payload into fixed-size frames and keep every ``stride``-th one —
     a 1→N mapInPandas (one input row fans out to its sampled frames,
@@ -150,7 +166,7 @@ def sample_frames(binary_df: DataFrame, frame_size: int = 64,
                 "frame_checksum": np.concatenate(out_sum),
             })
 
-    src = _spread(binary_df, id_col).select(
+    src = _maybe_spread(binary_df, id_col, spread).select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias(payload_col)
     )
     return src.mapInPandas(gen, schema=FRAME_SCHEMA)
@@ -164,7 +180,8 @@ RESIZE_SCHEMA = (
 
 def resize_images(binary_df: DataFrame, out_width: int = 64,
                   out_height: int = 64, id_col: str = "doc_id",
-                  payload_col: str = "payload") -> DataFrame:
+                  payload_col: str = "payload", *,
+                  spread: bool = False) -> DataFrame:
     """Image resize plumbing: the decode→resize→re-encode step is
     stubbed (``decode_media`` raises; no image libs in this
     container), so the output byte size is the deterministic
@@ -189,7 +206,7 @@ def resize_images(binary_df: DataFrame, out_width: int = 64,
                 ),
             })
 
-    src = _spread(binary_df, id_col).select(
+    src = _maybe_spread(binary_df, id_col, spread).select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias(payload_col)
     )
     return src.mapInPandas(gen, schema=RESIZE_SCHEMA)

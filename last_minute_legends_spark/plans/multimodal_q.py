@@ -21,14 +21,16 @@ from last_minute_legends_spark.sources.tables import Catalog
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents as (doc_id, binary payload) for the mapInPandas ops.
 
-    Deliberately NOT spread_cpu_scan'd: the decode work behind these
-    entries is a deterministic stub (no codec libs in this sandbox),
-    so per-row CPU is trivial and the spread's payload exchange is
-    pure tax — measured at sf0.1 (quiet box, min-of-2),
-    multimodal_features goes 1.0s -> 4.6s and framesample 1.0s -> 3.9s
-    when spread. With a REAL decoder (seconds per image/video), the
-    balance flips and the spread belongs here; at 100 TB the scan has
-    more files than cores and spread_cpu_scan is a no-op either way.
+    Deliberately NOT spread: the decode work behind these entries is a
+    deterministic stub (no codec libs in this sandbox), so per-row CPU
+    is trivial and a payload exchange is pure tax — measured at sf0.1
+    (quiet box, min-of-2), multimodal_features goes 1.0s -> 4.6s and
+    framesample 1.0s -> 3.9s when spread. Since r10 the operators
+    themselves default to no-shuffle (the module contract in
+    operators/multimodal.py); a REAL decoder (seconds per
+    image/video) on a low-split source is the one regime where their
+    ``spread=True`` belongs. At 100 TB the scan has more files than
+    cores and the question disappears.
     """
     docs = Catalog(spark, sf_dir).documents
     return docs.select("doc_id", F.col("text").cast("binary").alias("payload"))

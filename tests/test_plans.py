@@ -254,3 +254,21 @@ def test_shingle_spread_stage_stays_clean(spark, sf_dir):
         "shingle array column escapes the Generate — every exploded "
         "row is carrying the whole array"
     )
+
+
+@pytest.mark.parametrize(
+    "name", ["multimodal_features", "multimodal_framesample",
+             "multimodal_resize"])
+def test_multimodal_blobs_never_shuffled(spark, sf_dir, name):
+    """The multimodal module contract: the binary payload column never
+    passes through an Exchange before the Arrow pass (extract first,
+    shuffle the small typed rows, not the blobs). The operators'
+    spread default is False; this locks the plan side of that — below
+    the MapInPandas there must be scan+project only."""
+    from last_minute_legends_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES[name](spark, sf_dir))
+    assert "MapInPandas" in plan, f"{name}: expected an Arrow pass"
+    below = plan.split("MapInPandas", 1)[1]
+    assert "Exchange" not in below, (
+        f"{name}: payload Exchange below the Arrow pass\n{below[:500]}")
