@@ -239,6 +239,17 @@ def main() -> None:
             # drop frames the query persisted (shingle/signature
             # diamonds) so they can't accumulate across the suite
             spark.catalog.clearCache()
+        if os.environ.get("SPARK_GRAFT_BENCH_GC", "1") != "0":
+            # Default ON (r10): Spark's ContextCleaner frees
+            # accumulated broadcast/shuffle/RDD blocks only when a JVM
+            # GC collects their weak references — on a shared
+            # long-lived local JVM that backlog inflated late cells up
+            # to 4x (text_unigram_logprob 5.2 s in-suite vs 1.2 s
+            # fresh-JVM on the identical corpus; with per-cell GC it
+            # benches 1.0-1.5 s in-suite). A/B totals on the same box:
+            # 89.3 s without, 75.7-78.4 s with. Opt out with
+            # SPARK_GRAFT_BENCH_GC=0 to measure the backlog itself.
+            spark.sparkContext._jvm.System.gc()
         return min(times)
 
     # warmup: JVM + codegen + parquet footer caches, and the Python
