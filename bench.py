@@ -216,7 +216,9 @@ def main() -> None:
         self0, mach0, t0 = tree_cpu_seconds(), machine_cpu_seconds(), time.perf_counter()
         out = fn()
         wall = time.perf_counter() - t0
-        self_cpu = tree_cpu_seconds() - self0
+        # clamp: pyspark daemon workers dying mid-cell shrink the
+        # process tree between samples, making the raw delta negative
+        self_cpu = max(tree_cpu_seconds() - self0, 0.0)
         other_cpu = max(machine_cpu_seconds() - mach0 - self_cpu, 0.0)
         d = diag.setdefault(name, {})
         d.setdefault("runs", []).append({

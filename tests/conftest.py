@@ -23,3 +23,19 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drain_context_cleaner_backlog():
+    """Force a JVM GC between test modules: Spark's ContextCleaner
+    frees accumulated broadcast/shuffle blocks only when a GC
+    collects their weak references, and the one session-scoped local
+    JVM otherwise accumulates the whole suite's backlog (measured in
+    bench.py: identical cells run up to 4x slower late in a shared
+    JVM; per-cell GC returns them to fresh-JVM times)."""
+    yield
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        s.sparkContext._jvm.System.gc()
