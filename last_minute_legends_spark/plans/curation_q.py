@@ -2,11 +2,12 @@
 redaction, repetition signals, paragraph dedup, decontamination
 (operators/curation.py).
 
-The driver's 50-entry oracle window is full, so these register as
-rows-only entries — but each has a DuckDB oracle in ``LOCAL_SQL``
-that tests/test_oracle.py runs with the SAME rows+schema+values
-comparison the driver applies. Locally these are value-checked;
-only the external gate sees them as rows-only.
+Every entry here has a DuckDB value oracle in ``SQL``: r9 promoted
+the seven curation oracles into the driver's 50-entry window and r10
+promoted the remaining four (corpus_stats / text_unigram_logprob /
+train_bpe / bpe_tokenize), so the external gate value-checks all of
+them; tests/test_oracle.py runs the same rows+schema+values
+comparison locally regardless of window membership.
 
 The eval split for ``decontaminate`` is ``doc_id % 7 == 0`` — a
 deterministic stand-in for a held-out benchmark table; swap in a

@@ -112,8 +112,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The deterministic byte-level features ARE SQL-expressible — the
 # byte sum comes out of DuckDB's hex(blob) as per-pair integer sums
 # (exact for any UTF-8 payload, unlike ord()-per-char) — so even the
-# mapInPandas paths get a value-level DuckDB compare. These run past
-# the driver's 50-entry window, hence LOCAL_SQL
+# mapInPandas paths get a value-level DuckDB compare. Since r10 the
+# resize oracle sits in the driver window (SQL dict below); features
+# runs past the window, hence LOCAL_SQL
 # (tests/test_oracle.py::test_local_oracle_match).
 MULTIMODAL_FEATURES_SQL = """
 WITH d AS (

@@ -176,11 +176,12 @@ def events_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode → aggregate. Uses the JVM spark-avro functions when the
     jar is present, else the spec-vector-tested pure-Python codec
     (sources/avro_codec.py) — either way the real Avro binary wire
-    format round-trips. Past the driver's 50-entry window, but
-    value-checked locally: LOCAL_SQL computes the same aggregate
-    directly from the base table (any encode/decode infidelity
-    mismatches), and tests/test_streaming.py asserts the full-table
-    round trip is lossless at the row level."""
+    format round-trips. In the driver window since r10:
+    EVENTS_AVRO_ROUNDTRIP_SQL computes the same aggregate directly
+    from the base table (any encode/decode infidelity — types,
+    micros, nulls — value-mismatches), and tests/test_streaming.py
+    asserts the full-table round trip is lossless at the row
+    level."""
     from last_minute_legends_spark.sources.avro_io import (
         decode_avro_events,
         encode_avro,

@@ -826,3 +826,23 @@ def test_bpe_merge_udf_matches_hof(spark):
     )
     for r in both.collect():
         assert list(r.got) == list(r.expected), (r.word, r.got, r.expected)
+
+
+def test_multimodal_spread_opt_in(spark, sf_dir):
+    """The spread=True regime (CPU-bound real decoder on a low-split
+    source) must produce the id-partitioned Exchange below the Arrow
+    pass — and identical rows to the default no-shuffle path."""
+    from pyspark.sql import functions as F
+
+    from last_minute_legends_spark.operators.multimodal import extract_features
+    from last_minute_legends_spark.sources.tables import Catalog
+
+    payloads = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+    spread = extract_features(payloads, spread=True)
+    plan = spread._jdf.queryExecution().executedPlan().toString()
+    below = plan.split("MapInPandas", 1)[1]
+    assert "Exchange" in below, "spread=True must repartition the payloads"
+    default = extract_features(payloads)
+    assert sorted(map(tuple, spread.collect())) == \
+        sorted(map(tuple, default.collect()))
