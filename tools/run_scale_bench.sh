@@ -18,7 +18,8 @@ text_langid text_quality text_tfidf_topterms text_vocab_topk \
 corpus_stats text_unigram_logprob train_bpe bpe_tokenize \
 text_pii_redact text_repetition dedup_paragraph pack_shards \
 mixture_sample decontaminate training_set train_val_split \
-multimodal_features multimodal_framesample multimodal_resize}"
+multimodal_features multimodal_framesample multimodal_resize \
+stream_pipeline stream_sessionize stream_enrich stream_dedup stream_curate}"
 FAILED=""
 for c in $CELLS; do
     # stderr goes to a per-cell log (Spark chatter would drown the

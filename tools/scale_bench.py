@@ -141,6 +141,21 @@ CELLS = [
     "multimodal_features",
     "multimodal_framesample",
     "multimodal_resize",
+    # r10: streaming axis — the Structured Streaming drivers run
+    # end-to-end (stage topic JSON -> file stream -> watermarked
+    # stateful op -> sink -> read-back) against the scaled events/
+    # documents, so the exponent covers staging + parse + state +
+    # emission, exactly what bench.py times. stream_enrich's
+    # customer/nation dims are copied fixed-size from sf0.1 into the
+    # generated corpus (a 100-TB deployment scales the fact stream,
+    # not the dims — the dim side stays a broadcast at any mult).
+    # simulate_stream is excluded: its generator is bounded to a
+    # fixed 2000 events regardless of sf_dir.
+    "stream_pipeline",
+    "stream_sessionize",
+    "stream_enrich",
+    "stream_dedup",
+    "stream_curate",
 ]
 
 
@@ -258,6 +273,20 @@ def ensure_corpus(spark, mult: int, root: str,
                                 "vecs": BASE_VECS * mult,
                                 "events": BASE_EVENTS * mult,
                                 "gen_sec": round(time.perf_counter() - t0, 2)}))
+    # Fixed-size dimension tables for the stream-static enrich join:
+    # copied verbatim from sf0.1 (read-only source) because a scaled
+    # deployment scales the fact stream, not the dims. Generated
+    # user_ids overlap the custkey range, so the broadcast join does
+    # real probe work at every mult.
+    import shutil as _shutil
+    for dim in ("customer.parquet", "nation.parquet"):
+        src = os.path.join("/root/testdata/sf0.1", dim)
+        dst = os.path.join(d, dim)
+        if os.path.exists(src) and not os.path.exists(dst):
+            if os.path.isdir(src):
+                _shutil.copytree(src, dst)
+            else:
+                _shutil.copy2(src, dst)
     return d
 
 
