@@ -846,3 +846,22 @@ def test_multimodal_spread_opt_in(spark, sf_dir):
     default = extract_features(payloads)
     assert sorted(map(tuple, spread.collect())) == \
         sorted(map(tuple, default.collect()))
+
+
+def test_bpe_local_matches_distributed(spark, sf_dir):
+    """The small-vocab driver-side merge loop must produce the exact
+    merge table the distributed per-round jobs produce — same pair
+    counts, same (count desc, pair asc) tie-break, same greedy apply,
+    same min-count stop — on both a tie-heavy planted corpus and the
+    real documents table."""
+    from last_minute_legends_spark.operators.bpe import train_bpe
+    from last_minute_legends_spark.sources.tables import load_table
+
+    planted = spark.createDataFrame(
+        [(1, "xy xy zw zw aaa aaa bb"), (2, "aaa cab cab")],
+        "doc_id long, text string")
+    docs = load_table(spark, sf_dir, "documents")
+    for df, n in ((planted, 10), (docs, 12)):
+        local = train_bpe(df, n_merges=n, min_count=2)
+        dist = train_bpe(df, n_merges=n, min_count=2, local_vocab_max=0)
+        assert local == dist, (local, dist)
