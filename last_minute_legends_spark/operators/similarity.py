@@ -63,9 +63,84 @@ def _xx_id_hash(c: Column) -> Column:
     return F.xxhash64(c)
 
 
+# Below this many training rows the Lloyd iterations run on the
+# driver over the collected sample instead of as per-iteration Spark
+# jobs: each distributed round is a fixed ~0.5-1 s of job scheduling
+# that dwarfs the arithmetic on a small sample (measured ~2.5 s of
+# the sf0.1 ivf cell), while 65536 x dim-64 doubles is ~32 MB — an
+# in-memory model-fitting working set (sklearn trains k-means on
+# samples of this size routinely). ``sample_mod`` already bounds the
+# TRAINING sample at production scale by design, so a 100-TB corpus
+# with a large sample_mod may legitimately take this branch too —
+# assignment of the full set stays distributed either way. The
+# id-hash bucket is computed JVM-side in the same single collect job,
+# so seed striping uses bit-identical xxhash64 values on both paths.
+LOCAL_TRAIN_MAX = 65_536
+
+
+def _local_dot(a: list[float], b: list[float]) -> float:
+    """Left-to-right sequential float64 sum — the exact fold order of
+    functions/vectors.py dot(), so local cosines match the JVM
+    expression to the last ulp."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _train_centroids_local(spark, rows, iters: int) -> DataFrame:
+    """Driver-side Lloyd over collected (bucket, id, v, nrm) rows —
+    the same derivation as the distributed branch: min-id seed per
+    hash stripe, strict-> argmax-cosine assignment (earliest centroid
+    wins ties), 8-dp-rounded per-dimension bucket means, norms
+    re-formed with the sequential sum. The 8-dp round absorbs float
+    summation-order differences exactly as it does between executors
+    (and between Spark and the DuckDB replay). Parity locked by
+    test_ivf_local_matches_distributed."""
+    seeds: dict[int, tuple] = {}
+    data = []
+    for r in rows:
+        v = [float(x) for x in r.v]
+        nrm = float(r.nrm)
+        data.append((v, nrm))
+        b = int(r.bucket)
+        if b not in seeds or r.id < seeds[b][0]:
+            seeds[b] = (r.id, v, nrm)
+    cent_rows = sorted((b, v, n) for b, (_, v, n) in seeds.items())
+    for _ in range(iters):
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for v, nrm in data:
+            best_cos, best = -2.0, -1
+            for cid, cv, cn in cent_rows:
+                cos = _local_dot(v, cv) / (nrm * cn)
+                if cos > best_cos:
+                    best_cos, best = cos, cid
+            s = sums.get(best)
+            if s is None:
+                sums[best] = list(v)
+                counts[best] = 1
+            else:
+                for i, x in enumerate(v):
+                    s[i] += x
+                counts[best] += 1
+        new_rows = []
+        for cid, cv, cn in cent_rows:
+            s = sums.get(cid)
+            if s is None:           # empty bucket keeps its centroid
+                new_rows.append((cid, cv, cn))
+            else:
+                n = counts[cid]
+                nv = [round(x / n, 8) for x in s]
+                new_rows.append((cid, nv, math.sqrt(_seq_sumsq(nv))))
+        cent_rows = new_rows
+    return spark.createDataFrame(cent_rows, "id int, v array<double>, nrm double")
+
+
 def train_centroids(vecs: DataFrame, k: int = 8, iters: int = 3,
                     sample_mod: int | None = None,
-                    id_hash=None) -> DataFrame:
+                    id_hash=None,
+                    local_train_max: int = LOCAL_TRAIN_MAX) -> DataFrame:
     """Deterministic Lloyd k-means over (id, v, nrm) vectors → a
     k-row (id, v, nrm) centroid set.
 
@@ -90,6 +165,11 @@ def train_centroids(vecs: DataFrame, k: int = 8, iters: int = 3,
     - ``sample_mod``: train on the deterministic id-hash sample
       ``xxhash64(id) % sample_mod == 0`` — at 100 TB you train on a
       bounded sample and assign the full set afterwards.
+    - Adaptive: a training sample of at most ``local_train_max`` rows
+      is collected (hash buckets computed JVM-side in that same job)
+      and the iterations run driver-side — identical derivation, no
+      per-round job scheduling; larger samples take the distributed
+      loop below.
 
     ``id_hash(id_col) -> Column`` defaults to xxhash64 (production
     path); injectable ONLY so tests/test_ivf_replay.py can run the
@@ -107,6 +187,21 @@ def train_centroids(vecs: DataFrame, k: int = 8, iters: int = 3,
     train = vecs
     if sample_mod:
         train = train.filter(F.pmod(id_hash(F.col("id")), sample_mod) == 0)
+    # adaptive execution: ONE job collects the (jvm-hashed bucket,
+    # id, v, nrm) sample up to local_train_max+1 rows; if everything
+    # fit, the whole Lloyd derivation runs on the driver (see
+    # LOCAL_TRAIN_MAX) — otherwise fall through to the distributed
+    # per-iteration jobs with nothing wasted but a bounded prefix
+    # scan. local_train_max=0 forces the distributed branch (tests).
+    if local_train_max:
+        probe = (
+            train.select(
+                F.pmod(id_hash(F.col("id")), F.lit(k)).cast("int").alias("bucket"),
+                "id", "v", "nrm")
+            .limit(local_train_max + 1).collect()
+        )
+        if len(probe) <= local_train_max:
+            return _train_centroids_local(spark, probe, iters)
     # each Lloyd pass re-reads the training frame — keep it resident
     # for the duration of training (unpersisted before returning)
     train = train.persist()

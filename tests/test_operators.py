@@ -865,3 +865,21 @@ def test_bpe_local_matches_distributed(spark, sf_dir):
         local = train_bpe(df, n_merges=n, min_count=2)
         dist = train_bpe(df, n_merges=n, min_count=2, local_vocab_max=0)
         assert local == dist, (local, dist)
+
+
+def test_ivf_local_matches_distributed(spark, sf_dir):
+    """The driver-side Lloyd fast path must produce the exact
+    centroid set the distributed per-iteration jobs produce — same
+    JVM-hashed seed striping, argmax tie-break, 8-dp means and
+    re-formed norms — on the real embeddings table."""
+    from last_minute_legends_spark.operators.similarity import (
+        train_centroids, with_unit_vectors,
+    )
+    from last_minute_legends_spark.sources.tables import load_table
+
+    vecs = with_unit_vectors(load_table(spark, sf_dir, "embeddings"))
+    local = train_centroids(vecs, k=8, iters=3).collect()
+    dist = train_centroids(vecs, k=8, iters=3, local_train_max=0).collect()
+    la = {r.id: (list(r.v), r.nrm) for r in local}
+    da = {r.id: (list(r.v), r.nrm) for r in dist}
+    assert la == da
