@@ -66,16 +66,18 @@ def _xx_id_hash(c: Column) -> Column:
 # Below this many training rows the Lloyd iterations run on the
 # driver over the collected sample instead of as per-iteration Spark
 # jobs: each distributed round is a fixed ~0.5-1 s of job scheduling
-# that dwarfs the arithmetic on a small sample (measured ~2.5 s of
-# the sf0.1 ivf cell), while 65536 x dim-64 doubles is ~32 MB — an
-# in-memory model-fitting working set (sklearn trains k-means on
-# samples of this size routinely). ``sample_mod`` already bounds the
-# TRAINING sample at production scale by design, so a 100-TB corpus
-# with a large sample_mod may legitimately take this branch too —
-# assignment of the full set stays distributed either way. The
-# id-hash bucket is computed JVM-side in the same single collect job,
-# so seed striping uses bit-identical xxhash64 values on both paths.
-LOCAL_TRAIN_MAX = 65_536
+# that dwarfs the arithmetic on a small sample (measured ~1.5 s of
+# the sf0.1 ivf cell). The local fold is pure Python ON PURPOSE —
+# the left-to-right float64 sum is what keeps local cosines
+# bit-identical to the JVM expression (numpy's pairwise/SIMD
+# summation order would not be) — and that fixes the break-even low:
+# measured 2k vectors local 2.2 s vs distributed 2.7 s, but 20k
+# vectors local 3.8 s vs distributed 2.8 s. 4096 keeps the win and
+# hands anything larger to the distributed loop, whose per-round
+# cost amortizes there anyway. The id-hash bucket is computed
+# JVM-side in the same single collect job, so seed striping uses
+# bit-identical xxhash64 values on both paths.
+LOCAL_TRAIN_MAX = 4_096
 
 
 def _local_dot(a: list[float], b: list[float]) -> float:
@@ -187,20 +189,20 @@ def train_centroids(vecs: DataFrame, k: int = 8, iters: int = 3,
     train = vecs
     if sample_mod:
         train = train.filter(F.pmod(id_hash(F.col("id")), sample_mod) == 0)
-    # adaptive execution: ONE job collects the (jvm-hashed bucket,
-    # id, v, nrm) sample up to local_train_max+1 rows; if everything
-    # fit, the whole Lloyd derivation runs on the driver (see
+    # adaptive execution: a count-limited size check (column-pruned —
+    # no vector bytes move) decides the branch; when the sample fits,
+    # one job collects the (jvm-hashed bucket, id, v, nrm) rows and
+    # the whole Lloyd derivation runs on the driver (see
     # LOCAL_TRAIN_MAX) — otherwise fall through to the distributed
-    # per-iteration jobs with nothing wasted but a bounded prefix
-    # scan. local_train_max=0 forces the distributed branch (tests).
+    # per-iteration jobs, having spent only the tiny probe.
+    # local_train_max=0 forces the distributed branch (tests).
     if local_train_max:
-        probe = (
-            train.select(
+        n_train = (train.select(F.lit(1).alias("one"))
+                   .limit(local_train_max + 1).count())
+        if n_train <= local_train_max:
+            probe = train.select(
                 F.pmod(id_hash(F.col("id")), F.lit(k)).cast("int").alias("bucket"),
-                "id", "v", "nrm")
-            .limit(local_train_max + 1).collect()
-        )
-        if len(probe) <= local_train_max:
+                "id", "v", "nrm").collect()
             return _train_centroids_local(spark, probe, iters)
     # each Lloyd pass re-reads the training frame — keep it resident
     # for the duration of training (unpersisted before returning)
