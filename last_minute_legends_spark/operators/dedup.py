@@ -31,6 +31,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from last_minute_legends_spark.functions.text import (
     normalize_text,
@@ -445,8 +446,57 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     )
 
 
+# Below this many edges the component labeling runs as a driver-side
+# union-find over the collected pair list instead of iterative
+# distributed rounds. The edge list is the OUTPUT of near-dup
+# detection — orders of magnitude smaller than the corpus (the 300x
+# generated ladder corpus has 1.5M documents but only 75k verified
+# pairs) — while every propagation round costs a join + groupBy +
+# checkpoint + fixpoint count of fixed scheduling latency. 100k edges
+# collect to a few MB and union-find is linear with inverse-Ackermann
+# overhead; a graph bigger than this (a 100-TB corpus with billions
+# of near-dup pairs) takes the O(diameter) distributed rounds below.
+# Same adaptive local-execution pattern as BPE training
+# (operators/bpe.py LOCAL_VOCAB_MAX) and Lloyd iterations
+# (operators/similarity.py LOCAL_TRAIN_MAX).
+LOCAL_EDGES_MAX = 100_000
+
+
+def _cc_local(spark, edges, id_type) -> DataFrame:
+    """Driver-side union-find (path compression + union by smaller
+    root) over collected (src, dst) rows; components are relabeled by
+    their min member id — exactly the fixpoint min-label propagation
+    converges to. Parity locked by test_connected_components_*
+    (random-graph cross-check) running both branches."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for src, dst in edges:
+        for v in (src, dst):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            # min root wins, so roots ARE the min member ids
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(v, find(v)) for v in parent]
+    return spark.createDataFrame(
+        rows, T.StructType([T.StructField("id", id_type, False),
+                            T.StructField("cluster_id", id_type, False)]))
+
+
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
-                         b_col: str = "doc_b", max_iter: int = 25) -> DataFrame:
+                         b_col: str = "doc_b", max_iter: int = 25,
+                         local_edges_max: int = LOCAL_EDGES_MAX) -> DataFrame:
     """(id, cluster_id) — connected components of the near-dup pair
     graph; cluster_id = min member id (the canonical keeper).
 
@@ -459,6 +509,10 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     lineage (checkpoint to durable storage on a cluster); the only
     driver-side value is the scalar changed-count that detects the
     fixpoint — label data never leaves the executors.
+
+    Adaptive: an edge list of at most ``local_edges_max`` rows is
+    collected and labeled by driver-side union-find instead (see
+    LOCAL_EDGES_MAX — identical labels, no per-round scheduling).
     """
     # Materialize the pair list ONCE before anything references it:
     # ``pairs`` usually carries an arbitrarily expensive upstream DAG
@@ -478,6 +532,14 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     directed = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).localCheckpoint(eager=True)
+    # adaptive execution: the checkpoint above already materialized
+    # the edge list, so this count is a scan of resident rows. Small
+    # graphs (see LOCAL_EDGES_MAX) collect and label via union-find
+    # on the driver; local_edges_max=0 forces the distributed rounds.
+    if local_edges_max and directed.count() <= local_edges_max:
+        edges = [(r.src, r.dst) for r in directed.collect()]
+        return _cc_local(pairs.sparkSession, edges,
+                         directed.schema["src"].dataType)
     und = directed.union(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)

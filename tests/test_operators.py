@@ -310,9 +310,15 @@ def test_connected_components_random_graphs_match_union_find(spark):
         expect = {x: find(x) for x in parent}
 
         pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        # both adaptive branches: the driver-side union-find (default
+        # for small edge lists) and the distributed min-label rounds
         got = {r.id: r.cluster_id
                for r in connected_components(pairs).collect()}
+        dist = {r.id: r.cluster_id
+                for r in connected_components(
+                    pairs, local_edges_max=0).collect()}
         assert got == expect, f"edges={edges}"
+        assert dist == expect, f"edges={edges}"
 
     check()
 
