@@ -173,7 +173,7 @@ def train_bpe(docs: DataFrame, n_merges: int = 30, min_count: int = 2,
     # per round is pure scheduler overhead (measured 2x). At 100 TB
     # the vocab is ~10^7 rows and this saturates the cores again.
     n_vocab = wf.count()
-    if n_vocab <= local_vocab_max:
+    if local_vocab_max and n_vocab <= local_vocab_max:
         # small-vocab fast path: the corpus fold above already did the
         # distributed work; the merge loop iterates on aggregated
         # statistics small enough to be model parameters (see

@@ -536,10 +536,15 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     # the edge list, so this count is a scan of resident rows. Small
     # graphs (see LOCAL_EDGES_MAX) collect and label via union-find
     # on the driver; local_edges_max=0 forces the distributed rounds.
-    if local_edges_max and directed.count() <= local_edges_max:
+    # Mixed-type endpoint columns (the union below would widen them)
+    # and null endpoints (unorderable in union-find) fall through to
+    # the distributed branch rather than diverge from it.
+    src_t = directed.schema["src"].dataType
+    if (local_edges_max and src_t == directed.schema["dst"].dataType
+            and directed.count() <= local_edges_max):
         edges = [(r.src, r.dst) for r in directed.collect()]
-        return _cc_local(pairs.sparkSession, edges,
-                         directed.schema["src"].dataType)
+        if all(s is not None and d is not None for s, d in edges):
+            return _cc_local(pairs.sparkSession, edges, src_t)
     und = directed.union(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)

@@ -90,6 +90,20 @@ def _local_dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
+def _round_half_up(x: float, scale: int = 8) -> float:
+    """Spark's F.round semantics for doubles: HALF_UP on the SHORTEST
+    decimal rendering of the binary value (Scala BigDecimal(double) →
+    java BigDecimal.valueOf → Double.toString). Python's builtin
+    round() is banker's rounding on the exact binary value and
+    diverges at representable midpoints (round(0.001953125, 8) =
+    0.00195312 vs F.round's 0.00195313); repr(float) produces the
+    same shortest round-trip decimal as Double.toString, so
+    quantizing THAT string half-up reproduces the JVM result."""
+    import decimal
+    return float(decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal(1).scaleb(-scale), rounding=decimal.ROUND_HALF_UP))
+
+
 def _train_centroids_local(spark, rows, iters: int) -> DataFrame:
     """Driver-side Lloyd over collected (bucket, id, v, nrm) rows —
     the same derivation as the distributed branch: min-id seed per
@@ -133,7 +147,7 @@ def _train_centroids_local(spark, rows, iters: int) -> DataFrame:
                 new_rows.append((cid, cv, cn))
             else:
                 n = counts[cid]
-                nv = [round(x / n, 8) for x in s]
+                nv = [_round_half_up(x / n) for x in s]
                 new_rows.append((cid, nv, math.sqrt(_seq_sumsq(nv))))
         cent_rows = new_rows
     return spark.createDataFrame(cent_rows, "id int, v array<double>, nrm double")

@@ -131,6 +131,12 @@ def _spark_ivf(spark, sf_dir, id_hash=None, **train_kw):
     vecs = with_unit_vectors(Catalog(spark, sf_dir).embeddings)
     queries = vecs.filter(F.col("id") < N_QUERIES)
     candidates = vecs.filter(F.col("id") >= N_QUERIES)
+    # force the DISTRIBUTED Lloyd loop: this replay exists to
+    # cross-check the distributed derivation against DuckDB; the
+    # test corpus is below LOCAL_TRAIN_MAX and would otherwise take
+    # the driver-side branch (which test_ivf_local_matches_distributed
+    # locks against this one).
+    train_kw.setdefault("local_train_max", 0)
     cents = train_centroids(candidates, k=N_CENTROIDS, iters=ITERS,
                             id_hash=id_hash, **train_kw)
     return ivf_topk(queries, candidates, cents,

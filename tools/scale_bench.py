@@ -274,19 +274,31 @@ def ensure_corpus(spark, mult: int, root: str,
                                 "events": BASE_EVENTS * mult,
                                 "gen_sec": round(time.perf_counter() - t0, 2)}))
     # Fixed-size dimension tables for the stream-static enrich join:
-    # copied verbatim from sf0.1 (read-only source) because a scaled
+    # copied verbatim from the shipped sf0.1 testdata (read-only
+    # source; override with SPARK_GRAFT_DIM_SRC) because a scaled
     # deployment scales the fact stream, not the dims. Generated
     # user_ids overlap the custkey range, so the broadcast join does
-    # real probe work at every mult.
+    # real probe work at every mult. A missing source is warned about
+    # UP FRONT — otherwise the stream_enrich cell would die
+    # mid-bench with a path-not-found that looks like a streaming
+    # bug.
     import shutil as _shutil
+    dim_src = os.environ.get("SPARK_GRAFT_DIM_SRC", "/root/testdata/sf0.1")
     for dim in ("customer.parquet", "nation.parquet"):
-        src = os.path.join("/root/testdata/sf0.1", dim)
+        src = os.path.join(dim_src, dim)
         dst = os.path.join(d, dim)
-        if os.path.exists(src) and not os.path.exists(dst):
-            if os.path.isdir(src):
-                _shutil.copytree(src, dst)
-            else:
-                _shutil.copy2(src, dst)
+        if os.path.exists(dst):
+            continue
+        if not os.path.exists(src):
+            print(f"WARNING: {src} not found — the stream_enrich cell "
+                  "will fail on this corpus; point SPARK_GRAFT_DIM_SRC "
+                  "at a directory with customer/nation parquet",
+                  file=sys.stderr)
+            continue
+        if os.path.isdir(src):
+            _shutil.copytree(src, dst)
+        else:
+            _shutil.copy2(src, dst)
     return d
 
 
