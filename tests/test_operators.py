@@ -889,3 +889,29 @@ def test_ivf_local_matches_distributed(spark, sf_dir):
     la = {r.id: (list(r.v), r.nrm) for r in local}
     da = {r.id: (list(r.v), r.nrm) for r in dist}
     assert la == da
+
+
+def test_bpe_local_distributed_property(spark):
+    """Property lock for the adaptive branches: on hypothesis-random
+    corpora (repeated words, ties, single-char docs, empty strings)
+    the driver-side merge loop and the distributed rounds must
+    produce identical merge tables."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from last_minute_legends_spark.operators.bpe import train_bpe
+
+    word = st.text(alphabet="abc", min_size=0, max_size=4)
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def check(texts):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string")
+        local = train_bpe(docs, n_merges=4, min_count=2)
+        dist = train_bpe(docs, n_merges=4, min_count=2, local_vocab_max=0)
+        assert local == dist, (texts, local, dist)
+
+    check()
