@@ -390,11 +390,16 @@ def main() -> None:
         for m, v in rec["sec"].items():
             sec[m] = min(sec.get(m, v), v)
         runs = old.get("runs", 0) + 1
-        lo, hi = str(min(args.mults)), str(max(args.mults))
+        # fit on the MERGED minima's full mult span, not this
+        # invocation's --mults: a single-mult top-up run (e.g. a
+        # re-measure of x100 alone) must extend the fit, not clobber
+        # the recorded exponent with None
+        ms = sorted(int(m) for m in sec)
+        lo, hi = str(ms[0]), str(ms[-1])
         exp = None
         if lo != hi and sec.get(lo, 0) > 0 and sec.get(hi):
             exp = round(math.log(sec[hi] / sec[lo])
-                        / math.log(max(args.mults) / min(args.mults)), 3)
+                        / math.log(ms[-1] / ms[0]), 3)
         cells[name] = {"sec": sec, "rows": rec["rows"], "runs": runs,
                        "exponent": exp,
                        "loadavg_1m": rec["loadavg_1m"]}
