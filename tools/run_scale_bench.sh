@@ -19,7 +19,8 @@ corpus_stats text_unigram_logprob train_bpe bpe_tokenize \
 text_pii_redact text_repetition dedup_paragraph pack_shards \
 mixture_sample decontaminate training_set train_val_split \
 multimodal_features multimodal_framesample multimodal_resize \
-stream_pipeline stream_sessionize stream_enrich stream_dedup stream_curate}"
+stream_pipeline stream_sessionize stream_enrich stream_dedup stream_curate \
+events_sketches stream_json_parse events_avro_roundtrip}"
 FAILED=""
 for c in $CELLS; do
     # stderr goes to a per-cell log (Spark chatter would drown the

@@ -156,6 +156,13 @@ CELLS = [
     "stream_enrich",
     "stream_dedup",
     "stream_curate",
+    # events wire-format cells (events-only readers; new_records /
+    # price_extraction / skew_join / catalog_text_etl /
+    # events_typed_parse stay excluded — they read the TPC-H tables
+    # the generator does not scale)
+    "events_sketches",
+    "stream_json_parse",
+    "events_avro_roundtrip",
 ]
 
 
