@@ -496,7 +496,14 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with a freshly trained merge table: the
     train→encode round trip a tokenizer pipeline runs. Encoding
     folds merges once per DISTINCT word and broadcast-joins token
-    arrays back — the corpus is scanned once."""
+    arrays back — the corpus is scanned once.
+
+    ``head_tokens`` is rendered as a space-joined STRING, not an
+    array: the driver gate canonicalizes results with pandas, and
+    list-valued cells are unhashable there (the r10 red row —
+    ``TypeError: unhashable type: 'list'``). BPE symbols never
+    contain whitespace (words are split on it upstream), so the
+    join is lossless."""
     from last_minute_legends_spark.operators.bpe import bpe_encode, train_bpe
 
     docs = _docs_spread(spark, sf_dir)
@@ -504,7 +511,7 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bpe_encode(docs, merges)
         .select("doc_id", "n_tokens",
-                F.slice("tokens", 1, 8).alias("head_tokens"))
+                F.concat_ws(" ", F.slice("tokens", 1, 8)).alias("head_tokens"))
         .orderBy("doc_id")
     )
 
@@ -597,7 +604,7 @@ docw AS (
     GROUP BY d.doc_id
 )
 SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
-       tokens[1:8] AS head_tokens
+       array_to_string(tokens[1:8], ' ') AS head_tokens
 FROM enc ORDER BY doc_id"""
 )
 
@@ -616,15 +623,23 @@ SPARK = {
     "bpe_tokenize": bpe_tokenize,
 }
 
-# r9 promoted the seven curation oracles into the driver window for
-# their first external value-level observation; r10 keeps them there
-# and additionally promotes the last four oracle-less-at-the-gate
-# batch entries (corpus_stats / text_unigram_logprob and the BPE
-# pair, whose training loop is replayed in DuckDB as 16 unrolled
-# rounds of recursive-CTE greedy folds, _bpe_oracle_ctes — both the
-# learned merge table and the full corpus tokenization value-checked
-# against an independent engine, not just planted unit tests).
+# r11: the BPE pair stays in the driver window — bpe_tokenize's only
+# prior external observation was the r10 red row (array-column gate
+# crash, now fixed by serializing head_tokens), and train_bpe's only
+# green one was that same round — so both get a fresh post-fix gate
+# observation. The other nine entries, driver-hash-green in both r9
+# and r10, lend their slots back to the returning OLAP/events lenders
+# and keep the identical value-level compare locally
+# (tests/test_oracle.py). The BPE training loop is replayed in DuckDB
+# as 16 unrolled rounds of recursive-CTE greedy folds
+# (_bpe_oracle_ctes) — both the learned merge table and the full
+# corpus tokenization value-checked against an independent engine.
 SQL = {
+    "train_bpe": TRAIN_BPE_SQL,
+    "bpe_tokenize": BPE_TOKENIZE_SQL,
+}
+
+LOCAL_SQL = {
     "text_pii_redact": TEXT_PII_REDACT_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "dedup_paragraph": DEDUP_PARAGRAPH_SQL,
@@ -634,8 +649,4 @@ SQL = {
     "mixture_sample": MIXTURE_SAMPLE_SQL,
     "corpus_stats": CORPUS_STATS_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_SQL,
-    "train_bpe": TRAIN_BPE_SQL,
-    "bpe_tokenize": BPE_TOKENIZE_SQL,
 }
-
-LOCAL_SQL = {}

@@ -574,20 +574,20 @@ SPARK = {
     "skew_join": skew_join,
 }
 
-# r10 rotation: four multi-round-proven entries (events_by_type /
-# funnel / user_pivot / json_props, driver-hash-green r2–r8) lend
-# their window slots to never-observed entries and keep the identical
-# value-level compare locally (tests/test_oracle.py); skew_join is
-# promoted the other way for its first external value-level check.
+# r11 rotation: the four r10 lenders (events_by_type / funnel /
+# user_pivot / json_props, driver-hash-green r2–r8) return to the
+# window; skew_join — driver-hash-green on its first external
+# observation in r10 — lends its slot back and keeps the identical
+# value-level compare locally (tests/test_oracle.py).
 LOCAL_SQL = {
+    "skew_join": SKEW_JOIN_SQL,
+}
+
+SQL = {
     "events_by_type": EVENTS_BY_TYPE_SQL,
     "funnel": FUNNEL_SQL,
     "user_pivot": USER_PIVOT_SQL,
     "json_props": JSON_PROPS_SQL,
-}
-
-SQL = {
-    "skew_join": SKEW_JOIN_SQL,
     "events_windowed": EVENTS_WINDOWED_SQL,
     "sessionization": SESSIONIZATION_SQL,
     "user_segmentation": USER_SEGMENTATION_SQL,

@@ -159,17 +159,18 @@ SPARK = {
     "multimodal_resize": multimodal_resize,
 }
 
-# r10 promotes multimodal_resize (geometry oracle, like
-# framesample's) into the driver window for its first external
-# value-level observation; multimodal_features (driver-observed in an
-# earlier round) keeps its value check locally.
+# r11: multimodal_resize, driver-hash-green on its first external
+# observation (r10), lends its window slot back to the returning r10
+# lenders; it and multimodal_features keep their geometry value
+# checks locally (tests/test_oracle.py).
 SQL = {
     "multimodal_meta": MULTIMODAL_META_SQL,
     "multimodal_features": None,  # past the window: value check in LOCAL_SQL
     "multimodal_framesample": MULTIMODAL_FRAMESAMPLE_SQL,
-    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
+    "multimodal_resize": None,    # past the window: value check in LOCAL_SQL
 }
 
 LOCAL_SQL = {
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
 }

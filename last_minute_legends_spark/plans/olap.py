@@ -743,23 +743,13 @@ SPARK = {
     "q19_or_predicate": q19_or_predicate,
 }
 
+# r11 rotation: every r10-lent OLAP slot returns (the r7→r8 pattern).
+# All 19 entries sit in the driver window again; the r10-observed
+# promotions they displaced move to their owning modules' LOCAL_SQL
+# and keep the identical value-level DuckDB compare locally via
+# tests/test_oracle.py.
 SQL = {
     "q1_pricing_summary": Q1_SQL,
-}
-
-# r10 rotation: the remaining 18 OLAP entries all lend their
-# driver-window slots this round so the LAST never-driver-observed
-# registry entries (the 7 newly promoted r9 value-level oracles —
-# skew_join / multimodal_resize / events_avro_roundtrip /
-# corpus_stats / text_unigram_logprob / train_bpe / bpe_tokenize —
-# plus the 5 rows-only streaming/simulator runs in
-# plans/queries.py WINDOW_ROTATE) each get one round of external
-# observation. Every entry here has been driver-hash-green in 2+
-# prior rounds (r2–r8) and keeps the identical value-level DuckDB
-# compare locally via tests/test_oracle.py; they rotate back in r11
-# exactly as the r7→r8 minhash/simhash/ivf rotation did. q1 stays
-# in-window as the flagship entry.
-LOCAL_SQL = {
     "q3_shipping_priority": Q3_SQL,
     "q4_order_priority": Q4_SQL,
     "q5_local_supplier_volume": Q5_SQL,
@@ -779,3 +769,5 @@ LOCAL_SQL = {
     "topn_per_group": TOPN_SQL,
     "cube_agg": CUBE_SQL,
 }
+
+LOCAL_SQL = {}

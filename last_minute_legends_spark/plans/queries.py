@@ -61,31 +61,15 @@ ORACLE_WINDOW = 50
 # leaves free (one round of driver-visible confirmation each; the
 # displaced oracle entries keep their value-level DuckDB compare
 # locally via the owning module's LOCAL_SQL + tests/test_oracle.py).
-# r7 lent three slots to dedup_minhash_lsh / dedup_simhash /
-# ann_ivf_topk (rows delivered in CORRECTNESS_r07); r8 rotated the
-# OLAP trio back; r9 lent ten OLAP slots to nine never-observed
-# value-level oracles + events_sketches. r10 finishes the job: with
-# 12 more multi-round-proven entries lending slots (8 OLAP + 4
-# events — see those modules' LOCAL_SQL), the LAST never-observed
-# entries rotate through: 7 value-level promotions in their owning
-# modules' SQL dicts (skew_join / multimodal_resize /
-# events_avro_roundtrip / corpus_stats / text_unigram_logprob /
-# train_bpe / bpe_tokenize) plus the five genuinely
-# non-SQL-expressible streaming/simulator runs below (rows-only;
-# their value checks are the direct DuckDB stream-vs-replay compares
-# in tests/test_stream_oracle.py). events_sketches stays one more
-# round in case the r9 gate did not record (no CORRECTNESS_r09 was
-# present at r10 start). After this round every one of the 78
-# registry entries has produced driver-visible evidence at least
-# once across r7–r10.
-WINDOW_ROTATE: list[str] = [
-    "events_sketches",
-    "stream_enrich",
-    "stream_dedup",
-    "stream_curate",
-    "simulate_events",
-    "simulate_stream",
-]
+# The r7–r10 rotations gave every one of the 78 registry entries
+# driver-visible evidence at least once (r10 finished the job:
+# CORRECTNESS_r10 recorded rows for all six remaining rows-only
+# entries, events_sketches for the second time). r11 therefore
+# rotates EMPTY: all 50 window slots go to value-level oracle
+# entries — the 22 returning r10 lenders (18 OLAP + 4 events), the
+# BPE pair for their post-fix observation, and the standing set —
+# while the 16 displaced r10 promotions keep local value checks.
+WINDOW_ROTATE: list[str] = []
 
 _order = (
     [k for k in QUERIES if k in ORACLE_SQL]

@@ -306,20 +306,24 @@ SQL = {
     "stream_json_parse": STREAM_JSON_PARSE_SQL,
     "events_typed_parse": EVENTS_TYPED_PARSE_SQL,
     "catalog_text_etl": CATALOG_TEXT_ETL_SQL,
-    "events_avro_roundtrip": EVENTS_AVRO_ROUNDTRIP_SQL,
-    # The five streaming/simulator runs below are genuinely
+    # The streaming/simulator runs below are genuinely
     # non-SQL-expressible at the gate (each drives a Structured
-    # Streaming pipeline); r10 rotates them through the window for
-    # their one round of driver-visible rows confirmation
-    # (plans/queries.py WINDOW_ROTATE). Their value-level checks are
-    # the direct DuckDB compares in tests/test_stream_oracle.py.
+    # Streaming pipeline); all were rotated through the window for a
+    # round of driver-visible rows confirmation by r10, so r11 parks
+    # them outside it. Their value-level checks are the direct DuckDB
+    # compares in tests/test_stream_oracle.py.
     "stream_pipeline": None,   # direct DuckDB compare (observed r7)
     "stream_sessionize": None,  # direct DuckDB compare (observed r7)
-    "stream_enrich": None,     # direct DuckDB compare
-    "stream_dedup": None,      # exactly-once parity + direct DuckDB compare
-    "stream_curate": None,     # batch parity + direct DuckDB compare
-    "simulate_events": None,  # generator: determinism/integrity + hash-replay tests
-    "simulate_stream": None,  # streaming run: batch-parity + LIVE-vs-replay compare
+    "stream_enrich": None,     # direct DuckDB compare (observed r10)
+    "stream_dedup": None,      # exactly-once parity + DuckDB compare (r10)
+    "stream_curate": None,     # batch parity + DuckDB compare (observed r10)
+    "simulate_events": None,  # determinism/integrity + hash-replay (r10)
+    "simulate_stream": None,  # batch-parity + LIVE-vs-replay compare (r10)
 }
 
-LOCAL_SQL = {}
+# r11: events_avro_roundtrip, driver-hash-green on its first external
+# observation (r10), lends its window slot back; the identical
+# round-trip value compare runs locally via tests/test_oracle.py.
+LOCAL_SQL = {
+    "events_avro_roundtrip": EVENTS_AVRO_ROUNDTRIP_SQL,
+}

@@ -390,10 +390,16 @@ SPARK = {
 }
 
 SQL = {
+    "training_set": TRAINING_SET_SQL,
+    "train_val_split": TRAIN_VAL_SPLIT_SQL,
+}
+
+# r11: four long-proven entries (driver-hash-green through r10) lend
+# their window slots so the 22 r10 lenders can rotate back; identical
+# value-level compare runs locally via tests/test_oracle.py.
+LOCAL_SQL = {
     "text_langid": TEXT_LANGID_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_tfidf_topterms": TEXT_TFIDF_SQL,
     "text_vocab_topk": TEXT_VOCAB_SQL,
-    "training_set": TRAINING_SET_SQL,
-    "train_val_split": TRAIN_VAL_SPLIT_SQL,
 }

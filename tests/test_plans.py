@@ -119,6 +119,38 @@ def test_oracle_entries_fit_driver_window():
     assert not dangling, f"oracle SQL without a query: {dangling}"
 
 
+def _oracle_keys():
+    from last_minute_legends_spark.plans.queries import ORACLE_SQL
+
+    return sorted(ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", _oracle_keys())
+def test_oracle_entries_gate_hashable_schema(spark, sf_dir, name):
+    """Every driver-exported oracle entry must return only SCALAR
+    top-level columns. The driver gate canonicalizes results with
+    pandas sort_values + factorize, and list/dict-valued cells are
+    unhashable there (`TypeError: unhashable type: 'list'` — the r10
+    `bpe_tokenize` red row, CORRECTNESS_r10). Serialize arrays with
+    concat_ws/to_json before exporting an entry through
+    oracle_sql()."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from last_minute_legends_spark.plans.queries import QUERIES
+
+    schema = QUERIES[name](spark, sf_dir).schema
+    complex_cols = [
+        f.name for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: gate-unhashable top-level columns {complex_cols} — "
+        "the driver's pandas canonicalizer cannot sort/hash these; "
+        "render them as strings (concat_ws / to_json) in both the "
+        "Spark plan and its oracle SQL"
+    )
+
+
 def test_typed_parse_single_scan(spark, sf_dir):
     """events_typed_parse must scan each source table exactly ONCE
     (events + the part-rendered catalog topic = 2 scans total): the
