@@ -210,9 +210,23 @@ def main() -> None:
 
     diag: dict[str, dict] = {}
 
+    def failed_tasks_total() -> int:
+        """Cumulative failed-task count across executors (the UI
+        status store's ExecutorSummary.failedTasks). A task failure +
+        retry inflates a wall-clock sample without any contention
+        signature — r10's stream_curate read 36 s on one aborted
+        parquet commit. Recording the per-run delta makes a
+        retry-contaminated sample self-evident in the diag map."""
+        try:
+            execs = spark.sparkContext._jsc.sc().statusStore().executorList(True)
+            return sum(execs.apply(i).failedTasks() for i in range(execs.size()))
+        except Exception:
+            return -1
+
     def instrumented(name: str, fn) -> float:
         """Run fn() once, recording wall + contention evidence."""
         load0 = os.getloadavg()[0]
+        fail0 = failed_tasks_total()
         self0, mach0, t0 = tree_cpu_seconds(), machine_cpu_seconds(), time.perf_counter()
         out = fn()
         wall = time.perf_counter() - t0
@@ -220,24 +234,26 @@ def main() -> None:
         # process tree between samples, making the raw delta negative
         self_cpu = max(tree_cpu_seconds() - self0, 0.0)
         other_cpu = max(machine_cpu_seconds() - mach0 - self_cpu, 0.0)
+        fail1 = failed_tasks_total()
         d = diag.setdefault(name, {})
         d.setdefault("runs", []).append({
             "wall": round(wall, 3),
             "self_cores": round(self_cpu / wall, 2) if wall > 0 else 0.0,
             "other_cores": round(other_cpu / wall, 2) if wall > 0 else 0.0,
             "loadavg_1m": round(load0, 2),
+            "failed_tasks": (fail1 - fail0) if fail0 >= 0 and fail1 >= 0 else -1,
         })
         if out is not None:
             d["rows"] = out
         return wall
 
-    def run(name: str) -> float:
+    def run(name: str, once=None) -> float:
         times = []
         for _ in range(2):
-            def once():
+            def dflt():
                 df = QUERIES[name](spark, SF_DIR)
                 df.write.mode("overwrite").format("noop").save()
-            times.append(instrumented(name, once))
+            times.append(instrumented(name, once or dflt))
             # drop frames the query persisted (shingle/signature
             # diamonds) so they can't accumulate across the suite
             spark.catalog.clearCache()
@@ -271,12 +287,16 @@ def main() -> None:
             diag.setdefault(name, {})["error"] = repr(exc)
 
     # streaming runs timed separately (real multi-batch executions —
-    # kept OUT of the headline total so batch regressions stay visible)
+    # kept OUT of the headline total so batch regressions stay visible).
+    # min-of-2 like the batch cells (each run is an idempotent
+    # execution into a fresh tmp sink dir): r10's single-sample
+    # stream_curate read 36 s off one aborted-commit task retry that a
+    # second sample would have discarded.
     streaming: dict[str, float] = {}
     for name in STREAMING:
         try:
             streaming[name] = round(
-                instrumented(name, lambda: QUERIES[name](spark, SF_DIR).count()), 3)
+                run(name, lambda: QUERIES[name](spark, SF_DIR).count()), 3)
         except Exception as exc:
             streaming[name] = -1.0
             diag.setdefault(name, {})["error"] = repr(exc)
@@ -287,6 +307,12 @@ def main() -> None:
         sf = None
 
     suite_meta["suite_end_loadavg_1m"] = round(os.getloadavg()[0], 2)
+    # measurement-protocol flags, recorded in BOTH outputs so
+    # cross-round comparisons can detect a protocol mismatch
+    # mechanically (r10's per-cell GC changed the protocol; a baseline
+    # measured without it is not comparable)
+    gc_on = 1 if os.environ.get("SPARK_GRAFT_BENCH_GC", "1") != "0" else 0
+    suite_meta["per_cell_gc"] = gc_on
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     # Full-precision record + contention evidence → file, never the
@@ -313,6 +339,7 @@ def main() -> None:
             "unit": "sec",
             "queries": {k: fmt_secs(v, sig) for k, v in timings.items()},
             "sf": sf,
+            "gc": gc_on,
         }
         if keep_streaming:
             payload["streaming"] = {k: fmt_secs(v, sig)

@@ -489,9 +489,13 @@ def _cc_local(spark, edges, id_type) -> DataFrame:
                 ra, rb = rb, ra
             parent[rb] = ra
     rows = [(v, find(v)) for v in parent]
+    # nullable=True on purpose: the distributed min-label branch
+    # returns nullable columns (join/agg outputs), and the two
+    # branches must present ONE schema to strict consumers regardless
+    # of which side of LOCAL_EDGES_MAX the edge list lands on.
     return spark.createDataFrame(
-        rows, T.StructType([T.StructField("id", id_type, False),
-                            T.StructField("cluster_id", id_type, False)]))
+        rows, T.StructType([T.StructField("id", id_type, True),
+                            T.StructField("cluster_id", id_type, True)]))
 
 
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",

@@ -98,7 +98,20 @@ def _round_half_up(x: float, scale: int = 8) -> float:
     diverges at representable midpoints (round(0.001953125, 8) =
     0.00195312 vs F.round's 0.00195313); repr(float) produces the
     same shortest round-trip decimal as Double.toString, so
-    quantizing THAT string half-up reproduces the JVM result."""
+    quantizing THAT string half-up reproduces the JVM result.
+
+    Known JVM caveat: Double.toString is only GUARANTEED shortest on
+    JDK >= 19 (JDK-4511638); older JVMs can emit a non-shortest
+    rendering for rare values, and if such a value's extra digits
+    straddle an 8-dp half-up boundary the local branch would diverge
+    from F.round by 1 ulp of the 8th decimal. We do not assert the
+    JDK version (this container runs 17 and the parity tests pass);
+    instead test_round_half_up_matches_jvm fuzzes values constructed
+    NEAR 8-dp midpoints (dyadic midpoint hits, k/1e8 +- 5e-9
+    neighborhoods, random doubles) through BOTH this function and the
+    live F.round on the session JVM — locking the contract against
+    whatever JVM actually executes, which is strictly stronger than a
+    version assert."""
     import decimal
     return float(decimal.Decimal(repr(x)).quantize(
         decimal.Decimal(1).scaleb(-scale), rounding=decimal.ROUND_HALF_UP))

@@ -312,11 +312,15 @@ def test_connected_components_random_graphs_match_union_find(spark):
         pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
         # both adaptive branches: the driver-side union-find (default
         # for small edge lists) and the distributed min-label rounds
-        got = {r.id: r.cluster_id
-               for r in connected_components(pairs).collect()}
-        dist = {r.id: r.cluster_id
-                for r in connected_components(
-                    pairs, local_edges_max=0).collect()}
+        local_df = connected_components(pairs)
+        dist_df = connected_components(pairs, local_edges_max=0)
+        # strict consumers must see ONE schema regardless of which
+        # side of LOCAL_EDGES_MAX the edge list lands on — names,
+        # types, AND nullability
+        assert local_df.schema == dist_df.schema, (
+            local_df.schema, dist_df.schema)
+        got = {r.id: r.cluster_id for r in local_df.collect()}
+        dist = {r.id: r.cluster_id for r in dist_df.collect()}
         assert got == expect, f"edges={edges}"
         assert dist == expect, f"edges={edges}"
 
@@ -895,13 +899,20 @@ def test_bpe_local_distributed_property(spark):
     """Property lock for the adaptive branches: on hypothesis-random
     corpora (repeated words, ties, single-char docs, empty strings)
     the driver-side merge loop and the distributed rounds must
-    produce identical merge tables."""
+    produce identical merge tables.
+
+    The alphabet deliberately mixes byte widths (1-byte 'a'/'b',
+    2-byte 'é', 3-byte '中', 4-byte astral '𐍈'): the local/distributed
+    tie-break parity rests on Python code-point order equaling Spark's
+    UTF8_BINARY byte order, which holds because UTF-8 is
+    order-preserving — this exercises that claim instead of arguing
+    it from ASCII-only inputs."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
     from last_minute_legends_spark.operators.bpe import train_bpe
 
-    word = st.text(alphabet="abc", min_size=0, max_size=4)
+    word = st.text(alphabet="abé中𐍈", min_size=0, max_size=4)
     doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
 
     @settings(max_examples=5, deadline=None,
@@ -915,3 +926,126 @@ def test_bpe_local_distributed_property(spark):
         assert local == dist, (texts, local, dist)
 
     check()
+
+
+# --- Per-topic Avro registry contracts -----------------------------------
+#
+# The reference ships one .avsc per topic (/root/reference/schemas/);
+# the repo mirrors all 7 as fixtures under last_minute_legends_spark/
+# schemas/. Each must (a) agree field-for-field with the declared
+# StructType the streaming parsers use, (b) round-trip typed values
+# through the pure-Python binary codec, and (c) resolve against the
+# union user_activity reader the way a schema-registry consumer would.
+
+_TOPIC_EVENT = {
+    "added_to_cart": "added_to_cart",
+    "checkout": "checkout_to_cart",   # event_name per UserEvents.py:150
+    "consumer_registration": "consumer_registration",
+    "item_view": "item_view",
+    "sign_in": "sign_in",
+    "sign_out": "sign_out",
+}
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("topic,event_name", sorted(_TOPIC_EVENT.items()))
+def test_per_topic_avsc_roundtrip(spark, topic, event_name):
+    from last_minute_legends_spark.sources.avro_codec import (
+        decode_record, decode_record_resolved, encode_record,
+        parse_fields, resolve_schemas,
+    )
+    from last_minute_legends_spark.sources.avro_io import load_schema
+    from last_minute_legends_spark.sources.simulator import simulate_user_activity
+    from last_minute_legends_spark.sources.streams import USER_EVENT_SCHEMAS
+
+    schema = load_schema(topic)
+    fields = parse_fields(schema)
+    # (a) contract parity: the .avsc field list IS the StructType the
+    # typed parsers declare, name for name in order
+    declared = USER_EVENT_SCHEMAS[event_name]
+    assert [n for n, _, _ in fields] == [f.name for f in declared.fields]
+
+    rows = (
+        simulate_user_activity(spark, n_events=4000)
+        .filter(F.col("event_name") == event_name)
+        .select(*[n for n, _, _ in fields])
+        .limit(5)
+        .collect()
+    )
+    assert rows, f"simulator produced no {event_name} events"
+
+    union_reader = load_schema("user_activity")
+    wf, actions = resolve_schemas(schema, union_reader)
+    union_names = [n for n, _, _ in parse_fields(union_reader)]
+    own = {n for n, _, _ in fields}
+    for r in rows:
+        vals = tuple(r)
+        buf = encode_record(vals, fields)
+        # (b) writer-schema round trip is exact
+        assert decode_record(buf, fields) == vals
+        # (c) registry-consumer path: same bytes decoded through the
+        # union reader — own fields survive, union-only fields take
+        # their null defaults
+        byname = dict(zip(union_names, decode_record_resolved(buf, wf, actions)))
+        for (n, _, _), v in zip(fields, vals):
+            assert byname[n] == v
+        assert all(byname[n] is None for n in set(union_names) - own)
+
+
+def test_catalog_avsc_roundtrip():
+    from last_minute_legends_spark.sources.avro_codec import (
+        decode_record, encode_record, parse_fields, resolve_schemas,
+    )
+    from last_minute_legends_spark.sources.avro_io import load_schema
+    from last_minute_legends_spark.sources.streams import (
+        CATALOG_EVENT_NAME, MOVIE_CATALOG_SCHEMA,
+    )
+
+    schema = load_schema("movies_catalog_enriched")
+    fields = parse_fields(schema)
+    assert [n for n, _, _ in fields] == [f.name for f in MOVIE_CATALOG_SCHEMA.fields]
+
+    recs = [
+        ("2026-01-01T00:00:00", CATALOG_EVENT_NAME, "m1", "First Title", "drama", 9.5),
+        ("2026-01-01T00:00:01", CATALOG_EVENT_NAME, "m2", "Second", "comedy", 12.25),
+    ]
+    for vals in recs:  # list_price values chosen exactly float32-representable
+        buf = encode_record(vals, fields)
+        assert decode_record(buf, fields) == vals
+
+    # The catalog record is NOT a member of the user-activity union:
+    # the union reader requires user_id, which the catalog writer
+    # lacks and the reader declares without a default — per the Avro
+    # spec's resolution rules that is an error, and the codec says so.
+    with pytest.raises(ValueError, match="user_id"):
+        resolve_schemas(schema, load_schema("user_activity"))
+
+
+def test_round_half_up_matches_jvm(spark):
+    """Fuzz lock for the local-Lloyd rounding contract
+    (operators/similarity.py _round_half_up): the driver-side branch
+    reproduces F.round(x, 8) through repr(float) + decimal HALF_UP,
+    which assumes the session JVM's Double.toString emits the
+    shortest round-trip decimal (guaranteed JDK >= 19, empirical
+    before). Feed values engineered near 8-dp midpoints — exact
+    dyadic midpoints (the 0.001953125 = 2^-9 class), k/1e8 +- 5e-9
+    neighborhoods on both sides, and uniform doubles — through both
+    paths on the LIVE JVM and require bit-equality."""
+    import random
+
+    from last_minute_legends_spark.operators.similarity import _round_half_up
+
+    rng = random.Random(20260814)
+    vals = [0.001953125, 2.0 ** -9, 3 * 2.0 ** -10, 0.5e-8, 1.5e-8, 2.5e-8]
+    for _ in range(400):
+        k = rng.randrange(10 ** 7)
+        vals.append(k / 1e8 + 5e-9)            # decimal midpoint (inexact)
+        vals.append(k / 1e8 - 5e-9)
+        vals.append(rng.randrange(1, 2 ** 20) * 2.0 ** -rng.randrange(10, 40))
+        vals.append(rng.random())
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.r for r in df.select(F.round("x", 8).alias("r")).collect()]
+    exp = [_round_half_up(v) for v in vals]
+    bad = [(v, g, e) for v, g, e in zip(vals, got, exp) if g != e]
+    assert not bad, f"{len(bad)} divergences, first: {bad[:3]}"
