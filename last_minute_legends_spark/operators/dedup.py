@@ -383,53 +383,151 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
         "doc_id",
         F.when(F.col("t").isNotNull(), token_hash(F.col("t"))).alias("h"),
     )
-    # The packed-counter aggs and the 64-term majority word are built
-    # as SQL strings: composing them from pyspark Column operators
-    # costs a py4j round-trip per node (~1000 round-trips, measured
-    # 3.6 s of pure driver-side construction — more than the job).
-    packed = [
+    sums = toks.groupBy("doc_id").agg(
+        F.count("h").alias("n"), *_packed_counter_exprs("h", "p"))
+    return sums.selectExpr(
+        "doc_id", f"({_majority_word_sql('p')} | {_OVERFLOW_GUARD}) AS simhash")
+
+
+def _packed_counter_exprs(h: str, pfx: str) -> list:
+    """The 16 packed set-bit counters for one 64-bit hash column
+    ``h``: long ``{pfx}{j}`` holds four 16-bit counts (bits j, j+16,
+    j+32, j+48). Built as SQL strings: composing them from pyspark
+    Column operators costs a py4j round-trip per node (~1000
+    round-trips, measured 3.6 s of pure driver-side construction —
+    more than the job)."""
+    return [
         F.expr(
-            f"sum(((h >> {j}) & 1)"
-            f" + (((h >> {j + 16}) & 1) << 16)"
-            f" + (((h >> {j + 32}) & 1) << 32)"
-            f" + (((h >> {j + 48}) & 1) << 48)) AS p{j}"
+            f"sum((({h} >> {j}) & 1)"
+            f" + ((({h} >> {j + 16}) & 1) << 16)"
+            f" + ((({h} >> {j + 32}) & 1) << 32)"
+            f" + ((({h} >> {j + 48}) & 1) << 48)) AS {pfx}{j}"
         )
         for j in range(16)
     ]
-    sums = toks.groupBy("doc_id").agg(F.count("h").alias("n"), *packed)
-    bits = " | ".join(
-        f"(CASE WHEN ((coalesce(p{b % 16}, 0L) >> {16 * (b // 16)}) & 65535) * 2 > n"
+
+
+def _majority_word_sql(pfx: str) -> str:
+    """64-term majority word over the ``{pfx}*`` packed counters."""
+    return " | ".join(
+        f"(CASE WHEN ((coalesce({pfx}{b % 16}, 0L) >> {16 * (b // 16)}) & 65535) * 2 > n"
         f" THEN shiftleft(1L, {b}) ELSE 0L END)"
         for b in range(64)
     )
-    guard = ("coalesce(cast(assert_true(n <= 65535, "
-             "'simhash: >65535 distinct tokens in one document "
-             "overflows the packed 16-bit counters') AS bigint), 0L)")
-    return sums.selectExpr("doc_id", f"({bits} | {guard}) AS simhash")
+
+
+_OVERFLOW_GUARD = ("coalesce(cast(assert_true(n <= 65535, "
+                   "'simhash: >65535 distinct tokens in one document "
+                   "overflows the packed 16-bit counters') AS bigint), 0L)")
+
+
+# Size switch for the signature width. The 64-bit 4x16 banding is the
+# optimal hamming<=3 pigeonhole at 64 bits, but each band carries a
+# 2^-16 random-collision term — n^2/2 * 4/65536 spurious band hits
+# that the BASELINE_LOCAL r9 ladder shows becoming visible past ~1M
+# docs. At 128 bits the same pigeonhole bands as 4x32 and the term
+# drops to 2^-32 (a 65536x reduction), at ~2x the aggregation cost.
+SIMHASH_WIDE_MIN_DOCS = 1_000_000
+
+
+def simhash_bits(n_docs: int) -> int:
+    """64 below SIMHASH_WIDE_MIN_DOCS documents, 128 at or above."""
+    return 128 if n_docs >= SIMHASH_WIDE_MIN_DOCS else 64
+
+
+def simhash_signatures_wide(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n_bits: int = 128,
+                            token_hash=None) -> DataFrame:
+    """(doc_id, sh0[, sh1]) — an ``n_bits``-bit simhash as
+    ``n_bits//64`` signature words. Word 0 is bit-for-bit
+    ``simhash_signatures``'s output (same token hash, same packed-
+    counter majority — parity-locked by
+    test_simhash_wide_64_matches_legacy); word w >= 1 majority-votes
+    the bits of the independent hash ``xxhash64(t, w)``. One groupBy
+    carries all 16*n_words packed counters — widening the signature
+    adds counter columns to the SAME shuffle, not a second pass over
+    the corpus."""
+    if n_bits not in (64, 128):
+        raise ValueError(f"n_bits must be 64 or 128, got {n_bits}")
+    n_words = n_bits // 64
+    token_hash = token_hash or F.xxhash64
+    hcols = []
+    for w in range(n_words):
+        hc = (token_hash(F.col("t")) if w == 0
+              else F.xxhash64(F.col("t"), F.lit(w)))
+        hcols.append(F.when(F.col("t").isNotNull(), hc).alias(f"h{w}"))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(F.array_distinct(words(F.col(text_col)))).alias("t"),
+    ).select("doc_id", *hcols)
+    packed = []
+    for w in range(n_words):
+        packed += _packed_counter_exprs(f"h{w}", f"w{w}p")
+    sums = toks.groupBy("doc_id").agg(F.count("h0").alias("n"), *packed)
+    outs = [
+        f"({_majority_word_sql(f'w{w}p')}"
+        + (f" | {_OVERFLOW_GUARD}" if w == 0 else "")
+        + f") AS sh{w}"
+        for w in range(n_words)
+    ]
+    return sums.selectExpr("doc_id", *outs)
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
-                  token_hash=None) -> DataFrame:
-    """Candidate near-dup pairs: equal in at least one 16-bit band
-    (guarantees recall for hamming <= 3; good heuristic above),
-    verified by bit_count(xor) <= max_hamming. ``token_hash`` is the
-    simhash_signatures injection point (cross-engine replay only)."""
-    # both sides of the band self-join read the signature — persist so
-    # the 64-bit aggregate expression runs once per doc, not twice
-    sig = simhash_signatures(docs, id_col, text_col, token_hash).persist()
+                  token_hash=None, n_bits: int | None = None) -> DataFrame:
+    """Candidate near-dup pairs: equal in at least one band
+    (pigeonhole — guarantees recall for hamming < n_bands; good
+    heuristic above), verified by the exact signature hamming
+    distance <= max_hamming. ``token_hash`` is the
+    simhash_signatures injection point (cross-engine replay only).
+
+    ``n_bits=None`` engages the size switch: a column-pruned count
+    picks 64-bit/4x16 below SIMHASH_WIDE_MIN_DOCS documents (the
+    gate/replay-stable legacy shape) and 128-bit/4x32 at or above —
+    where the 4x16 banding's n^2/2 * 4/2^16 random-collision term
+    would dominate candidate generation (see simhash_bits). Note the
+    SAME absolute ``max_hamming`` over 2x the bits is a ~2x stricter
+    angular threshold — the intended operating point at >=1M docs is
+    near-identical documents with a minimal false-candidate surface;
+    pass a scaled ``max_hamming`` (and n_bits explicitly) to keep the
+    64-bit threshold semantics instead, accepting that the pigeonhole
+    guarantee only covers hamming < 4."""
+    if n_bits is None:
+        n_bits = simhash_bits(docs.select(F.col(id_col)).count())
+    if n_bits == 64:
+        sig_words = ["simhash"]
+        # both sides of the band self-join read the signature — persist
+        # so the aggregate expression runs once per doc, not twice
+        sig = simhash_signatures(docs, id_col, text_col, token_hash).persist()
+        band_width = 16
+    else:
+        sig_words = ["sh0", "sh1"]
+        sig = simhash_signatures_wide(
+            docs, id_col, text_col, n_bits, token_hash).persist()
+        band_width = 32
+    bands_per_word = 64 // band_width
+    mask = (1 << band_width) - 1
     bands = F.array(*[
         F.struct(
-            F.lit(k).alias("band"),
-            (F.shiftright("simhash", 16 * k).bitwiseAND(F.lit(0xFFFF))).alias("bv"),
+            F.lit(w * bands_per_word + k).alias("band"),
+            (F.shiftright(sig_words[w], band_width * k)
+             .bitwiseAND(F.lit(mask))).alias("bv"),
         )
-        for k in range(4)
+        for w in range(len(sig_words))
+        for k in range(bands_per_word)
     ])
-    exploded = sig.select("doc_id", "simhash", F.explode(bands).alias("bs")).select(
-        "doc_id", "simhash",
+    exploded = sig.select("doc_id", *sig_words,
+                          F.explode(bands).alias("bs")).select(
+        "doc_id", *sig_words,
         F.col("bs.band").alias("band"), F.col("bs.bv").alias("bv"),
     )
     a, b = exploded.alias("a"), exploded.alias("b")
+    hamming = F.bit_count(
+        F.col(f"a.{sig_words[0]}").bitwiseXOR(F.col(f"b.{sig_words[0]}")))
+    for wcol in sig_words[1:]:
+        hamming = hamming + F.bit_count(
+            F.col(f"a.{wcol}").bitwiseXOR(F.col(f"b.{wcol}")))
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bv") == F.col("b.bv"))
@@ -437,9 +535,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            hamming.alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

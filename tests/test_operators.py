@@ -340,6 +340,55 @@ def test_simhash_identical_zero_hamming(spark):
     assert (1, 3) not in out
 
 
+def test_simhash_wide_64_matches_legacy(spark, sf_dir):
+    """The generalized wide formulation at n_bits=64 must be
+    bit-for-bit the legacy 64-bit signature on the real documents
+    table — word 0 uses the same token hash and the same
+    packed-counter majority arithmetic, so widening the signature is
+    provably an extension, not a reimplementation."""
+    from last_minute_legends_spark.operators.dedup import (
+        simhash_signatures, simhash_signatures_wide,
+    )
+    from last_minute_legends_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    legacy = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    wide = {r.doc_id: r.sh0
+            for r in simhash_signatures_wide(docs, n_bits=64).collect()}
+    assert legacy == wide
+
+
+def test_simhash_128_planted_and_switch(spark):
+    """128-bit path: identical docs collide at hamming 0, unrelated
+    docs stay apart, both signature words carry information (the
+    second word is an independent hash, not a copy), and the size
+    switch picks 64 below the threshold."""
+    from last_minute_legends_spark.operators.dedup import (
+        SIMHASH_WIDE_MIN_DOCS, simhash_bits, simhash_pairs,
+        simhash_signatures_wide,
+    )
+
+    assert simhash_bits(SIMHASH_WIDE_MIN_DOCS - 1) == 64
+    assert simhash_bits(SIMHASH_WIDE_MIN_DOCS) == 128
+
+    docs = _docs(spark, [
+        (1, "one two three four five six"),
+        (2, "one two three four five six"),
+        (3, "totally different words here entirely"),
+    ])
+    out = {(r.doc_a, r.doc_b): r.hamming
+           for r in simhash_pairs(docs, n_bits=128).collect()}
+    assert out.get((1, 2)) == 0
+    assert (1, 3) not in out
+
+    sigs = {r.doc_id: (r.sh0, r.sh1)
+            for r in simhash_signatures_wide(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1][0] != sigs[3][0] and sigs[1][1] != sigs[3][1]
+    # independent words: sh1 is not a function rename of sh0
+    assert sigs[1][0] != sigs[1][1]
+
+
 def test_sessionize_gap_edges(spark):
     from last_minute_legends_spark.operators.sessions import sessionize
 
