@@ -437,7 +437,7 @@ def simhash_bits(n_docs: int) -> int:
 
 def simhash_signatures_wide(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", n_bits: int = 128,
-                            token_hash=None) -> DataFrame:
+                            token_hash=None, word_hash=None) -> DataFrame:
     """(doc_id, sh0[, sh1]) — an ``n_bits``-bit simhash as
     ``n_bits//64`` signature words. Word 0 is bit-for-bit
     ``simhash_signatures``'s output (same token hash, same packed-
@@ -446,15 +446,18 @@ def simhash_signatures_wide(docs: DataFrame, id_col: str = "doc_id",
     the bits of the independent hash ``xxhash64(t, w)``. One groupBy
     carries all 16*n_words packed counters — widening the signature
     adds counter columns to the SAME shuffle, not a second pass over
-    the corpus."""
+    the corpus. ``token_hash`` (word 0) and ``word_hash(col, w)``
+    (words >= 1) are injection points for cross-engine replay only
+    (tests/test_hash_replay.py)."""
     if n_bits not in (64, 128):
         raise ValueError(f"n_bits must be 64 or 128, got {n_bits}")
     n_words = n_bits // 64
     token_hash = token_hash or F.xxhash64
+    word_hash = word_hash or (lambda c, w: F.xxhash64(c, F.lit(w)))
     hcols = []
     for w in range(n_words):
         hc = (token_hash(F.col("t")) if w == 0
-              else F.xxhash64(F.col("t"), F.lit(w)))
+              else word_hash(F.col("t"), w))
         hcols.append(F.when(F.col("t").isNotNull(), hc).alias(f"h{w}"))
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -475,12 +478,13 @@ def simhash_signatures_wide(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
-                  token_hash=None, n_bits: int | None = None) -> DataFrame:
+                  token_hash=None, n_bits: int | None = None,
+                  word_hash=None) -> DataFrame:
     """Candidate near-dup pairs: equal in at least one band
     (pigeonhole — guarantees recall for hamming < n_bands; good
     heuristic above), verified by the exact signature hamming
-    distance <= max_hamming. ``token_hash`` is the
-    simhash_signatures injection point (cross-engine replay only).
+    distance <= max_hamming. ``token_hash`` / ``word_hash`` are the
+    signature injection points (cross-engine replay only).
 
     ``n_bits=None`` engages the size switch: a column-pruned count
     picks 64-bit/4x16 below SIMHASH_WIDE_MIN_DOCS documents (the
@@ -504,7 +508,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     else:
         sig_words = ["sh0", "sh1"]
         sig = simhash_signatures_wide(
-            docs, id_col, text_col, n_bits, token_hash).persist()
+            docs, id_col, text_col, n_bits, token_hash, word_hash).persist()
         band_width = 32
     bands_per_word = 64 // band_width
     mask = (1 << band_width) - 1

@@ -144,6 +144,53 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _simhash128_replay_sql() -> str:
+    """From-scratch DuckDB replay of the 128-bit wide pipeline:
+    two independent 64-bit majority words (word 0 = md5(t), word 1 =
+    md5(t || ':1') — matching the injected Spark hashes), 4x32-bit
+    bands across both words, summed-hamming verify."""
+    def word_cte(w: int, hexpr: str) -> str:
+        csum = ", ".join(f"sum((h >> {b}) & 1) AS c{b}" for b in range(64))
+        majority = " | ".join(
+            f"(CASE WHEN 2 * c{b} > n THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+            for b in range(64)
+        )
+        return f"""h{w} AS (
+    SELECT doc_id, {hexpr} AS h FROM tokd
+), sums{w} AS (
+    SELECT doc_id, count(*) AS n, {csum} FROM h{w} GROUP BY doc_id
+), sig{w} AS (
+    SELECT doc_id, ({majority}) AS sh{w} FROM sums{w}
+)"""
+
+    return f"""
+WITH tokd AS (
+    SELECT DISTINCT doc_id, t
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
+        FROM documents
+    )
+), {word_cte(0, _dh('t'))},
+{word_cte(1, _dh("t || ':1'"))},
+sig AS (
+    SELECT sig0.doc_id, sh0, sh1 FROM sig0 JOIN sig1 USING (doc_id)
+), bands AS (
+    SELECT doc_id, sh0, sh1, w * 2 + k AS band,
+           ((CASE WHEN w = 0 THEN sh0 ELSE sh1 END) >> (32 * k)) & 4294967295 AS bv
+    FROM sig, UNNEST([0, 1]) tw(w), UNNEST([0, 1]) tk(k)
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming
+FROM pairs WHERE hamming <= {MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
     return Catalog(spark, sf_dir).documents.select("doc_id", "text")
@@ -166,6 +213,20 @@ def test_simhash_duckdb_replay(spark, sf_dir, docs):
     odf = run_oracle(_simhash_replay_sql(), sf_dir)
     issues = compare(sdf, odf)
     assert not issues, "simhash replay: " + "\n".join(issues)
+
+
+def test_simhash_wide_duckdb_replay(spark, sf_dir, docs):
+    """Bit-for-bit external check of the 128-bit path (the >=1M-doc
+    size-switch tier): both majority words, the 4x32 banding, and the
+    summed hamming verify, recomputed from scratch in DuckDB with the
+    same injected md5-prefix hashes."""
+    sdf = simhash_pairs(
+        docs, max_hamming=MAX_HAMMING, token_hash=_md5h, n_bits=128,
+        word_hash=lambda c, w: _md5h(c, F.lit(str(w))),
+    ).orderBy("doc_a", "doc_b")
+    odf = run_oracle(_simhash128_replay_sql(), sf_dir)
+    issues = compare(sdf, odf)
+    assert not issues, "simhash128 replay: " + "\n".join(issues)
 
 
 def test_injected_hash_changes_nothing_semantic(spark, sf_dir, docs):
