@@ -15,11 +15,14 @@ warehouse is just another DataFrame source/sink:
 The in-repo answer to the reference's warehouse QUERIES is
 ``spark.sql`` over the registered views (plans/sql_q.py); this module
 is the network-backed half for deployments with a real JDBC endpoint.
-No vendor JDBC driver jar ships in this container (and there is no
-network), so both builders are construction-gated like the Kafka ones
+Both builders are construction-gated like the Kafka ones
 (sources/streams.py): ``jdbc_driver_available`` probes the classpath
 and the builders raise a clear RuntimeError instead of a deep JVM
-stack.
+stack when the vendor driver is absent. They are NOT execution-gated:
+Spark's own jars dir ships the Derby embedded driver (metastore
+backing), and tests/test_streaming.py::test_warehouse_jdbc_executes_on_derby
+drives write → table / pushdown-query / partitioned-range read
+end-to-end against a real Derby database.
 
 At scale: a partitioned read splits the extract into numPartitions
 range predicates executed concurrently; a write's parallelism is the

@@ -113,6 +113,54 @@ def test_warehouse_jdbc_gated(spark, sf_dir):
                             url, drv, "nation_export")
 
 
+def test_warehouse_jdbc_executes_on_derby(spark, sf_dir, tmp_path):
+    """The JDBC read/write builders EXECUTE end-to-end against the
+    Derby embedded driver that ships inside Spark's own jars dir (it
+    backs the Hive metastore), not just construct: distributed
+    batched INSERT out, then table-mode, pushdown-query-mode, and
+    partitioned-range reads back, value-compared against the source.
+    ≙ snowflake_query_service.py:14-57 fetch_data/execute_query with
+    the executors moving the rows instead of a driver cursor."""
+    from last_minute_legends_spark.sources.tables import load_table
+    from last_minute_legends_spark.sources.warehouse import (
+        jdbc_driver_available, read_warehouse, write_warehouse,
+    )
+
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    if not jdbc_driver_available(spark, drv):
+        pytest.skip("Derby driver not on the classpath")
+    # keep derby.log inside the test tmp dir, not the repo
+    spark._jvm.java.lang.System.setProperty(  # noqa: SLF001
+        "derby.system.home", str(tmp_path))
+    url = f"jdbc:derby:{tmp_path}/wh;create=true"
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    write_warehouse(nation, url, drv, "nation_export", mode="overwrite")
+
+    back = read_warehouse(spark, url, drv, table="nation_export")
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, nation.collect()))
+
+    # Spark's JDBC writer creates columns quoted (case-exact), while
+    # Derby uppercases unquoted identifiers — pushdown SQL written for
+    # the warehouse must quote them, same as against Snowflake.
+    agg = read_warehouse(
+        spark, url, drv,
+        query=('SELECT "n_regionkey", COUNT(*) AS "cnt" '
+               'FROM nation_export GROUP BY "n_regionkey"'))
+    expect = {(r.n_regionkey, r.cnt) for r in nation.groupBy("n_regionkey")
+              .agg(F.count("*").alias("cnt")).collect()}
+    assert {(r.n_regionkey, r.cnt) for r in agg.collect()} == expect
+
+    part = read_warehouse(
+        spark, url, drv, table="nation_export",
+        partition_column="n_nationkey", lower_bound=0, upper_bound=25,
+        num_partitions=4)
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == nation.count()
+
+
 def test_typed_event_schemas_roundtrip(spark, sf_dir):
     """Per-type render → per-type declared-schema parse → union view:
     row counts per type survive, type-specific fields land typed and
