@@ -1071,6 +1071,98 @@ def test_catalog_avsc_roundtrip():
         resolve_schemas(schema, load_schema("user_activity"))
 
 
+def test_confluent_frame_golden_bytes(spark):
+    """The column-level framing must produce EXACTLY the Confluent
+    wire layout the reference's AvroSerializer emits: magic 0x00, the
+    schema id as 4 big-endian bytes, then the untouched body — locked
+    against hand-packed golden bytes, not a round-trip of itself."""
+    import struct
+
+    from last_minute_legends_spark.sources.registry import (
+        confluent_body, confluent_schema_id, frame_value,
+    )
+
+    body = b"\x06foo"  # avro string "foo" per the spec's worked example
+    df = spark.createDataFrame([(body,)], "value binary")
+    for sid in (1, 7, 1000, 2**31 - 1):
+        framed = df.select(frame_value(F.col("value"), sid).alias("v"))
+        got = framed.collect()[0].v
+        assert bytes(got) == b"\x00" + struct.pack(">I", sid) + body
+        back = framed.select(
+            confluent_schema_id(F.col("v")).alias("sid"),
+            confluent_body(F.col("v")).alias("body"),
+        ).collect()[0]
+        assert back.sid == sid and bytes(back.body) == body
+
+
+def test_confluent_registry_mixed_topic_decode(spark):
+    """Producer → consumer over the registry contracts: per-topic
+    typed rows encode with their OWN subject schema, frame with their
+    OWN registry id, union into one mixed stream of frames (what a
+    multi-topic consumer group sees), and decode_confluent dispatches
+    each frame on its schema id back to typed rows in the
+    user_activity reader layout — own fields exact, union-only fields
+    null, subject column naming every row's writer."""
+    from last_minute_legends_spark.sources.avro_codec import parse_fields
+    from last_minute_legends_spark.sources.avro_io import load_schema
+    from last_minute_legends_spark.sources.registry import (
+        LocalSchemaRegistry, decode_confluent, encode_confluent,
+    )
+    from last_minute_legends_spark.sources.simulator import (
+        simulate_user_activity,
+    )
+
+    reg = LocalSchemaRegistry()
+    events = simulate_user_activity(spark, n_events=3000)
+    topics = {"item_view": "item_view", "added_to_cart": "added_to_cart",
+              "sign_in": "sign_in"}
+    frames, expected = [], {}
+    for topic, ev in topics.items():
+        cols = [n for n, _, _ in parse_fields(load_schema(topic))]
+        rows = (events.filter(F.col("event_name") == ev)
+                .select(*cols).limit(4))
+        got = rows.collect()
+        assert got, f"no {ev} events simulated"
+        expected[f"{topic}-value"] = {tuple(r) for r in got}
+        frames.append(encode_confluent(rows, cols, topic, reg))
+    mixed = frames[0].union(frames[1]).union(frames[2])
+
+    out = decode_confluent(mixed, reg, load_schema("user_activity"))
+    reader_cols = [n for n, _, _ in
+                   parse_fields(load_schema("user_activity"))]
+    assert out.columns == reader_cols + ["subject"]
+    for subject, exp in expected.items():
+        topic = subject.removesuffix("-value")
+        own = [n for n, _, _ in parse_fields(load_schema(topic))]
+        sub = out.filter(F.col("subject") == subject)
+        assert {tuple(r) for r in sub.select(*own).collect()} == exp
+        for extra in set(reader_cols) - set(own):
+            assert sub.filter(F.col(extra).isNotNull()).count() == 0
+
+    # unknown writer id → loud KeyError, not a misdecode
+    half = LocalSchemaRegistry({"item_view-value": load_schema("item_view")})
+    with pytest.raises(KeyError, match="not in the registry"):
+        decode_confluent(mixed, half, load_schema("user_activity"))
+
+
+def test_confluent_magic_check(spark):
+    """A non-Confluent value (first byte != 0x00) must fail the job
+    loudly instead of misdecoding from a shifted offset."""
+    from pyspark.errors import SparkRuntimeException
+
+    from last_minute_legends_spark.sources.registry import confluent_body
+
+    bad = spark.createDataFrame([(b"\x01\x00\x00\x00\x01\x06foo",)],
+                                "value binary")
+    with pytest.raises(SparkRuntimeException, match="magic byte"):
+        bad.select(confluent_body(F.col("value")).alias("b")).collect()
+    # and check_magic=False is the documented escape hatch
+    got = bad.select(
+        confluent_body(F.col("value"), check_magic=False).alias("b")
+    ).collect()[0].b
+    assert bytes(got) == b"\x06foo"
+
+
 def test_round_half_up_matches_jvm(spark):
     """Fuzz lock for the local-Lloyd rounding contract
     (operators/similarity.py _round_half_up): the driver-side branch
