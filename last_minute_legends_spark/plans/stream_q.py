@@ -172,28 +172,39 @@ ORDER BY event_name
 
 def events_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → Avro binary wire (in-repo events_wire.avsc ≙ the
-    reference's schema-registry topic payloads) → declared-schema
+    reference's schema-registry topic payloads) → Confluent frame
+    (magic 0x00 + int32-BE registry id, the exact producer layout,
+    sources/registry.py) → magic-checked unframe → declared-schema
     decode → aggregate. Uses the JVM spark-avro functions when the
     jar is present, else the spec-vector-tested pure-Python codec
     (sources/avro_codec.py) — either way the real Avro binary wire
-    format round-trips. In the driver window since r10:
-    EVENTS_AVRO_ROUNDTRIP_SQL computes the same aggregate directly
-    from the base table (any encode/decode infidelity — types,
-    micros, nulls — value-mismatches), and tests/test_streaming.py
-    asserts the full-table round trip is lossless at the row
-    level."""
+    format round-trips, inside the real Confluent envelope. In the
+    driver window since r10: EVENTS_AVRO_ROUNDTRIP_SQL computes the
+    same aggregate directly from the base table (any encode/frame/
+    decode infidelity — types, micros, nulls, a shifted body offset
+    — value-mismatches), and tests/test_streaming.py asserts the
+    full-table round trip is lossless at the row level."""
     from last_minute_legends_spark.sources.avro_io import (
         decode_avro_events,
         encode_avro,
         load_schema,
+    )
+    from last_minute_legends_spark.sources.registry import (
+        LocalSchemaRegistry,
+        confluent_body,
+        frame_value,
     )
 
     events = spread_cpu_scan(spark, Catalog(spark, sf_dir).events).select(
         "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
         "event_type", "value", "props",
     )
-    wire = encode_avro(events, list(events.columns), load_schema("events_wire"))
-    back = decode_avro_events(wire)
+    reg = LocalSchemaRegistry({"events-value": load_schema("events_wire")})
+    sid, schema = reg.latest("events-value")
+    wire = encode_avro(events, list(events.columns), schema)
+    framed = wire.select(frame_value(F.col("value"), sid).alias("value"))
+    unframed = framed.select(confluent_body(F.col("value")).alias("value"))
+    back = decode_avro_events(unframed)
     return (
         back.groupBy("event_type")
         .agg(
