@@ -129,6 +129,28 @@ def encode_confluent(df: DataFrame, cols: list[str], topic: str,
     return enc.select(frame_value(F.col("value"), sid).alias("value"))
 
 
+def decode_confluent_topic(raw: DataFrame, registry: LocalSchemaRegistry,
+                           topic: str, reader_schema: str | None = None,
+                           value_col: str = "value") -> DataFrame:
+    """Per-topic Confluent consumer: every frame on ``topic`` must
+    carry the subject's registered schema id (a foreign id fails the
+    job loudly — the wrong-topic/wrong-version guard), then the body
+    decodes with that writer schema, optionally resolved to
+    ``reader_schema``. No driver-side collect anywhere, so this works
+    UNCHANGED on a streaming DataFrame — it is the consumer loop of a
+    single-topic subscriber, while ``decode_confluent`` below is the
+    multi-topic (batch) dispatch."""
+    sid, writer = registry.latest(f"{topic}-value")
+    ok = F.assert_true(
+        confluent_schema_id(F.col(value_col)) == F.lit(sid),
+        f"frame schema id != {sid} (registered for {topic}-value): "
+        "not this topic's writer",
+    )
+    body = F.when(ok.isNull(), confluent_body(F.col(value_col)))
+    return decode_avro(raw.select(body.alias("value")),
+                       schema=writer, reader_schema=reader_schema)
+
+
 def decode_confluent(raw: DataFrame, registry: LocalSchemaRegistry,
                      reader_schema: str,
                      value_col: str = "value") -> DataFrame:

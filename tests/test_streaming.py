@@ -161,6 +161,57 @@ def test_warehouse_jdbc_executes_on_derby(spark, sf_dir, tmp_path):
     assert part.count() == nation.count()
 
 
+def test_confluent_topic_consumer_streams(spark, sf_dir, tmp_path):
+    """The per-topic Confluent consumer runs UNCHANGED as a
+    structured-streaming plan (no driver-side collect in its path):
+    framed Avro frames staged as parquet files ≙ the topic, readStream
+    → id-checked unframe → writer-schema decode → memory sink, and
+    the streamed rows equal the batch decode of the same frames. A
+    foreign schema id on the topic fails the (batch) job loudly."""
+    from pyspark.errors import SparkRuntimeException
+
+    from last_minute_legends_spark.sources.avro_io import load_schema
+    from last_minute_legends_spark.sources.registry import (
+        LocalSchemaRegistry, decode_confluent_topic, encode_confluent,
+        frame_value,
+    )
+    from last_minute_legends_spark.sources.tables import load_table
+
+    reg = LocalSchemaRegistry(
+        {"events-value": load_schema("events_wire"),
+         "other-value": load_schema("item_view")})
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+        "event_type", "value", "props").limit(200)
+    cols = list(ev.columns)
+    frames = encode_confluent(ev, cols, "events", reg)
+    frames.write.mode("overwrite").parquet(f"{tmp_path}/topic")
+
+    batch = decode_confluent_topic(
+        spark.read.parquet(f"{tmp_path}/topic"), reg, "events")
+    expect = sorted(map(tuple, batch.collect()))
+    assert len(expect) == 200
+
+    stream = spark.readStream.schema("value binary").parquet(
+        f"{tmp_path}/topic")
+    out = decode_confluent_topic(stream, reg, "events")
+    q = (out.writeStream.format("memory").queryName("confluent_topic")
+         .option("checkpointLocation", f"{tmp_path}/ckpt").start())
+    try:
+        q.processAllAvailable()
+        got = sorted(map(tuple, spark.table("confluent_topic").collect()))
+    finally:
+        q.stop()
+    assert got == expect
+
+    # a frame written by another subject's schema id on this topic
+    wrong = frames.limit(1).select(
+        frame_value(F.substring("value", 6, 2147483647),
+                    reg.id_for("other-value")).alias("value"))
+    with pytest.raises(SparkRuntimeException, match="not this topic's writer"):
+        decode_confluent_topic(wrong, reg, "events").collect()
+
+
 def test_typed_event_schemas_roundtrip(spark, sf_dir):
     """Per-type render → per-type declared-schema parse → union view:
     row counts per type survive, type-specific fields land typed and
