@@ -950,3 +950,72 @@ def embedding_lsh_pairs(emb: DataFrame, planes: DataFrame | None = None,
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
     )
+
+
+def duplicated_spans(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact duplicated-substring detection, Lee et al. 2021 style
+    ("Deduplicating Training Data Makes Language Models Better"):
+    per document, the maximal word spans whose every k-word window
+    also occurs elsewhere in the corpus (another document OR another
+    position in the same one). Output per doc with any duplication:
+    (doc_id, n_spans, dup_tokens, total_tokens, dup_ratio).
+
+    Spark-first, no UDFs anywhere:
+    1. positioned k-word shingles (sequence/transform/explode);
+    2. a global occurrence count as ONE window over the shingle
+       string — the only corpus-wide exchange (the paper's suffix
+       array re-expressed as an equi-partition on the window text);
+    3. gaps-and-islands span merge per doc: running max(p + k - 1)
+       over preceding rows, new island when p breaks contiguity —
+       two narrow window passes over only the duplicated positions.
+
+    At 100 TB, partition the window on ``xxhash64(s)`` instead of the
+    string (same math, 8-byte shuffle keys instead of ~50-byte text;
+    a 2^-64 collision admits a false duplicate, the trade the paper's
+    MinHash stage also makes); the string form here is what the
+    DuckDB oracle can replay exactly (DEDUP_SUBSTRING_SQL).
+    """
+    from pyspark.sql import Window
+
+    w = words(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(w) - (k - 1))
+    sh = F.transform(idx, lambda i: F.struct(
+        i.alias("p"), F.array_join(F.slice(w, i, k), " ").alias("s")))
+    occ = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.size(w).alias("tot"),
+                    F.when(F.size(w) >= k, sh).otherwise(F.array()).alias("sh"))
+        .select("doc_id", "tot", F.explode("sh").alias("x"))
+        .select("doc_id", "tot", F.col("x.p").alias("p"),
+                F.col("x.s").alias("s"))
+    )
+    dup = (
+        occ.withColumn("c", F.count("*").over(Window.partitionBy("s")))
+        .filter(F.col("c") > 1)
+        .drop("s", "c")
+    )
+    prev_end = F.max(F.col("p") + (k - 1)).over(
+        Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1))
+    marked = dup.withColumn(
+        "is_new",
+        (F.col("p") > F.coalesce(prev_end, F.lit(-1)) + 1).cast("int"))
+    islands = marked.withColumn(
+        "island",
+        F.sum("is_new").over(Window.partitionBy("doc_id").orderBy("p")))
+    spans = islands.groupBy("doc_id", "tot", "island").agg(
+        F.min("p").alias("st"), F.max(F.col("p") + (k - 1)).alias("en"))
+    return (
+        spans.groupBy("doc_id", "tot")
+        .agg(F.count(F.lit(1)).alias("n_spans"),
+             F.sum(F.col("en") - F.col("st") + 1).alias("dup_tokens"))
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_tokens",
+            F.col("tot").cast("long").alias("total_tokens"),
+            F.round(F.col("dup_tokens") / F.col("tot"), 4).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from last_minute_legends_spark.operators.dedup import (
     connected_components,
+    duplicated_spans,
     embedding_lsh_pairs,
     exact_duplicates,
     jaccard_pairs,
@@ -236,6 +237,80 @@ ORDER BY vec_a, vec_b
 """
 
 
+SUBSTRING_K = 8
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2021), k=8 words.
+    De-vacuization plant (the dedup_exact pattern): every 20th doc
+    gets a companion (+1M id) whose text is the doc's first 12 words
+    plus a unique tail, so the corpus is guaranteed to contain known
+    cross-doc duplicated prefixes whatever the synthetic generator
+    does — the oracle plants identically, so span boundaries, island
+    merging, and ratios are all value-compared on real nonzero
+    output."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    from last_minute_legends_spark.functions.text import words
+
+    w = words(F.col("text"))
+    planted = docs.filter(
+        (F.col("doc_id") % 20 == 0) & (F.size(w) >= 12)
+    ).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(w, 1, 12), " "),
+            F.lit(" uniquetail"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return duplicated_spans(docs.unionByName(planted), k=SUBSTRING_K)
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+    FROM documents
+), planted AS (
+    SELECT doc_id + 1000000 AS doc_id,
+           list_concat(w[1:12],
+                       ['uniquetail' || doc_id::VARCHAR]) AS w
+    FROM base WHERE doc_id % 20 = 0 AND len(w) >= 12
+), allv AS (
+    SELECT doc_id, w FROM base UNION ALL SELECT doc_id, w FROM planted
+), occ AS (
+    SELECT doc_id, len(w) AS tot, i AS p,
+           array_to_string(w[i:i + {SUBSTRING_K} - 1], ' ') AS s
+    FROM allv, UNNEST(generate_series(1, len(w) - {SUBSTRING_K} + 1)) t(i)
+    WHERE len(w) >= {SUBSTRING_K}
+), dup AS (
+    SELECT doc_id, tot, p FROM (
+        SELECT *, count(*) OVER (PARTITION BY s) AS c FROM occ
+    ) WHERE c > 1
+), marked AS (
+    SELECT doc_id, tot, p,
+           CASE WHEN p > coalesce(max(p + {SUBSTRING_K} - 1) OVER (
+                    PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS is_new
+    FROM dup
+), islands AS (
+    SELECT doc_id, tot, p,
+           sum(is_new) OVER (PARTITION BY doc_id ORDER BY p) AS island
+    FROM marked
+), spans AS (
+    SELECT doc_id, tot, island,
+           min(p) AS st, max(p + {SUBSTRING_K} - 1) AS en
+    FROM islands GROUP BY doc_id, tot, island
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_spans,
+       sum(en - st + 1)::BIGINT AS dup_tokens,
+       tot::BIGINT AS total_tokens,
+       round(sum(en - st + 1)::DOUBLE / tot, 4) AS dup_ratio
+FROM spans GROUP BY doc_id, tot ORDER BY doc_id
+"""
+
+
 SPARK = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -243,6 +318,14 @@ SPARK = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
+    "dedup_substring": dedup_substring,
+}
+
+# Value-level DuckDB oracle run locally (tests/test_oracle.py): the
+# driver's 50-entry window is full of oracle-backed entries, so this
+# one lives past it — same compare, local runner.
+LOCAL_SQL = {
+    "dedup_substring": DEDUP_SUBSTRING_SQL,
 }
 
 SQL = {

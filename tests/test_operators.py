@@ -389,6 +389,29 @@ def test_simhash_128_planted_and_switch(spark):
     assert sigs[1][0] != sigs[1][1]
 
 
+def test_duplicated_spans_planted(spark):
+    """Hand-computed Lee-et-al substring dedup at k=4: a shared
+    8-word prefix across two docs merges its 5 overlapping duplicated
+    shingles into ONE [1,8] island in each; within-doc repetition
+    marks the whole doc; a unique doc is absent from the output."""
+    from last_minute_legends_spark.operators.dedup import duplicated_spans
+
+    docs = _docs(spark, [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h x y"),
+        (3, "entirely different words with no overlap at all"),
+        (4, "p q r s p q r s p q r s"),
+    ])
+    out = {r.doc_id: (r.n_spans, r.dup_tokens, r.total_tokens, r.dup_ratio)
+           for r in duplicated_spans(docs, k=4).collect()}
+    # docs 1+2 share shingles at positions 1..5 -> island [1, 8]
+    assert out[1] == (1, 8, 10, 0.8)
+    assert out[2] == (1, 8, 10, 0.8)
+    # doc 4: every 4-shingle repeats within the doc -> island [1, 12]
+    assert out[4] == (1, 12, 12, 1.0)
+    assert 3 not in out
+
+
 def test_sessionize_gap_edges(spark):
     from last_minute_legends_spark.operators.sessions import sessionize
 
