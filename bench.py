@@ -131,6 +131,8 @@ HEADLINE = [
     "price_extraction",
     "text_langid",
     "multimodal_meta",
+    # round-11: exact substring dedup (Lee et al. spans)
+    "dedup_substring",
 ]
 
 STREAMING = (
@@ -330,9 +332,12 @@ def main() -> None:
         }, f, indent=1, sort_keys=True)
 
     # The ONE machine-readable stdout line. Degrade precision (then
-    # drop the streaming map) before ever exceeding the window.
+    # drop the streaming map) before ever exceeding the window — the
+    # streaming section is worth more than the third significant
+    # digit, so a sig-1 rung comes before dropping it (r11: the 73rd
+    # batch cell pushed sig-2-with-streaming to 1927 chars).
     line = ""
-    for sig, keep_streaming in ((3, True), (2, True), (2, False)):
+    for sig, keep_streaming in ((3, True), (2, True), (1, True), (2, False)):
         payload = {
             "metric": "headline_suite_total_sec",
             "value": fmt_secs(total, sig),
@@ -345,7 +350,13 @@ def main() -> None:
             payload["streaming"] = {k: fmt_secs(v, sig)
                                     for k, v in streaming.items()}
         line = json.dumps(payload, separators=(",", ":"))
-        if len(line) <= 1900:
+        # accept threshold: the capture window is 2000 chars (r8
+        # overflow post-mortem); 1950 keeps 40+ chars of margin for
+        # the trailing newline/prefix while not degrading precision a
+        # rung early (the assert below is the hard stop — the ladder
+        # re-evaluates per run, so slower values simply fall through
+        # to the next rung instead of overflowing).
+        if len(line) <= 1950:
             break
     assert len(line) <= 1990, f"bench stdout line {len(line)} > capture window"
     # stop() BEFORE printing: any JVM shutdown noise on stderr then

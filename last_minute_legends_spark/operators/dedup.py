@@ -975,20 +975,34 @@ def duplicated_spans(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
     a 2^-64 collision admits a false duplicate, the trade the paper's
     MinHash stage also makes); the string form here is what the
     DuckDB oracle can replay exactly (DEDUP_SUBSTRING_SQL).
+
+    Plan trap (measured 7-9 s → 0.65 s warm at sf0.1, same session
+    A/B): the obvious shingle construction — ``transform(sequence(1,
+    tot-k+1), i -> array_join(slice(w, i, k)))`` + explode — runs
+    10-15× slower than these flat expressions in most JVMs (the
+    nested higher-order-function Generate produces one huge codegen
+    method that HotSpot often refuses to JIT; the slowdown is
+    bimodal across sessions — measured, not theorized). Shingles are
+    therefore built flat: posexplode the words once, then k-1
+    ``lead()``s + concat_ws over the (doc_id, p) window — whose sort
+    the island windows below reuse.
     """
     from pyspark.sql import Window
 
-    w = words(F.col(text_col))
-    idx = F.sequence(F.lit(1), F.size(w) - (k - 1))
-    sh = F.transform(idx, lambda i: F.struct(
-        i.alias("p"), F.array_join(F.slice(w, i, k), " ").alias("s")))
+    toks = _spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("w")
+    ).select("doc_id", "w", F.size("w").alias("tot"))
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    tok1 = toks.select(
+        "doc_id", "tot", F.posexplode("w").alias("p0", "t")
+    ).select("doc_id", "tot", (F.col("p0") + 1).alias("p"), "t")
+    gram = F.concat_ws(
+        " ", F.col("t"),
+        *[F.lead("t", j).over(wdoc) for j in range(1, k)])
     occ = (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.size(w).alias("tot"),
-                    F.when(F.size(w) >= k, sh).otherwise(F.array()).alias("sh"))
-        .select("doc_id", "tot", F.explode("sh").alias("x"))
-        .select("doc_id", "tot", F.col("x.p").alias("p"),
-                F.col("x.s").alias("s"))
+        tok1.withColumn("s", gram)
+        .filter(F.col("p") <= F.col("tot") - (k - 1))
+        .select("doc_id", "tot", "p", "s")
     )
     dup = (
         occ.withColumn("c", F.count("*").over(Window.partitionBy("s")))

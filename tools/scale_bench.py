@@ -102,6 +102,7 @@ CELLS = [
     "dedup_simhash",
     "dedup_embedding",
     "dedup_clusters",
+    "dedup_substring",   # r11: Lee-et-al span dedup
     "ann_ivf_topk",
     "ann_quantized_topk",
     "curated_training_set",
