@@ -127,11 +127,13 @@ def test_warehouse_jdbc_executes_on_derby(spark, sf_dir, tmp_path):
     )
 
     drv = "org.apache.derby.jdbc.EmbeddedDriver"
-    if not jdbc_driver_available(spark, drv):
-        pytest.skip("Derby driver not on the classpath")
-    # keep derby.log inside the test tmp dir, not the repo
+    # keep derby.log inside the test tmp dir, not the repo — MUST be
+    # set before the first Class.forName touches the Derby engine
+    # (the availability probe below loads it)
     spark._jvm.java.lang.System.setProperty(  # noqa: SLF001
         "derby.system.home", str(tmp_path))
+    if not jdbc_driver_available(spark, drv):
+        pytest.skip("Derby driver not on the classpath")
     url = f"jdbc:derby:{tmp_path}/wh;create=true"
 
     nation = load_table(spark, sf_dir, "nation").select(
