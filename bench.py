@@ -131,8 +131,9 @@ HEADLINE = [
     "price_extraction",
     "text_langid",
     "multimodal_meta",
-    # round-11: exact substring dedup (Lee et al. spans)
+    # round-11: exact substring dedup (Lee et al. spans) + repair
     "dedup_substring",
+    "dedup_substring_clean",
 ]
 
 STREAMING = (

@@ -987,39 +987,8 @@ def duplicated_spans(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
     ``lead()``s + concat_ws over the (doc_id, p) window — whose sort
     the island windows below reuse.
     """
-    from pyspark.sql import Window
-
-    toks = _spread(docs, id_col).select(
-        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("w")
-    ).select("doc_id", "w", F.size("w").alias("tot"))
-    wdoc = Window.partitionBy("doc_id").orderBy("p")
-    tok1 = toks.select(
-        "doc_id", "tot", F.posexplode("w").alias("p0", "t")
-    ).select("doc_id", "tot", (F.col("p0") + 1).alias("p"), "t")
-    gram = F.concat_ws(
-        " ", F.col("t"),
-        *[F.lead("t", j).over(wdoc) for j in range(1, k)])
-    occ = (
-        tok1.withColumn("s", gram)
-        .filter(F.col("p") <= F.col("tot") - (k - 1))
-        .select("doc_id", "tot", "p", "s")
-    )
-    dup = (
-        occ.withColumn("c", F.count("*").over(Window.partitionBy("s")))
-        .filter(F.col("c") > 1)
-        .drop("s", "c")
-    )
-    prev_end = F.max(F.col("p") + (k - 1)).over(
-        Window.partitionBy("doc_id").orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, -1))
-    marked = dup.withColumn(
-        "is_new",
-        (F.col("p") > F.coalesce(prev_end, F.lit(-1)) + 1).cast("int"))
-    islands = marked.withColumn(
-        "island",
-        F.sum("is_new").over(Window.partitionBy("doc_id").orderBy("p")))
-    spans = islands.groupBy("doc_id", "tot", "island").agg(
-        F.min("p").alias("st"), F.max(F.col("p") + (k - 1)).alias("en"))
+    dup = _dup_positions(docs, k, id_col, text_col).drop("rn")
+    spans = _merge_islands(dup, k)
     return (
         spans.groupBy("doc_id", "tot")
         .agg(F.count(F.lit(1)).alias("n_spans"),
@@ -1030,6 +999,110 @@ def duplicated_spans(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
             "dup_tokens",
             F.col("tot").cast("long").alias("total_tokens"),
             F.round(F.col("dup_tokens") / F.col("tot"), 4).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _positioned_tokens(docs: DataFrame, id_col: str,
+                       text_col: str) -> DataFrame:
+    """(doc_id, tot, p, t): every word of every doc with its 1-based
+    position — the shared explode the shingle stage and the
+    text-rebuild stage both start from."""
+    toks = _spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("w")
+    ).select("doc_id", "w", F.size("w").alias("tot"))
+    return toks.select(
+        "doc_id", "tot", F.posexplode("w").alias("p0", "t")
+    ).select("doc_id", "tot", (F.col("p0") + 1).alias("p"), "t")
+
+
+def _dup_positions(docs: DataFrame, k: int, id_col: str,
+                   text_col: str) -> DataFrame:
+    """(doc_id, tot, p, rn) for every k-shingle position whose window
+    text occurs more than once in the corpus; ``rn`` is the
+    occurrence's 1-based rank in (doc_id, p) order — rank 1 is the
+    canonical (kept-first) occurrence."""
+    from pyspark.sql import Window
+
+    tok1 = _positioned_tokens(docs, id_col, text_col)
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    gram = F.concat_ws(
+        " ", F.col("t"),
+        *[F.lead("t", j).over(wdoc) for j in range(1, k)])
+    occ = (
+        tok1.withColumn("s", gram)
+        .filter(F.col("p") <= F.col("tot") - (k - 1))
+        .select("doc_id", "tot", "p", "s")
+    )
+    ws = Window.partitionBy("s")
+    return (
+        occ.withColumn("c", F.count("*").over(ws))
+        .withColumn("rn", F.row_number().over(ws.orderBy("doc_id", "p")))
+        .filter(F.col("c") > 1)
+        .drop("s", "c")
+    )
+
+
+def _merge_islands(positions: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands over (doc_id, tot, p) rows: each position
+    covers words [p, p+k-1]; overlapping/adjacent intervals merge.
+    Returns (doc_id, tot, island, st, en)."""
+    from pyspark.sql import Window
+
+    prev_end = F.max(F.col("p") + (k - 1)).over(
+        Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1))
+    marked = positions.withColumn(
+        "is_new",
+        (F.col("p") > F.coalesce(prev_end, F.lit(-1)) + 1).cast("int"))
+    islands = marked.withColumn(
+        "island",
+        F.sum("is_new").over(Window.partitionBy("doc_id").orderBy("p")))
+    return islands.groupBy("doc_id", "tot", "island").agg(
+        F.min("p").alias("st"), F.max(F.col("p") + (k - 1)).alias("en"))
+
+
+def remove_duplicated_spans(docs: DataFrame, k: int = 8,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """The repair half of Lee-et-al substring dedup: every NON-FIRST
+    occurrence of a duplicated k-word window is removed and the doc
+    text rebuilt from the surviving words — the first occurrence
+    (lowest (doc_id, position)) keeps the text, so exactly one copy
+    of every duplicated substring survives the corpus. Output one row
+    per input doc: (doc_id, clean_text, removed_tokens, total_tokens)
+    — a doc that is entirely duplicated material comes back with
+    clean_text '' (drop it downstream), a doc with no duplication
+    comes back with its normalized text intact.
+
+    Same plan skeleton as duplicated_spans, plus a covered-position
+    explode (bounded by the removable token count, never the corpus)
+    and one left_anti join by (doc_id, p) to drop covered words; the
+    rebuild is sort_array(collect_list(struct(p, t))) — deterministic
+    order without a second window sort."""
+    tok1 = _positioned_tokens(docs, id_col, text_col)
+    removable = _dup_positions(docs, k, id_col, text_col).filter(
+        F.col("rn") > 1).drop("rn")
+    spans = _merge_islands(removable, k)
+    covered = spans.select(
+        "doc_id", F.explode(F.sequence("st", "en")).alias("p"))
+    kept = tok1.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id", "tot").agg(
+        F.count(F.lit(1)).alias("kept_n"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("p", "t"))),
+                        lambda x: x["t"]), " ").alias("clean_text"),
+    )
+    base = tok1.groupBy("doc_id", "tot").count().drop("count")
+    return (
+        base.join(rebuilt, ["doc_id", "tot"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("tot") - F.coalesce("kept_n", F.lit(0)))
+            .cast("long").alias("removed_tokens"),
+            F.col("tot").cast("long").alias("total_tokens"),
         )
         .orderBy("doc_id")
     )

@@ -12,6 +12,7 @@ from last_minute_legends_spark.operators.dedup import (
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
+    remove_duplicated_spans,
     simhash_pairs,
 )
 from last_minute_legends_spark.operators.similarity import with_unit_vectors
@@ -311,6 +312,92 @@ FROM spans GROUP BY doc_id, tot ORDER BY doc_id
 """
 
 
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repair half of Lee-et-al substring dedup over the same
+    planted corpus as dedup_substring: non-first occurrences of
+    duplicated k-word windows are cut and the text rebuilt, so the
+    oracle value-compares the full cleaned corpus — span boundaries,
+    keep-first election, and the rebuilt strings themselves."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    from last_minute_legends_spark.functions.text import words
+
+    w = words(F.col("text"))
+    planted = docs.filter(
+        (F.col("doc_id") % 20 == 0) & (F.size(w) >= 12)
+    ).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(w, 1, 12), " "),
+            F.lit(" uniquetail"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return remove_duplicated_spans(docs.unionByName(planted),
+                                   k=SUBSTRING_K)
+
+
+DEDUP_SUBSTRING_CLEAN_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+    FROM documents
+), planted AS (
+    SELECT doc_id + 1000000 AS doc_id,
+           list_concat(w[1:12],
+                       ['uniquetail' || doc_id::VARCHAR]) AS w
+    FROM base WHERE doc_id % 20 = 0 AND len(w) >= 12
+), allv AS (
+    SELECT doc_id, w FROM base UNION ALL SELECT doc_id, w FROM planted
+), occ AS (
+    SELECT doc_id, len(w) AS tot, i AS p,
+           array_to_string(w[i:i + {SUBSTRING_K} - 1], ' ') AS s
+    FROM allv, UNNEST(generate_series(1, len(w) - {SUBSTRING_K} + 1)) t(i)
+    WHERE len(w) >= {SUBSTRING_K}
+), removable AS (
+    SELECT doc_id, tot, p FROM (
+        SELECT *, count(*) OVER (PARTITION BY s) AS c,
+               row_number() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn
+        FROM occ
+    ) WHERE c > 1 AND rn > 1
+), marked AS (
+    SELECT doc_id, tot, p,
+           CASE WHEN p > coalesce(max(p + {SUBSTRING_K} - 1) OVER (
+                    PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS is_new
+    FROM removable
+), islands AS (
+    SELECT doc_id, tot, p,
+           sum(is_new) OVER (PARTITION BY doc_id ORDER BY p) AS island
+    FROM marked
+), spans AS (
+    SELECT doc_id, tot, island,
+           min(p) AS st, max(p + {SUBSTRING_K} - 1) AS en
+    FROM islands GROUP BY doc_id, tot, island
+), covered AS (
+    SELECT doc_id, u.p FROM spans, UNNEST(generate_series(st, en)) u(p)
+), tok AS (
+    SELECT doc_id, len(w) AS tot, i AS p, w[i] AS t
+    FROM allv, UNNEST(generate_series(1, len(w))) t(i)
+), kept AS (
+    SELECT tok.doc_id, tok.tot, tok.p, tok.t
+    FROM tok LEFT JOIN covered
+      ON tok.doc_id = covered.doc_id AND tok.p = covered.p
+    WHERE covered.p IS NULL
+), rebuilt AS (
+    SELECT doc_id, tot, count(*) AS kept_n,
+           string_agg(t, ' ' ORDER BY p) AS clean_text
+    FROM kept GROUP BY doc_id, tot
+)
+SELECT a.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       (a.tot - coalesce(r.kept_n, 0))::BIGINT AS removed_tokens,
+       a.tot::BIGINT AS total_tokens
+FROM (SELECT doc_id, len(w) AS tot FROM allv) a
+LEFT JOIN rebuilt r ON a.doc_id = r.doc_id
+ORDER BY a.doc_id
+"""
+
+
 SPARK = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -319,13 +406,15 @@ SPARK = {
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
     "dedup_substring": dedup_substring,
+    "dedup_substring_clean": dedup_substring_clean,
 }
 
-# Value-level DuckDB oracle run locally (tests/test_oracle.py): the
-# driver's 50-entry window is full of oracle-backed entries, so this
-# one lives past it — same compare, local runner.
+# Value-level DuckDB oracles run locally (tests/test_oracle.py): the
+# driver's 50-entry window is full of oracle-backed entries, so these
+# live past it — same compare, local runner.
 LOCAL_SQL = {
     "dedup_substring": DEDUP_SUBSTRING_SQL,
+    "dedup_substring_clean": DEDUP_SUBSTRING_CLEAN_SQL,
 }
 
 SQL = {

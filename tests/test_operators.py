@@ -412,6 +412,31 @@ def test_duplicated_spans_planted(spark):
     assert 3 not in out
 
 
+def test_remove_duplicated_spans_keep_first(spark):
+    """Repair semantics: the FIRST occurrence (lowest doc_id,
+    position) keeps its text; later copies are cut and the text
+    rebuilt. Hand-computed at k=4: doc1 is canonical for the shared
+    prefix (untouched), doc2 loses words 1-8, the self-repeating doc4
+    keeps exactly one 'p q r s' (later repeats' positions 5..9 merge
+    to one [5,12] island), and the unique doc3 is untouched."""
+    from last_minute_legends_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    docs = _docs(spark, [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h x y"),
+        (3, "entirely different words with no overlap at all"),
+        (4, "p q r s p q r s p q r s"),
+    ])
+    out = {r.doc_id: (r.clean_text, r.removed_tokens, r.total_tokens)
+           for r in remove_duplicated_spans(docs, k=4).collect()}
+    assert out[1] == ("a b c d e f g h i j", 0, 10)
+    assert out[2] == ("x y", 8, 10)
+    assert out[3] == ("entirely different words with no overlap at all", 0, 8)
+    assert out[4] == ("p q r s", 8, 12)
+
+
 def test_sessionize_gap_edges(spark):
     from last_minute_legends_spark.operators.sessions import sessionize
 

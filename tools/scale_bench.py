@@ -102,7 +102,8 @@ CELLS = [
     "dedup_simhash",
     "dedup_embedding",
     "dedup_clusters",
-    "dedup_substring",   # r11: Lee-et-al span dedup
+    "dedup_substring",        # r11: Lee-et-al span dedup
+    "dedup_substring_clean",  # r11: its keep-first repair pass
     "ann_ivf_topk",
     "ann_quantized_topk",
     "curated_training_set",
