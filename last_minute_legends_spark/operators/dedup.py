@@ -970,11 +970,11 @@ def duplicated_spans(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
        over preceding rows, new island when p breaks contiguity —
        two narrow window passes over only the duplicated positions.
 
-    At 100 TB, partition the window on ``xxhash64(s)`` instead of the
-    string (same math, 8-byte shuffle keys instead of ~50-byte text;
-    a 2^-64 collision admits a false duplicate, the trade the paper's
-    MinHash stage also makes); the string form here is what the
-    DuckDB oracle can replay exactly (DEDUP_SUBSTRING_SQL).
+    The occurrence window is keyed on ``xxhash64`` of the window text
+    (8-byte shuffle keys; the string never leaves the map side — see
+    the measured superlinear-tail fix in ``_dup_positions``); the
+    DuckDB oracle (DEDUP_SUBSTRING_SQL) groups by the exact string
+    and still value-matches because the compare is on output spans.
 
     Plan trap (measured 7-9 s → 0.65 s warm at sf0.1, same session
     A/B): the obvious shingle construction — ``transform(sequence(1,
@@ -1030,17 +1030,26 @@ def _dup_positions(docs: DataFrame, k: int, id_col: str,
     gram = F.concat_ws(
         " ", F.col("t"),
         *[F.lead("t", j).over(wdoc) for j in range(1, k)])
+    # the occurrence window shuffles/sorts on xxhash64(window text),
+    # not the text itself: the ~50-byte shingle string never leaves
+    # the map side (8-byte keys instead), which removed the measured
+    # superlinear tail past 500k docs (x100→x300 marginal exponent
+    # 1.55 → 0.67 after this change; BASELINE_LOCAL r11). A 2^-64
+    # hash collision admits a false duplicate position — the same
+    # trade Lee et al.'s MinHash stage makes, and the DuckDB oracle
+    # (which groups by the exact string) still value-matches because
+    # the comparison is on the OUTPUT spans.
     occ = (
-        tok1.withColumn("s", gram)
+        tok1.withColumn("h", F.xxhash64(gram))
         .filter(F.col("p") <= F.col("tot") - (k - 1))
-        .select("doc_id", "tot", "p", "s")
+        .select("doc_id", "tot", "p", "h")
     )
-    ws = Window.partitionBy("s")
+    ws = Window.partitionBy("h")
     return (
         occ.withColumn("c", F.count("*").over(ws))
         .withColumn("rn", F.row_number().over(ws.orderBy("doc_id", "p")))
         .filter(F.col("c") > 1)
-        .drop("s", "c")
+        .drop("h", "c")
     )
 
 
