@@ -409,13 +409,7 @@ SPARK = {
     "dedup_substring_clean": dedup_substring_clean,
 }
 
-# Value-level DuckDB oracles run locally (tests/test_oracle.py): the
-# driver's 50-entry window is full of oracle-backed entries, so these
-# live past it — same compare, local runner.
-LOCAL_SQL = {
-    "dedup_substring": DEDUP_SUBSTRING_SQL,
-    "dedup_substring_clean": DEDUP_SUBSTRING_CLEAN_SQL,
-}
+LOCAL_SQL = {}
 
 SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
@@ -424,4 +418,9 @@ SQL = {
     "dedup_simhash": None,       # simhash banding: rows-only check
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    # r11-new: in the gate window for their first external
+    # observation (two long-green OLAP lenders moved to LOCAL_SQL —
+    # rationale at plans/olap.py SQL map)
+    "dedup_substring": DEDUP_SUBSTRING_SQL,
+    "dedup_substring_clean": DEDUP_SUBSTRING_CLEAN_SQL,
 }

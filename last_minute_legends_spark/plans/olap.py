@@ -744,10 +744,14 @@ SPARK = {
 }
 
 # r11 rotation: every r10-lent OLAP slot returns (the r7→r8 pattern).
-# All 19 entries sit in the driver window again; the r10-observed
-# promotions they displaced move to their owning modules' LOCAL_SQL
-# and keep the identical value-level DuckDB compare locally via
-# tests/test_oracle.py.
+# The r10-observed promotions they displaced move to their owning
+# modules' LOCAL_SQL and keep the identical value-level DuckDB
+# compare locally via tests/test_oracle.py. Two lenders
+# (q14_promo_effect, q19_or_predicate — both driver-green many
+# rounds through r8 and locally value-checked every run) lend once
+# more so the r11-new dedup_substring / dedup_substring_clean
+# entries get an external gate observation in their first round
+# (plans/dedup_q.py SQL).
 SQL = {
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
@@ -759,15 +763,16 @@ SQL = {
     "q9_product_margin": Q9_SQL,
     "q10_returned_items": Q10_SQL,
     "q13_customer_distribution": Q13_SQL,
-    "q14_promo_effect": Q14_SQL,
     "q15_top_supplier": Q15_SQL,
     "q16_supplier_count": Q16_SQL,
     "q17_small_quantity": Q17_SQL,
     "q18_large_volume_customer": Q18_SQL,
-    "q19_or_predicate": Q19_SQL,
     "q22_idle_customers": Q22_SQL,
     "topn_per_group": TOPN_SQL,
     "cube_agg": CUBE_SQL,
 }
 
-LOCAL_SQL = {}
+LOCAL_SQL = {
+    "q14_promo_effect": Q14_SQL,
+    "q19_or_predicate": Q19_SQL,
+}
