@@ -338,7 +338,12 @@ def main() -> None:
     # digit, so a sig-1 rung comes before dropping it (r11: the 73rd
     # batch cell pushed sig-2-with-streaming to 1927 chars).
     line = ""
-    for sig, keep_streaming in ((3, True), (2, True), (1, True), (2, False)):
+    # the ladder MUST end on a rung that always fits: (1, False) is
+    # ~75 cells x <=4 chars + keys ≈ 1.6 KB worst case — without it a
+    # (2, False) payload that still exceeded the accept threshold
+    # would fall through to the hard assert AFTER all measurements ran
+    for sig, keep_streaming in ((3, True), (2, True), (1, True),
+                                (2, False), (1, False)):
         payload = {
             "metric": "headline_suite_total_sec",
             "value": fmt_secs(total, sig),

@@ -478,27 +478,34 @@ def simhash_signatures_wide(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
-                  token_hash=None, n_bits: int | None = None,
-                  word_hash=None) -> DataFrame:
+                  token_hash=None, n_bits: int | None = 64,
+                  word_hash=None, n_docs: int | None = None) -> DataFrame:
     """Candidate near-dup pairs: equal in at least one band
     (pigeonhole — guarantees recall for hamming < n_bands; good
     heuristic above), verified by the exact signature hamming
     distance <= max_hamming. ``token_hash`` / ``word_hash`` are the
     signature injection points (cross-engine replay only).
 
-    ``n_bits=None`` engages the size switch: a column-pruned count
-    picks 64-bit/4x16 below SIMHASH_WIDE_MIN_DOCS documents (the
-    gate/replay-stable legacy shape) and 128-bit/4x32 at or above —
-    where the 4x16 banding's n^2/2 * 4/2^16 random-collision term
-    would dominate candidate generation (see simhash_bits). Note the
-    SAME absolute ``max_hamming`` over 2x the bits is a ~2x stricter
-    angular threshold — the intended operating point at >=1M docs is
+    The default is the 64-bit/4x16 signature (the gate/replay-stable
+    legacy shape) — a library caller always gets corpus-size-
+    INDEPENDENT semantics. Passing ``n_bits=None`` is the explicit
+    OPT-IN to the size switch: 64 bits below SIMHASH_WIDE_MIN_DOCS
+    documents, 128-bit/4x32 at or above — where the 4x16 banding's
+    n^2/2 * 4/2^16 random-collision term would dominate candidate
+    generation (see simhash_bits). The count that switch needs is
+    skipped when the caller supplies ``n_docs`` (a caller that knows
+    its corpus size must not pay an extra eager job for it); with
+    ``n_docs=None`` a column-pruned count runs. Note the SAME absolute
+    ``max_hamming`` over 2x the bits is a ~2x stricter angular
+    threshold — the intended operating point at >=1M docs is
     near-identical documents with a minimal false-candidate surface;
-    pass a scaled ``max_hamming`` (and n_bits explicitly) to keep the
-    64-bit threshold semantics instead, accepting that the pigeonhole
-    guarantee only covers hamming < 4."""
+    opt-in callers accepting looser matches should scale max_hamming
+    ~2x (losing the pigeonhole guarantee, which only covers
+    hamming < n_bands)."""
     if n_bits is None:
-        n_bits = simhash_bits(docs.select(F.col(id_col)).count())
+        if n_docs is None:
+            n_docs = docs.select(F.col(id_col)).count()
+        n_bits = simhash_bits(n_docs)
     if n_bits == 64:
         sig_words = ["simhash"]
         # both sides of the band self-join read the signature — persist
@@ -1078,9 +1085,18 @@ def remove_duplicated_spans(docs: DataFrame, k: int = 8,
     """The repair half of Lee-et-al substring dedup: every NON-FIRST
     occurrence of a duplicated k-word window is removed and the doc
     text rebuilt from the surviving words — the first occurrence
-    (lowest (doc_id, position)) keeps the text, so exactly one copy
-    of every duplicated substring survives the corpus. Output one row
-    per input doc: (doc_id, clean_text, removed_tokens, total_tokens)
+    (lowest (doc_id, position)) keeps the text, so for duplicates
+    that repeat at non-overlapping positions exactly one copy
+    survives the corpus. Caveat for SELF-OVERLAPPING repeats with
+    period < k (e.g. a run of 10 'a' tokens, k=8): the rank>1
+    occurrence positions start INSIDE the rank-1 occurrence's span,
+    so the merged removal island [2, 10] swallows most of the
+    canonical first copy too and the run collapses to the single
+    uncovered token 'a' — no full k-word copy survives. The invariant
+    the pass guarantees is therefore "the cleaned corpus contains no
+    duplicated k-window", not "one copy of every duplicated substring
+    survives". Output one
+    row per input doc: (doc_id, clean_text, removed_tokens, total_tokens)
     — a doc that is entirely duplicated material comes back with
     clean_text '' (drop it downstream), a doc with no duplication
     comes back with its normalized text intact.

@@ -19,6 +19,20 @@ from last_minute_legends_spark.operators.similarity import with_unit_vectors
 from last_minute_legends_spark.sources.tables import Catalog
 
 JACCARD_THRESHOLD = 0.8
+
+
+def _plant_offset(df: DataFrame, id_col: str):
+    """1-row ``(_plant_off)`` frame = max(id)+1, for cross-joining
+    under the planted-companion selects so synthetic ids are disjoint
+    from real ones at ANY corpus size. A fixed +1_000_000 constant
+    collided with real ids on the >=1M-row scale-ladder corpora
+    (tools/scale_bench.py runs these registry callables on generated
+    spark.range corpora), interleaving two documents' positions in the
+    per-doc windows. Broadcast of a 1-row aggregate — no eager driver
+    action, and the id-column max comes straight from parquet column
+    statistics. Every SQL oracle computes the identical offset via
+    ``(SELECT max(id)+1 FROM base)``."""
+    return F.broadcast(df.agg((F.max(id_col) + F.lit(1)).alias("_plant_off")))
 # Near-dup semantics per SURVEY §2.3: embedding-cosine >= 0.95. (An
 # earlier revision used 0.40, which only matched the random-noise tail
 # of the synthetic embeddings — at that level LSH pruning is
@@ -35,16 +49,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     through r8 the driver's value compare was vacuous (0 rows on both
     engines — it proved only that both found nothing). Every 10th doc
     is therefore re-planted as a case+whitespace variant
-    (``'  ' || upper(text)``, id +1_000_000; identical arithmetic in
-    the DuckDB oracle), so the hash compare now proves the
-    normalization (lower/trim/whitespace-collapse), the fingerprint
-    grouping, AND keeper election (min id = the original, never the
-    planted copy) on real nonzero groups — the dedup_embedding
-    de-vacuization pattern applied here.
+    (``'  ' || upper(text)``, id offset max(doc_id)+1 — see
+    ``_plant_offset``; identical arithmetic in the DuckDB oracle), so
+    the hash compare now proves the normalization
+    (lower/trim/whitespace-collapse), the fingerprint grouping, AND
+    keeper election (min id = the original, never the planted copy)
+    on real nonzero groups — the dedup_embedding de-vacuization
+    pattern applied here.
     """
     docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+    planted = docs.filter(F.col("doc_id") % 10 == 0).crossJoin(
+        _plant_offset(docs, "doc_id")
+    ).select(
+        (F.col("doc_id") + F.col("_plant_off")).alias("doc_id"),
         F.concat(F.lit("  "), F.upper(F.col("text"))).alias("text"),
     )
     return exact_duplicates(docs.unionByName(planted)).orderBy("fp")
@@ -54,7 +71,8 @@ DEDUP_EXACT_SQL = """
 WITH base AS (
     SELECT doc_id, text FROM documents
 ), planted AS (
-    SELECT doc_id + 1000000 AS doc_id, '  ' || upper(text) AS text
+    SELECT doc_id + (SELECT max(doc_id) + 1 FROM base) AS doc_id,
+           '  ' || upper(text) AS text
     FROM base WHERE doc_id % 10 = 0
 ), allv AS (
     SELECT * FROM base UNION ALL SELECT * FROM planted
@@ -106,8 +124,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``n_bits=None`` is the explicit opt-in to the corpus-size
+    switch (64-bit signatures below 1M docs, 128-bit at or above —
+    the measured 2,328x candidate cut at 1.5M docs): THIS entry is
+    the one the scale ladder drives across that boundary, so it
+    accepts the documented threshold tightening there; library
+    callers get the size-independent 64-bit default."""
     docs = Catalog(spark, sf_dir).documents
-    return simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+    return simhash_pairs(docs, max_hamming=3, n_bits=None).orderBy(
+        "doc_a", "doc_b")
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,7 +211,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver check vacuous ("doesn't crash") through r7. Every 50th
     vector is therefore re-planted as a near-dup (same deterministic
     arithmetic on both engines: +0.1 on the first component, id
-    +1_000_000), so the value-level compare now proves the LSH finds
+    offset max(vec_id)+1), so the value-level compare now proves the LSH finds
     real near-dups AND computes their cosines exactly.
     """
     # Deliberately NOT spread_cpu_scan'd: measured at sf0.1 (quiet
@@ -198,8 +223,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_raw = Catalog(spark, sf_dir).embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    planted = emb_raw.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+    planted = emb_raw.filter(F.col("vec_id") % 50 == 0).crossJoin(
+        _plant_offset(emb_raw, "vec_id")
+    ).select(
+        (F.col("vec_id") + F.col("_plant_off")).alias("vec_id"),
         F.concat(
             F.array(F.element_at("embedding", 1) + F.lit(0.1)),
             F.expr("slice(embedding, 2, size(embedding) - 1)"),
@@ -219,7 +246,7 @@ DEDUP_EMBEDDING_SQL = f"""
 WITH base AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), planted AS (
-    SELECT vec_id + 1000000 AS vec_id,
+    SELECT vec_id + (SELECT max(vec_id) + 1 FROM base) AS vec_id,
            list_concat([v[1] + 0.1], v[2:]) AS v
     FROM base WHERE vec_id % 50 = 0
 ), allv AS (
@@ -244,7 +271,7 @@ SUBSTRING_K = 8
 def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans (Lee et al. 2021), k=8 words.
     De-vacuization plant (the dedup_exact pattern): every 20th doc
-    gets a companion (+1M id) whose text is the doc's first 12 words
+    gets a companion (id offset max+1) whose text is the doc's first 12 words
     plus a unique tail, so the corpus is guaranteed to contain known
     cross-doc duplicated prefixes whatever the synthetic generator
     does — the oracle plants identically, so span boundaries, island
@@ -256,8 +283,8 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = words(F.col("text"))
     planted = docs.filter(
         (F.col("doc_id") % 20 == 0) & (F.size(w) >= 12)
-    ).select(
-        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+    ).crossJoin(_plant_offset(docs, "doc_id")).select(
+        (F.col("doc_id") + F.col("_plant_off")).alias("doc_id"),
         F.concat(
             F.array_join(F.slice(w, 1, 12), " "),
             F.lit(" uniquetail"), F.col("doc_id").cast("string"),
@@ -272,7 +299,7 @@ WITH base AS (
            string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
     FROM documents
 ), planted AS (
-    SELECT doc_id + 1000000 AS doc_id,
+    SELECT doc_id + (SELECT max(doc_id) + 1 FROM base) AS doc_id,
            list_concat(w[1:12],
                        ['uniquetail' || doc_id::VARCHAR]) AS w
     FROM base WHERE doc_id % 20 = 0 AND len(w) >= 12
@@ -324,8 +351,8 @@ def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = words(F.col("text"))
     planted = docs.filter(
         (F.col("doc_id") % 20 == 0) & (F.size(w) >= 12)
-    ).select(
-        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+    ).crossJoin(_plant_offset(docs, "doc_id")).select(
+        (F.col("doc_id") + F.col("_plant_off")).alias("doc_id"),
         F.concat(
             F.array_join(F.slice(w, 1, 12), " "),
             F.lit(" uniquetail"), F.col("doc_id").cast("string"),
@@ -341,7 +368,7 @@ WITH base AS (
            string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
     FROM documents
 ), planted AS (
-    SELECT doc_id + 1000000 AS doc_id,
+    SELECT doc_id + (SELECT max(doc_id) + 1 FROM base) AS doc_id,
            list_concat(w[1:12],
                        ['uniquetail' || doc_id::VARCHAR]) AS w
     FROM base WHERE doc_id % 20 = 0 AND len(w) >= 12

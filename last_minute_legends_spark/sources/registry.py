@@ -92,8 +92,27 @@ class LocalSchemaRegistry:
 def frame_value(value: Column, schema_id: int | Column) -> Column:
     """Confluent-frame an Avro binary column: 0x00 | int32-BE id |
     body. The id renders via hex → lpad(8) → unhex (4 bytes
-    big-endian) — binary concat, all JVM built-ins."""
-    sid = F.lit(schema_id) if isinstance(schema_id, int) else schema_id
+    big-endian) — binary concat, all JVM built-ins.
+
+    Ids outside the Confluent int32 range [0, 0x7FFFFFFF] FAIL
+    LOUDLY: hex()+lpad(8) would otherwise keep the leftmost 8 hex
+    digits, silently truncating an oversized (or negative, which
+    hexes to 16 F-digits) id into a frame that decodes as some OTHER
+    schema's id. Literal ids raise at plan-build time; column ids get
+    a row-level assert_true guard."""
+    if isinstance(schema_id, int):
+        if not 0 <= schema_id <= 0x7FFFFFFF:
+            raise ValueError(
+                f"schema id {schema_id} outside the Confluent int32 id "
+                "range [0, 2147483647] — refusing to emit a truncated frame")
+        sid = F.lit(schema_id)
+    else:
+        ok = F.assert_true(
+            schema_id.cast("long").between(0, 0x7FFFFFFF),
+            "schema id outside the Confluent int32 id range "
+            "[0, 2147483647] — refusing to emit a truncated frame",
+        )
+        sid = F.when(ok.isNull(), schema_id)
     id_be = F.unhex(F.lpad(F.hex(sid.cast("long")), 8, "0"))
     return F.concat(F.lit(CONFLUENT_MAGIC), id_be, value)
 

@@ -1143,6 +1143,30 @@ def test_confluent_frame_golden_bytes(spark):
         assert back.sid == sid and bytes(back.body) == body
 
 
+def test_confluent_frame_rejects_out_of_range_ids(spark):
+    """hex()+lpad(8) would silently truncate an id > 0x7FFFFFFF (or a
+    negative id, which hexes to 16 F-digits) into wrong frame bytes —
+    the framing must fail loudly instead, at plan-build time for
+    literal ids and at row level for column ids."""
+    import pytest as _pytest
+
+    from last_minute_legends_spark.sources.registry import frame_value
+
+    df = spark.createDataFrame([(b"\x06foo",)], "value binary")
+    for bad in (-1, 2**31, 2**32 + 7):
+        with _pytest.raises(ValueError, match="Confluent int32"):
+            frame_value(F.col("value"), bad)
+    from pyspark.errors import SparkRuntimeException
+
+    with _pytest.raises(SparkRuntimeException):
+        df.select(
+            frame_value(F.col("value"), F.lit(2**32 + 7)).alias("v")
+        ).collect()
+    # in-range column ids still frame correctly through the guard
+    ok = df.select(frame_value(F.col("value"), F.lit(7)).alias("v")).collect()
+    assert bytes(ok[0].v)[:5] == b"\x00\x00\x00\x00\x07"
+
+
 def test_confluent_registry_mixed_topic_decode(spark):
     """Producer → consumer over the registry contracts: per-topic
     typed rows encode with their OWN subject schema, frame with their
