@@ -134,6 +134,12 @@ HEADLINE = [
     # round-11: exact substring dedup (Lee et al. spans) + repair
     "dedup_substring",
     "dedup_substring_clean",
+    # round-12: portable-hash replay twins (driver-visible value
+    # checks for the LSH/IVF families) + mixed-writer-version Avro
+    # consumption through reader resolution
+    "dedup_minhash_lsh_replay",
+    "ann_ivf_topk_replay",
+    "events_avro_evolution",
 ]
 
 STREAMING = (

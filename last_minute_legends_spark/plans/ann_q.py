@@ -76,6 +76,123 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_ITERS = 3
+IVF_N_PROBE = 2
+
+
+def ann_ivf_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_ivf_topk`` with the portable md5-prefix id hash injected
+    (functions/portable_hash.py) in place of the production xxhash64
+    seed striping — the SAME train_centroids → ivf_topk code, so the
+    driver's DuckDB gate value-replays the ENTIRE derivation (seed
+    selection → 3 Lloyd iterations → 2-probe bucket selection →
+    in-bucket exact top-k) via the unrolled-CTE oracle below instead
+    of a rows-only count. ``local_train_max=0`` forces the
+    distributed Lloyd loop, the path the replay exists to check
+    (test_ivf_local_matches_distributed locks the local branch to
+    it); injected-vs-production parity is locked by
+    tests/test_ivf_replay.py."""
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+
+    vecs = _vectors(spark, sf_dir, spread=True)
+    queries = vecs.filter(F.col("id") < N_QUERIES)
+    candidates = vecs.filter(F.col("id") >= N_QUERIES)
+    centroids = train_centroids(candidates, k=N_CENTROIDS, iters=IVF_ITERS,
+                                id_hash=md5_id_hash, local_train_max=0)
+    return ivf_topk(queries, candidates, centroids,
+                    k=TOP_K, n_probe=IVF_N_PROBE).orderBy("q_id", "rn")
+
+
+_IVF_DH = "('0x' || substr(md5(id::VARCHAR), 1, 15))::UBIGINT::BIGINT"
+_IVF_COS = "list_dot_product({a}.v, {b}.cv) / ({a}.nrm * {b}.cn)"
+
+
+def _ivf_assign_cte(name: str, cent: str) -> str:
+    """Argmax-cosine bucket per candidate against centroid set
+    ``cent`` — row_number on (cos DESC, cent_id ASC) matches the
+    Spark fold's strict-> earliest-wins tiebreak."""
+    cos = _IVF_COS.format(a="c", b="ct")
+    return f"""{name} AS MATERIALIZED (
+    SELECT id, v, nrm, bucket FROM (
+        SELECT c.id, c.v, c.nrm, ct.cent_id AS bucket,
+               row_number() OVER (
+                   PARTITION BY c.id
+                   ORDER BY {cos} DESC, ct.cent_id) AS rn
+        FROM cand c CROSS JOIN {cent} ct
+    ) WHERE rn = 1
+)"""
+
+
+def _ivf_replay_sql() -> str:
+    """From-scratch DuckDB unroll of the full IVF derivation (the
+    BPE-oracle pattern): id-stripe seed selection → IVF_ITERS Lloyd
+    iterations of (argmax-cosine assignment → 8-dp per-dimension
+    bucket means → norm re-form, empty buckets keep their centroid) →
+    per-query IVF_N_PROBE bucket selection → in-bucket exact cosine
+    top-k. Dot products sum left-to-right on both engines
+    (functions/vectors.py ≙ list_dot_product); ties break on lowest
+    centroid/candidate id on both."""
+    parts = [f"""n AS MATERIALIZED (
+    SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), qry AS MATERIALIZED (SELECT * FROM n WHERE id < {N_QUERIES}),
+cand AS MATERIALIZED (SELECT * FROM n WHERE id >= {N_QUERIES}),
+cent0 AS MATERIALIZED (
+    SELECT bucket AS cent_id, arg_min(v, id) AS cv, arg_min(nrm, id) AS cn
+    FROM (SELECT id, v, nrm, {_IVF_DH} % {N_CENTROIDS} AS bucket FROM cand)
+    GROUP BY bucket
+)"""]
+    for i in range(1, IVF_ITERS + 1):
+        parts.append(_ivf_assign_cte(f"assign{i}", f"cent{i - 1}"))
+        parts.append(f"""means{i} AS MATERIALIZED (
+    SELECT bucket, list(m ORDER BY pos) AS mv
+    FROM (
+        SELECT bucket, pos, round(avg(v[pos]), 8) AS m
+        FROM assign{i}, UNNEST(generate_series(1, len(v))) t(pos)
+        GROUP BY bucket, pos
+    ) GROUP BY bucket
+)""")
+        parts.append(f"""cent{i} AS MATERIALIZED (
+    SELECT ct.cent_id,
+           coalesce(m.mv, ct.cv) AS cv,
+           CASE WHEN m.mv IS NULL THEN ct.cn
+                ELSE sqrt(list_dot_product(m.mv, m.mv)) END AS cn
+    FROM cent{i - 1} ct LEFT JOIN means{i} m ON m.bucket = ct.cent_id
+)""")
+    parts.append(_ivf_assign_cte("bucketed", f"cent{IVF_ITERS}"))
+    qcos = _IVF_COS.format(a="q", b="ct")
+    parts.append(f"""probes AS MATERIALIZED (
+    SELECT q_id, bucket FROM (
+        SELECT q.id AS q_id, ct.cent_id AS bucket,
+               row_number() OVER (
+                   PARTITION BY q.id
+                   ORDER BY {qcos} DESC, ct.cent_id) AS rn
+        FROM qry q CROSS JOIN cent{IVF_ITERS} ct
+    ) WHERE rn <= {IVF_N_PROBE}
+)""")
+    return "WITH " + ",\n".join(parts) + f""",
+scored AS (
+    SELECT p.q_id, b.id AS c_id,
+           list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
+    FROM probes p
+    JOIN bucketed b ON b.bucket = p.bucket
+    JOIN qry q ON q.id = p.q_id
+), ranked AS (
+    SELECT q_id, c_id, cos,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, c_id) AS rn
+    FROM scored
+)
+SELECT q_id, rn, c_id, round(cos, 4) AS cosine
+FROM ranked WHERE rn <= {TOP_K}
+ORDER BY q_id, rn
+"""
+
+
+ANN_IVF_REPLAY_SQL = _ivf_replay_sql()
+
+
 def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k over int8-quantized candidates: queries stay
     full-precision (they're tiny); the 100 TB candidate side is the
@@ -124,12 +241,18 @@ ORDER BY q_id, rn
 SPARK = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_topk_replay": ann_ivf_topk_replay,
     "ann_quantized_topk": ann_quantized_topk,
 }
 
 SQL = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
-    "ann_ivf_topk": None,  # approximate: rows-only + recall unit test
+    "ann_ivf_topk": None,  # xxhash64 seeds: rows-only + recall unit test
+    # r12: the portable-hash twin gives the IVF family its first
+    # DRIVER-side value check — the full unrolled-Lloyd replay
+    # tests/test_ivf_replay.py ran locally since r7, now registered
+    # with full ORACLE_SQL
+    "ann_ivf_topk_replay": ANN_IVF_REPLAY_SQL,
     # r9: promoted into the driver window (never externally observed
     # before; an OLAP entry lends its slot for the round).
     "ann_quantized_topk": ANN_QUANTIZED_SQL,

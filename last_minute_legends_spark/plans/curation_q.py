@@ -623,23 +623,14 @@ SPARK = {
     "bpe_tokenize": bpe_tokenize,
 }
 
-# r11: the BPE pair stays in the driver window — bpe_tokenize's only
-# prior external observation was the r10 red row (array-column gate
-# crash, now fixed by serializing head_tokens), and train_bpe's only
-# green one was that same round — so both get a fresh post-fix gate
-# observation. The other nine entries, driver-hash-green in both r9
-# and r10, lend their slots back to the returning OLAP/events lenders
-# and keep the identical value-level compare locally
-# (tests/test_oracle.py). The BPE training loop is replayed in DuckDB
-# as 16 unrolled rounds of recursive-CTE greedy folds
-# (_bpe_oracle_ctes) — both the learned merge table and the full
-# corpus tokenization value-checked against an independent engine.
+# r12: the nine entries r11 demoted (to give the BPE pair their
+# post-fix observation — both green in CORRECTNESS_r11) rotate BACK
+# into the driver window for a current external observation, on slots
+# lent by twelve multi-round-green OLAP entries (plans/olap.py). The
+# BPE pair stays in the window too: its DuckDB replay (16 unrolled
+# rounds of recursive-CTE greedy folds, _bpe_oracle_ctes) is the
+# family's only external value check.
 SQL = {
-    "train_bpe": TRAIN_BPE_SQL,
-    "bpe_tokenize": BPE_TOKENIZE_SQL,
-}
-
-LOCAL_SQL = {
     "text_pii_redact": TEXT_PII_REDACT_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "dedup_paragraph": DEDUP_PARAGRAPH_SQL,
@@ -649,4 +640,8 @@ LOCAL_SQL = {
     "mixture_sample": MIXTURE_SAMPLE_SQL,
     "corpus_stats": CORPUS_STATS_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_SQL,
+    "train_bpe": TRAIN_BPE_SQL,
+    "bpe_tokenize": BPE_TOKENIZE_SQL,
 }
+
+LOCAL_SQL = {}

@@ -265,6 +265,94 @@ ORDER BY vec_a, vec_b
 """
 
 
+def dedup_minhash_lsh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_minhash_lsh`` with the portable md5-prefix hash
+    injected (functions/portable_hash.py) in place of the production
+    xxhash64 — the SAME operator code and plan shape (shingles →
+    permutation min-hashes → band keys → length-filtered candidates →
+    exact-Jaccard verify), but with a hash DuckDB computes
+    bit-for-bit, so the driver gate value-checks every arithmetic
+    step of the banding pipeline instead of a rows-only count.
+    Injected-vs-production parity is locked by
+    tests/test_hash_replay.py::test_injected_hash_changes_nothing_semantic."""
+    from last_minute_legends_spark.functions.portable_hash import (
+        concat_band_key, md5_perm_hash,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    return minhash_lsh_pairs(
+        docs, threshold=JACCARD_THRESHOLD,
+        perm_hash=md5_perm_hash, band_hash=concat_band_key,
+    ).orderBy("doc_a", "doc_b")
+
+
+_SHINGLES_CTE = r"""
+tok AS (
+    SELECT doc_id,
+           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+    FROM tok, UNNEST(generate_series(1, len(w) - 2)) t(i)
+)"""
+
+
+def _minhash_replay_sql() -> str:
+    """From-scratch DuckDB replay of the banded-LSH pipeline with the
+    portable hash: shingles → per-permutation min-hashes → band keys
+    → length-filtered candidate join → exact-Jaccard verify. Every
+    intermediate (signature words, band values, the candidate set)
+    must agree with Spark's for the final frame to value-match."""
+    from last_minute_legends_spark.functions.portable_hash import duck_hash60
+    from last_minute_legends_spark.operators.dedup import (
+        N_BANDS, N_PERM, ROWS_PER_BAND,
+    )
+
+    mins = ", ".join(
+        "min({h}) AS h{i}".format(h=duck_hash60("s || ':{}'".format(i)), i=i)
+        for i in range(N_PERM)
+    )
+    band_selects = "\n    UNION ALL ".join(
+        "SELECT doc_id, n_sh, {b} AS band, {bv} AS bv FROM sig".format(
+            b=b,
+            bv=" || '|' || ".join(
+                f"h{b * ROWS_PER_BAND + r}::VARCHAR"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+    SELECT doc_id, count(*) AS n_sh, {mins}
+    FROM sh GROUP BY doc_id
+), bands AS (
+    {band_selects}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.n_sh AS na, b.n_sh AS nb
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+     AND least(a.n_sh, b.n_sh) >= {JACCARD_THRESHOLD} * greatest(a.n_sh, b.n_sh) - 1e-9
+), inter AS (
+    SELECT doc_a, doc_b, na, nb, count(*) AS inter
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.doc_a
+    JOIN sh sb ON sb.doc_id = cand.doc_b AND sa.s = sb.s
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(inter / (na + nb - inter), 4) AS jaccard
+FROM inter
+WHERE inter / (na + nb - inter) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_MINHASH_REPLAY_SQL = _minhash_replay_sql()
+
+
 SUBSTRING_K = 8
 
 
@@ -429,6 +517,7 @@ SPARK = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_replay": dedup_minhash_lsh_replay,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
@@ -441,7 +530,11 @@ LOCAL_SQL = {}
 SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
-    "dedup_minhash_lsh": None,   # LSH banding: rows-only check
+    "dedup_minhash_lsh": None,   # xxhash64 banding: rows-only check
+    # r12: the portable-hash twin gives the LSH family its first
+    # DRIVER-side value check (the same replay tests/test_hash_replay.py
+    # ran locally since r7, now registered with full ORACLE_SQL)
+    "dedup_minhash_lsh_replay": DEDUP_MINHASH_REPLAY_SQL,
     "dedup_simhash": None,       # simhash banding: rows-only check
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

@@ -743,36 +743,36 @@ SPARK = {
     "q19_or_predicate": q19_or_predicate,
 }
 
-# r11 rotation: every r10-lent OLAP slot returns (the r7→r8 pattern).
-# The r10-observed promotions they displaced move to their owning
-# modules' LOCAL_SQL and keep the identical value-level DuckDB
-# compare locally via tests/test_oracle.py. Two lenders
-# (q14_promo_effect, q19_or_predicate — both driver-green many
-# rounds through r8 and locally value-checked every run) lend once
-# more so the r11-new dedup_substring / dedup_substring_clean
-# entries get an external gate observation in their first round
-# (plans/dedup_q.py SQL).
+# r12 rotation: twelve OLAP entries — all driver-hash-green in r11
+# (and in several earlier rounds) — lend their window slots to the
+# nine returning curation oracles (plans/curation_q.py, demoted for
+# one round in r11) and the three r12-new entries
+# (dedup_minhash_lsh_replay, ann_ivf_topk_replay,
+# events_avro_evolution). Every demoted entry keeps the identical
+# value-level DuckDB compare locally via LOCAL_SQL +
+# tests/test_oracle.py; five OLAP entries stay in the window as the
+# family's standing external anchors.
 SQL = {
+    "q8_market_share": Q8_SQL,
+    "q9_product_margin": Q9_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q16_supplier_count": Q16_SQL,
+    "q17_small_quantity": Q17_SQL,
+}
+
+LOCAL_SQL = {
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q4_order_priority": Q4_SQL,
     "q5_local_supplier_volume": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q7_nation_volume": Q7_SQL,
-    "q8_market_share": Q8_SQL,
-    "q9_product_margin": Q9_SQL,
     "q10_returned_items": Q10_SQL,
     "q13_customer_distribution": Q13_SQL,
-    "q15_top_supplier": Q15_SQL,
-    "q16_supplier_count": Q16_SQL,
-    "q17_small_quantity": Q17_SQL,
+    "q14_promo_effect": Q14_SQL,
     "q18_large_volume_customer": Q18_SQL,
+    "q19_or_predicate": Q19_SQL,
     "q22_idle_customers": Q22_SQL,
     "topn_per_group": TOPN_SQL,
     "cube_agg": CUBE_SQL,
-}
-
-LOCAL_SQL = {
-    "q14_promo_effect": Q14_SQL,
-    "q19_or_predicate": Q19_SQL,
 }

@@ -61,14 +61,15 @@ ORACLE_WINDOW = 50
 # leaves free (one round of driver-visible confirmation each; the
 # displaced oracle entries keep their value-level DuckDB compare
 # locally via the owning module's LOCAL_SQL + tests/test_oracle.py).
-# The r7–r10 rotations gave every one of the 78 registry entries
-# driver-visible evidence at least once (r10 finished the job:
-# CORRECTNESS_r10 recorded rows for all six remaining rows-only
-# entries, events_sketches for the second time). r11 therefore
-# rotates EMPTY: all 50 window slots go to value-level oracle
-# entries — the 22 returning r10 lenders (18 OLAP + 4 events), the
-# BPE pair for their post-fix observation, and the standing set —
-# while the 16 displaced r10 promotions keep local value checks.
+# The r7–r10 rotations gave every registry entry driver-visible
+# evidence at least once. r12, like r11, rotates EMPTY: all 50
+# window slots go to value-level oracle entries — the nine returning
+# curation oracles, the three r12-new entries (the
+# dedup_minhash_lsh_replay / ann_ivf_topk_replay portable-hash twins,
+# which give the LSH and IVF families their first DRIVER-side value
+# checks, and events_avro_evolution), and the standing set — on
+# slots lent by twelve multi-round-green OLAP entries (plans/olap.py
+# LOCAL_SQL).
 WINDOW_ROTATE: list[str] = []
 
 _order = (

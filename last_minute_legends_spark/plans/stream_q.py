@@ -216,6 +216,89 @@ def events_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution consumer, end-to-end at the wire level: the
+    events topic carries TWO writer versions under one registry
+    subject — even event_ids encode with the v1 schema
+    (events_wire), odd ids with the evolved v2 (events_wire_v2: adds
+    source_region, drops props, narrows value to float) — each framed
+    with its own Confluent id, unioned into one mixed stream, and
+    decoded by ``decode_confluent`` resolving EACH writer against the
+    v1 READER per the Avro spec: v2's source_region is skipped
+    (writer-only), the reader's props fills its null default on v2
+    rows, and v2's float value promotes back to double at float32
+    precision. The aggregate splits counts by writer ``schema_id``
+    and counts surviving props, so the oracle (computed directly from
+    the base table with the same parity split and REAL-cast) value-
+    mismatches if any resolution rule misfires. Row-level
+    lossless-ness of the same path is locked by
+    tests/test_streaming.py's evolution round-trip test."""
+    from last_minute_legends_spark.sources.avro_io import (
+        encode_avro,
+        load_schema,
+    )
+    from last_minute_legends_spark.sources.registry import (
+        LocalSchemaRegistry,
+        decode_confluent,
+        frame_value,
+    )
+
+    events = spread_cpu_scan(spark, Catalog(spark, sf_dir).events).select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+        "event_type", "value", "props",
+    )
+    reg = LocalSchemaRegistry({
+        "events-value": [load_schema("events_wire"),
+                         load_schema("events_wire_v2")],
+    })
+    sid1, v1 = reg.version("events-value", 1)
+    sid2, v2 = reg.version("events-value", 2)
+
+    old_rows = events.filter(F.col("event_id") % 2 == 0)
+    wire1 = encode_avro(old_rows, list(old_rows.columns), v1).select(
+        frame_value(F.col("value"), sid1).alias("value"))
+
+    new_rows = events.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "ts_us", "user_id", "event_type",
+        F.col("value").cast("float").alias("value"),
+        F.concat(F.lit("r"), F.pmod("user_id", F.lit(4)).cast("string")
+                 ).alias("source_region"),
+    )
+    wire2 = encode_avro(new_rows, list(new_rows.columns), v2).select(
+        frame_value(F.col("value"), sid2).alias("value"))
+
+    mixed = wire1.unionByName(wire2)
+    back = decode_confluent(mixed, reg, reader_schema=v1)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("schema_id") == sid1, 1)).alias("n_v1"),
+            F.count(F.when(F.col("schema_id") == sid2, 1)).alias("n_v2"),
+            F.count("props").alias("n_props"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts_us").alias("first_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_AVRO_EVOLUTION_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS n_v1,
+       count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_v2,
+       count(CASE WHEN event_id % 2 = 0 THEN props END) AS n_props,
+       round(sum(CASE WHEN event_id % 2 = 0 THEN value
+                      ELSE CAST(CAST(value AS REAL) AS DOUBLE) END), 2)
+           AS sum_value,
+       min(epoch_us(ts)) AS first_us
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from last_minute_legends_spark.streaming.pipeline import run_windowed_pipeline
 
@@ -290,6 +373,7 @@ SPARK = {
     "events_typed_parse": events_typed_parse,
     "catalog_text_etl": catalog_text_etl,
     "events_avro_roundtrip": events_avro_roundtrip,
+    "events_avro_evolution": events_avro_evolution,
     "stream_pipeline": stream_pipeline,
     "stream_sessionize": stream_sessionize,
     "stream_enrich": stream_enrich,
@@ -317,6 +401,9 @@ SQL = {
     "stream_json_parse": STREAM_JSON_PARSE_SQL,
     "events_typed_parse": EVENTS_TYPED_PARSE_SQL,
     "catalog_text_etl": CATALOG_TEXT_ETL_SQL,
+    # r12-new: mixed writer-schema-version consumption through reader
+    # resolution, in the gate window for its first external observation
+    "events_avro_evolution": EVENTS_AVRO_EVOLUTION_SQL,
     # The streaming/simulator runs below are genuinely
     # non-SQL-expressible at the gate (each drives a Structured
     # Streaming pipeline); all were rotated through the window for a

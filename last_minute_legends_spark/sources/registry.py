@@ -53,28 +53,55 @@ REFERENCE_TOPICS = (
 
 class LocalSchemaRegistry:
     """Deterministic subject → (id, schema) registry over the .avsc
-    fixtures. Ids are 1-based in sorted-subject order, so the same
-    fixture set always yields the same ids — replayable frames."""
+    fixtures. A subject maps to one schema string OR a list of schema
+    VERSIONS (the Schema Registry's evolution model: a topic's writers
+    drift across versions under one subject, each version getting its
+    own global id). Ids are 1-based over (sorted subject, version
+    order) — with single-version subjects this reduces to the legacy
+    sorted-subject numbering, so the same fixture set always yields
+    the same ids and frames stay replayable."""
 
-    def __init__(self, subjects: dict[str, str] | None = None):
+    def __init__(self, subjects: dict[str, str | list[str]] | None = None):
         if subjects is None:
             subjects = {f"{t}-value": load_schema(t) for t in REFERENCE_TOPICS}
-        self._schemas = dict(sorted(subjects.items()))
-        self._id_of = {s: i + 1 for i, s in enumerate(self._schemas)}
-        self._subject_of = {i: s for s, i in self._id_of.items()}
+        self._versions: dict[str, list[str]] = {
+            s: (list(v) if isinstance(v, (list, tuple)) else [v])
+            for s, v in sorted(subjects.items())
+        }
+        self._schema_of_id: dict[int, str] = {}
+        self._subject_of: dict[int, str] = {}
+        self._ids_of: dict[str, list[int]] = {}
+        next_id = 1
+        for s, schemas in self._versions.items():
+            for sch in schemas:
+                self._schema_of_id[next_id] = sch
+                self._subject_of[next_id] = s
+                self._ids_of.setdefault(s, []).append(next_id)
+                next_id += 1
 
     def subjects(self) -> list[str]:
-        return list(self._schemas)
+        return list(self._versions)
 
     def id_for(self, subject: str) -> int:
-        if subject not in self._id_of:
+        """The LATEST version's id for ``subject``."""
+        if subject not in self._ids_of:
             raise KeyError(f"subject {subject!r} not registered "
-                           f"(have: {', '.join(self._schemas)})")
-        return self._id_of[subject]
+                           f"(have: {', '.join(self._versions)})")
+        return self._ids_of[subject][-1]
 
     def latest(self, subject: str) -> tuple[int, str]:
         """(schema_id, schema_str) — ``get_latest_version`` shape."""
-        return self.id_for(subject), self._schemas[subject]
+        return self.id_for(subject), self._versions[subject][-1]
+
+    def version(self, subject: str, n: int) -> tuple[int, str]:
+        """(schema_id, schema_str) for the subject's 1-based version
+        ``n`` — ``get_version`` shape."""
+        self.id_for(subject)
+        vs = self._versions[subject]
+        if not 1 <= n <= len(vs):
+            raise KeyError(f"subject {subject!r} has versions "
+                           f"1..{len(vs)}, not {n}")
+        return self._ids_of[subject][n - 1], vs[n - 1]
 
     def schema_by_id(self, schema_id: int) -> str:
         if schema_id not in self._subject_of:
@@ -82,7 +109,7 @@ class LocalSchemaRegistry:
                 f"schema id {schema_id} not in the registry (have ids "
                 f"{sorted(self._subject_of)}); a consumer must fail loudly "
                 "on an unknown writer rather than misdecode")
-        return self._schemas[self._subject_of[schema_id]]
+        return self._schema_of_id[schema_id]
 
     def subject_by_id(self, schema_id: int) -> str:
         self.schema_by_id(schema_id)
@@ -173,13 +200,15 @@ def decode_confluent_topic(raw: DataFrame, registry: LocalSchemaRegistry,
 def decode_confluent(raw: DataFrame, registry: LocalSchemaRegistry,
                      reader_schema: str,
                      value_col: str = "value") -> DataFrame:
-    """Confluent-framed frames (possibly MIXED writers/topics) →
-    typed rows in the reader layout, plus a ``subject`` column naming
-    each row's writer subject. Per-id dispatch: unframe once, then
-    one decode per distinct schema id present, each resolving its
-    writer schema against ``reader_schema``, unioned by name. The
-    distinct-id collect is bounded by the registry size (ids), never
-    the row count."""
+    """Confluent-framed frames (possibly MIXED writers/topics/schema
+    VERSIONS) → typed rows in the reader layout, plus ``subject`` and
+    ``schema_id`` columns naming each row's writer (two versions of
+    one subject share the subject but carry distinct ids — the
+    lineage a consumer audits evolution with). Per-id dispatch:
+    unframe once, then one decode per distinct schema id present,
+    each resolving its writer schema against ``reader_schema``,
+    unioned by name. The distinct-id collect is bounded by the
+    registry size (ids), never the row count."""
     framed = raw.select(
         confluent_schema_id(F.col(value_col)).alias("_sid"),
         confluent_body(F.col(value_col)).alias("value"),
@@ -191,12 +220,14 @@ def decode_confluent(raw: DataFrame, registry: LocalSchemaRegistry,
         part = decode_avro(
             framed.filter(F.col("_sid") == sid).select("value"),
             schema=writer, reader_schema=reader_schema,
-        ).withColumn("subject", F.lit(registry.subject_by_id(sid)))
+        ).withColumn("subject", F.lit(registry.subject_by_id(sid))) \
+         .withColumn("schema_id", F.lit(sid))
         parts.append(part)
     if not parts:
         schema_cols = decode_avro(
             framed.limit(0).select("value"),
             schema=reader_schema, reader_schema=reader_schema,
-        ).withColumn("subject", F.lit(""))
+        ).withColumn("subject", F.lit("")) \
+         .withColumn("schema_id", F.lit(0))
         return schema_cols
     return reduce(DataFrame.unionByName, parts)

@@ -18,94 +18,28 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from last_minute_legends_spark.functions.portable_hash import (
+    concat_band_key as _spark_band_hash,
+    duck_hash60 as _dh,
+    md5_hash60 as _md5h,
+    md5_perm_hash as _spark_perm_hash,
+)
 from last_minute_legends_spark.operators.dedup import (
-    N_BANDS,
-    N_PERM,
-    ROWS_PER_BAND,
     minhash_lsh_pairs,
     simhash_pairs,
 )
+# r12: the minhash replay formulation is now a REGISTRY entry
+# (dedup_minhash_lsh_replay) with driver-side ORACLE_SQL; this test
+# keeps running the identical compare locally against the shared SQL.
+from last_minute_legends_spark.plans.dedup_q import (
+    _minhash_replay_sql,
+)
+
 from last_minute_legends_spark.sources.tables import Catalog
 from tests.oracle import compare, run_oracle
 
 THRESHOLD = 0.8
 MAX_HAMMING = 3
-
-
-def _md5h(*cols):
-    """60-bit hash from the md5 of ':'-joined inputs — same string,
-    same digest, same integer on both engines."""
-    return F.conv(
-        F.substring(F.md5(F.concat_ws(":", *cols)), 1, 15), 16, 10
-    ).cast("long")
-
-
-def _spark_perm_hash(s, i: int):
-    return _md5h(s, F.lit(str(i)))
-
-
-def _spark_band_hash(*cols):
-    # band key = '|'-joined decimal renderings (Long.toString and
-    # BIGINT::VARCHAR agree for non-negative values)
-    return F.concat_ws("|", *[c.cast("string") for c in cols])
-
-
-def _dh(expr: str) -> str:
-    return f"('0x' || substr(md5({expr}), 1, 15))::UBIGINT::BIGINT"
-
-
-_SHINGLES_CTE = r"""
-tok AS (
-    SELECT doc_id,
-           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
-    FROM documents
-), sh AS (
-    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-    FROM tok, UNNEST(generate_series(1, len(w) - 2)) t(i)
-)"""
-
-
-def _minhash_replay_sql() -> str:
-    mins = ", ".join(
-        "min({h}) AS h{i}".format(h=_dh("s || ':{}'".format(i)), i=i)
-        for i in range(N_PERM)
-    )
-    band_selects = "\n    UNION ALL ".join(
-        "SELECT doc_id, n_sh, {b} AS band, {bv} AS bv FROM sig".format(
-            b=b,
-            bv=" || '|' || ".join(
-                f"h{b * ROWS_PER_BAND + r}::VARCHAR"
-                for r in range(ROWS_PER_BAND)
-            ),
-        )
-        for b in range(N_BANDS)
-    )
-    return f"""
-WITH {_SHINGLES_CTE},
-sig AS (
-    SELECT doc_id, count(*) AS n_sh, {mins}
-    FROM sh GROUP BY doc_id
-), bands AS (
-    {band_selects}
-), cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           a.n_sh AS na, b.n_sh AS nb
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-     AND least(a.n_sh, b.n_sh) >= {THRESHOLD} * greatest(a.n_sh, b.n_sh) - 1e-9
-), inter AS (
-    SELECT doc_a, doc_b, na, nb, count(*) AS inter
-    FROM cand
-    JOIN sh sa ON sa.doc_id = cand.doc_a
-    JOIN sh sb ON sb.doc_id = cand.doc_b AND sa.s = sb.s
-    GROUP BY 1, 2, 3, 4
-)
-SELECT doc_a, doc_b,
-       round(inter / (na + nb - inter), 4) AS jaccard
-FROM inter
-WHERE inter / (na + nb - inter) >= {THRESHOLD}
-ORDER BY doc_a, doc_b
-"""
 
 
 def _simhash_replay_sql() -> str:

@@ -1202,7 +1202,7 @@ def test_confluent_registry_mixed_topic_decode(spark):
     out = decode_confluent(mixed, reg, load_schema("user_activity"))
     reader_cols = [n for n, _, _ in
                    parse_fields(load_schema("user_activity"))]
-    assert out.columns == reader_cols + ["subject"]
+    assert out.columns == reader_cols + ["subject", "schema_id"]
     for subject, exp in expected.items():
         topic = subject.removesuffix("-value")
         own = [n for n, _, _ in parse_fields(load_schema(topic))]

@@ -373,6 +373,72 @@ def test_avro_evolved_reader_dataframe(spark, sf_dir):
     assert orig.exceptAll(back).count() + back.exceptAll(orig).count() == 0
 
 
+def test_avro_mixed_version_topic_row_level(spark, sf_dir):
+    """The events_avro_evolution path at row level: a topic carrying
+    TWO writer versions under one registry subject (v1 events_wire;
+    v2 adds source_region, drops props, narrows value to float),
+    decoded by decode_confluent against the v1 READER. Every
+    resolution rule is asserted per row: v2 rows get props = the
+    reader default null and value back at float32 precision; v1 rows
+    round-trip exactly; schema_id tags each row's true writer while
+    both share one subject."""
+    from last_minute_legends_spark.sources.avro_io import (
+        encode_avro, load_schema,
+    )
+    from last_minute_legends_spark.sources.registry import (
+        LocalSchemaRegistry, decode_confluent, frame_value,
+    )
+    from last_minute_legends_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+        "event_type", "value", "props",
+    ).limit(500)
+    reg = LocalSchemaRegistry({
+        "events-value": [load_schema("events_wire"),
+                         load_schema("events_wire_v2")],
+    })
+    sid1, v1 = reg.version("events-value", 1)
+    sid2, v2 = reg.version("events-value", 2)
+    assert (sid1, sid2) == (1, 2)
+    assert reg.latest("events-value") == (sid2, v2)
+
+    old_rows = events.filter(F.col("event_id") % 2 == 0)
+    new_rows = events.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "ts_us", "user_id", "event_type",
+        F.col("value").cast("float").alias("value"),
+        F.lit("r1").alias("source_region"),
+    )
+    mixed = encode_avro(old_rows, list(old_rows.columns), v1).select(
+        frame_value(F.col("value"), sid1).alias("value")
+    ).unionByName(
+        encode_avro(new_rows, list(new_rows.columns), v2).select(
+            frame_value(F.col("value"), sid2).alias("value"))
+    )
+    back = decode_confluent(mixed, reg, reader_schema=v1)
+    assert "source_region" not in back.columns  # writer-only: skipped
+    assert back.select("subject").distinct().collect()[0][0] == "events-value"
+    # schema_id splits the rows exactly along the writer parity
+    assert (back.filter(F.col("schema_id") == sid2)
+            .filter(F.col("event_id") % 2 == 0).count()) == 0
+    # v2-written rows: props resolved to the reader default (null)
+    assert back.filter(F.col("schema_id") == sid2).filter(
+        F.col("props").isNotNull()).count() == 0
+    # v1 rows round-trip exactly
+    v1_back = back.filter(F.col("schema_id") == sid1).select(*old_rows.columns)
+    assert old_rows.exceptAll(v1_back).count() + \
+        v1_back.exceptAll(old_rows).count() == 0
+    # v2 rows: float32-precision value widened back to double
+    v2_expect = events.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "ts_us", "user_id", "event_type",
+        F.col("value").cast("float").cast("double").alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    v2_back = back.filter(F.col("schema_id") == sid2).select(*old_rows.columns)
+    assert v2_expect.exceptAll(v2_back).count() + \
+        v2_back.exceptAll(v2_expect).count() == 0
+
+
 def test_avro_roundtrip(spark, sf_dir):
     """Avro encode/decode round-trip of events through the in-repo
     .avsc fixture — runs on BOTH paths: the JVM spark-avro functions
