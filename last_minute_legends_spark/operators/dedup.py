@@ -1081,7 +1081,8 @@ def _merge_islands(positions: DataFrame, k: int) -> DataFrame:
 
 def remove_duplicated_spans(docs: DataFrame, k: int = 8,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            strategy: str = "array") -> DataFrame:
     """The repair half of Lee-et-al substring dedup: every NON-FIRST
     occurrence of a duplicated k-word window is removed and the doc
     text rebuilt from the surviving words — the first occurrence
@@ -1101,33 +1102,73 @@ def remove_duplicated_spans(docs: DataFrame, k: int = 8,
     clean_text '' (drop it downstream), a doc with no duplication
     comes back with its normalized text intact.
 
-    Same plan skeleton as duplicated_spans, plus a covered-position
-    explode (bounded by the removable token count, never the corpus)
-    and one left_anti join by (doc_id, p) to drop covered words; the
-    rebuild is sort_array(collect_list(struct(p, t))) — deterministic
-    order without a second window sort."""
-    tok1 = _positioned_tokens(docs, id_col, text_col)
+    Detection is the duplicated_spans skeleton; the repair differs by
+    ``strategy``:
+
+    - ``"array"`` (default, the r12 plan): merged spans aggregate to
+      ONE (doc_id, array<struct<st,en>>) row per affected doc — the
+      detection pass's own output, orders of magnitude smaller than
+      the corpus — and join back at DOCUMENT level; covered words
+      drop in-place via a positional higher-order ``filter`` over the
+      words array (per-word cost O(spans-in-doc), and spans per doc
+      is tiny by construction — adjacent/overlapping ones merged).
+      The corpus crosses ONE exchange at document granularity.
+    - ``"join"`` (the r11 plan, kept for the measured A/B and the
+      parity lock in tests): explode covered positions and left_anti
+      join the positioned-token explode by (doc_id, p), then rebuild
+      with sort_array(collect_list) — which shuffles the corpus TWICE
+      at TOKEN granularity (the join and the collect_list agg, whose
+      partial aggregation cannot reduce). Measured A/B (BASELINE_LOCAL
+      r12): array beats join 1.18x at sf0.1 (2.40 vs 2.83 s) and
+      1.6-1.7x on the fresh-JVM ladder (x100 9.28 vs 14.88 s, x300
+      26.5 vs 44.4 s)."""
     removable = _dup_positions(docs, k, id_col, text_col).filter(
         F.col("rn") > 1).drop("rn")
     spans = _merge_islands(removable, k)
-    covered = spans.select(
-        "doc_id", F.explode(F.sequence("st", "en")).alias("p"))
-    kept = tok1.join(covered, ["doc_id", "p"], "left_anti")
-    rebuilt = kept.groupBy("doc_id", "tot").agg(
-        F.count(F.lit(1)).alias("kept_n"),
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("p", "t"))),
-                        lambda x: x["t"]), " ").alias("clean_text"),
+    if strategy == "join":
+        tok1 = _positioned_tokens(docs, id_col, text_col)
+        covered = spans.select(
+            "doc_id", F.explode(F.sequence("st", "en")).alias("p"))
+        kept = tok1.join(covered, ["doc_id", "p"], "left_anti")
+        rebuilt = kept.groupBy("doc_id", "tot").agg(
+            F.count(F.lit(1)).alias("kept_n"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("p", "t"))),
+                            lambda x: x["t"]), " ").alias("clean_text"),
+        )
+        base = tok1.groupBy("doc_id", "tot").count().drop("count")
+        return (
+            base.join(rebuilt, ["doc_id", "tot"], "left")
+            .select(
+                "doc_id",
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                (F.col("tot") - F.coalesce("kept_n", F.lit(0)))
+                .cast("long").alias("removed_tokens"),
+                F.col("tot").cast("long").alias("total_tokens"),
+            )
+            .orderBy("doc_id")
+        )
+    if strategy != "array":
+        raise ValueError(f"strategy must be 'array' or 'join', got {strategy!r}")
+    span_arrays = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("st", "en")).alias("_spans"))
+    base = _spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("w"))
+    joined = base.join(span_arrays, "doc_id", "left")
+    # positional filter: word index i is 0-based, span bounds 1-based
+    kept_w = F.filter(
+        "w",
+        lambda t, i: ~F.exists(
+            "_spans",
+            lambda s: (i + 1 >= s["st"]) & (i + 1 <= s["en"])),
     )
-    base = tok1.groupBy("doc_id", "tot").count().drop("count")
+    clean = F.when(F.col("_spans").isNull(), F.col("w")).otherwise(kept_w)
     return (
-        base.join(rebuilt, ["doc_id", "tot"], "left")
-        .select(
+        joined.select(
             "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            (F.col("tot") - F.coalesce("kept_n", F.lit(0)))
-            .cast("long").alias("removed_tokens"),
-            F.col("tot").cast("long").alias("total_tokens"),
+            F.array_join(clean, " ").alias("clean_text"),
+            (F.size("w") - F.size(clean)).cast("long").alias("removed_tokens"),
+            F.size("w").cast("long").alias("total_tokens"),
         )
         .orderBy("doc_id")
     )

@@ -437,6 +437,29 @@ def test_remove_duplicated_spans_keep_first(spark):
     assert out[4] == ("p q r s", 8, 12)
 
 
+def test_remove_duplicated_spans_strategies_agree(spark, sf_dir):
+    """The r12 doc-level array repair (span arrays joined back per
+    document, covered words dropped via a positional higher-order
+    filter) must produce the exact frame of the r11 token-level
+    join-and-rebuild plan on the real corpus — including clean_text
+    strings and the self-overlap edge cases."""
+    from last_minute_legends_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+    from last_minute_legends_spark.sources.tables import Catalog
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    crafted = _docs(spark, [
+        (9_000_001, "a b c d e f g h i j"),
+        (9_000_002, "a b c d e f g h x y"),
+        (9_000_003, "z z z z z z z z z z"),   # self-overlapping run
+    ])
+    both = docs.unionByName(crafted)
+    a = remove_duplicated_spans(both, k=8, strategy="array").collect()
+    j = remove_duplicated_spans(both, k=8, strategy="join").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, j))
+
+
 def test_sessionize_gap_edges(spark):
     from last_minute_legends_spark.operators.sessions import sessionize
 
