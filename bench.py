@@ -32,6 +32,16 @@ connected-components fixpoint, do their real work there). Caches a
 query persists internally are cleared after its runs so cross-query
 cache accumulation can't OOM the suite (it did in r4).
 
+Protocol versioning (r12): the stdout line and bench_local.json carry
+`bench_schema` (3 = min-of-2 cells + per-cell GC + contention-triggered
+re-runs) and `smin`/`stream_min_of` (streaming sample count, 2) so any
+two rounds' BENCH files can be compared protocol-aware. Contention
+re-runs: when the min-of-2 sample that would be REPORTED carries a
+contaminated diag (other_cores > 2, or a failed-task retry inside the
+window), up to 2 extra samples are taken;
+if the reported min is still contaminated the cell is flagged
+`min_contaminated: 1` in bench_local.json rather than silently trusted.
+
 Contention accounting: the 1-min loadavg is self-confounded mid-suite
 (local[32] Spark alone drives it to 4-13), so each cell also records
 `self_cores` (CPU-seconds/wall consumed by THIS process tree — python
@@ -151,7 +161,14 @@ _CLK_TCK = os.sysconf("SC_CLK_TCK")
 
 
 def _pid_cpu_and_ppid(pid: int) -> tuple[float, int] | None:
-    """(utime+stime seconds, ppid) for a pid, None if it vanished."""
+    """(cpu seconds, ppid) for a pid, None if it vanished. CPU is
+    utime+stime of the process itself PLUS cutime+cstime — the CPU of
+    its already-reaped dead children. Without the cutime/cstime term,
+    short-lived pyspark worker forks that die mid-cell vanish from
+    /proc between samples and their CPU lands in `other_cores`,
+    falsely flagging streaming cells (which churn workers every
+    micro-batch) as externally contended: the r12 smoke run showed
+    stream_pipeline at other_cores 2.9-4.0 on an otherwise idle box."""
     try:
         with open(f"/proc/{pid}/stat") as f:
             raw = f.read()
@@ -160,13 +177,16 @@ def _pid_cpu_and_ppid(pid: int) -> tuple[float, int] | None:
     # comm can contain spaces/parens — split after the LAST ')'
     rest = raw.rsplit(")", 1)[1].split()
     # rest[0] = state (field 3); ppid = field 4 = rest[1];
-    # utime = field 14 = rest[11]; stime = field 15 = rest[12]
-    return (int(rest[11]) + int(rest[12])) / _CLK_TCK, int(rest[1])
+    # utime/stime = fields 14/15 = rest[11]/rest[12];
+    # cutime/cstime (reaped children) = fields 16/17 = rest[13]/[14]
+    cpu = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+    return cpu / _CLK_TCK, int(rest[1])
 
 
 def tree_cpu_seconds() -> float:
     """Total CPU-seconds consumed by this process and all live
-    descendants (gateway JVM, pyspark daemon + worker forks)."""
+    descendants (gateway JVM, pyspark daemon + worker forks), plus
+    dead reaped children of each (see _pid_cpu_and_ppid)."""
     me = os.getpid()
     procs: dict[int, tuple[float, int]] = {}
     for ent in os.listdir("/proc"):
@@ -256,16 +276,42 @@ def main() -> None:
             d["rows"] = out
         return wall
 
+    def _contaminated(rec: dict) -> bool:
+        """True when a run's own diagnostics say its wall time is not
+        this suite's to claim: foreign processes burning >2 cores
+        during the cell, or a failed-task retry inside the timed
+        window (r10's stream_curate read 36 s off one aborted parquet
+        commit). loadavg is recorded in the diag but deliberately NOT
+        a trigger — it is self-confounded mid-suite (the r12 smoke run
+        drove it to 12.8 with other_cores 0.44, i.e. entirely our own
+        run queue); the r11 contended curated_training_set cell is
+        still caught by its other_cores 10.6 signature."""
+        return rec["other_cores"] > 2.0 or rec["failed_tasks"] > 0
+
     def run(name: str, once=None) -> float:
+        def dflt():
+            df = QUERIES[name](spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
         times = []
         for _ in range(2):
-            def dflt():
-                df = QUERIES[name](spark, SF_DIR)
-                df.write.mode("overwrite").format("noop").save()
             times.append(instrumented(name, once or dflt))
             # drop frames the query persisted (shingle/signature
             # diamonds) so they can't accumulate across the suite
             spark.catalog.clearCache()
+        # contention re-run (r12 protocol, VERDICT r11 #2): if the run
+        # that would be REPORTED (the min) carries a contaminated-run
+        # diag, take up to 2 extra samples — each stops early the
+        # moment a clean run becomes the min. Bounded so a genuinely
+        # busy box degrades to "reported min is flagged" rather than
+        # looping; the flag below keeps such cells self-evident.
+        runs = diag[name]["runs"]
+        for _ in range(2):
+            if not _contaminated(runs[times.index(min(times))]):
+                break
+            times.append(instrumented(name, once or dflt))
+            spark.catalog.clearCache()
+        reported = runs[times.index(min(times))]
+        diag[name]["min_contaminated"] = 1 if _contaminated(reported) else 0
         if os.environ.get("SPARK_GRAFT_BENCH_GC", "1") != "0":
             # Default ON (r10): Spark's ContextCleaner frees
             # accumulated broadcast/shuffle/RDD blocks only when a JVM
@@ -322,6 +368,13 @@ def main() -> None:
     # measured without it is not comparable)
     gc_on = 1 if os.environ.get("SPARK_GRAFT_BENCH_GC", "1") != "0" else 0
     suite_meta["per_cell_gc"] = gc_on
+    # bench-protocol schema version (r11 VERDICT #8): bump whenever the
+    # measurement protocol changes so cross-round cells are mechanically
+    # comparable. v1 = single-sample streaming (<= r10); v2 = min-of-2
+    # everywhere + per-cell GC (r11); v3 = v2 + contention-triggered
+    # re-runs with min_contaminated flags (r12).
+    suite_meta["bench_schema"] = 3
+    suite_meta["stream_min_of"] = 2
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     # Full-precision record + contention evidence → file, never the
@@ -357,6 +410,11 @@ def main() -> None:
             "queries": {k: fmt_secs(v, sig) for k, v in timings.items()},
             "sf": sf,
             "gc": gc_on,
+            # protocol version + streaming sample count (see
+            # suite_meta above) — tiny constant cost, lets any two
+            # BENCH_r{N}.json files be compared protocol-aware
+            "bench_schema": 3,
+            "smin": 2,
         }
         if keep_streaming:
             payload["streaming"] = {k: fmt_secs(v, sig)
