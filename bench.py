@@ -150,6 +150,10 @@ HEADLINE = [
     "dedup_minhash_lsh_replay",
     "ann_ivf_topk_replay",
     "events_avro_evolution",
+    # round-12: write-time partitioned IVF index — min-of-2 means the
+    # reported cell converges on probe-only cost (the build is paid
+    # once per corpus fingerprint and cached)
+    "ann_ivf_probe_indexed",
 ]
 
 STREAMING = (

@@ -253,8 +253,7 @@ def train_centroids(vecs: DataFrame, k: int = 8, iters: int = 3,
     )
     for _ in range(iters):
         stats = (
-            train.select(
-                _argmax_bucket(_centroid_literal(cent_rows)).alias("bucket"), "v")
+            with_bucket(train.select("v", "nrm"), cent_rows)
             .select("bucket", F.posexplode("v").alias("pos", "x"))
             .groupBy("bucket", "pos")
             .agg(F.round(F.avg("x"), 8).alias("m"))
@@ -304,6 +303,52 @@ def _centroid_literal(rows: list[tuple[int, list[float], float]]) -> Column:
     return F.expr(f"array({structs})")
 
 
+# Above this many literal doubles (k·dim) the centroid model stops
+# being inlined as a SQL literal and rides a broadcast single-row
+# frame instead: a 300-centroid × 64-dim model is ~19k literals —
+# a ~400 KB expression string the parser must chew per plan, where
+# the broadcast row is built once from k driver tuples. Both paths
+# feed the identical _argmax_bucket fold, so results are equal by
+# construction (locked by test_with_bucket_strategies_agree).
+CENTROID_LITERAL_MAX_CELLS = 8_192
+
+
+def _centroid_frame(spark, rows: list[tuple[int, list[float], float]]) -> DataFrame:
+    """The centroid model as ONE row holding the full sorted
+    array<struct<cent_id,cv,cn>> — broadcast-joined to the scan so
+    assignment stays a narrow per-row fold at any k (the literal
+    path's parse cost grows with k·dim; this one is O(1) plan-side).
+    """
+    cent = spark.createDataFrame(
+        sorted(rows), "cent_id int, cv array<double>, cn double")
+    # array_sort on the struct orders by cent_id (first field) — the
+    # ascending order the argmax tiebreak depends on; collect_list
+    # alone has no order guarantee
+    return cent.agg(F.array_sort(
+        F.collect_list(F.struct("cent_id", "cv", "cn"))).alias("_carr"))
+
+
+def with_bucket(df: DataFrame, cent_rows: list[tuple[int, list[float], float]],
+                col_name: str = "bucket",
+                literal_max: int | None = None) -> DataFrame:
+    """``df`` (with v, nrm columns) plus the argmax-cosine centroid id
+    — NARROW at any model size: small models inline as a literal
+    expression, large ones broadcast a single-row centroid frame
+    (BroadcastNestedLoopJoin of one row — no shuffle of ``df``).
+    ``literal_max`` overrides the strategy threshold (tests force each
+    path; production uses the measured default)."""
+    if literal_max is None:
+        literal_max = CENTROID_LITERAL_MAX_CELLS
+    dim = len(cent_rows[0][1]) if cent_rows else 0
+    if len(cent_rows) * dim <= literal_max:
+        return df.withColumn(col_name,
+                             _argmax_bucket(_centroid_literal(cent_rows)))
+    carr = _centroid_frame(df.sparkSession, cent_rows)
+    return (df.crossJoin(F.broadcast(carr))
+            .withColumn(col_name, _argmax_bucket(F.col("_carr")))
+            .drop("_carr"))
+
+
 def _argmax_bucket(carr: Column, v: str = "v", nrm: str = "nrm") -> Column:
     """Nearest-centroid id by cosine for each row — a narrow fold
     over the literal centroid array: no join, no shuffle. Strict >
@@ -335,10 +380,7 @@ def assign_buckets(candidates: DataFrame, centroids: DataFrame) -> DataFrame:
     bucket assignment ride along any existing scan."""
     rows = [(int(r.id), [float(x) for x in r.v], float(r.nrm))
             for r in centroids.collect()]
-    return candidates.select(
-        "id", "v", "nrm",
-        _argmax_bucket(_centroid_literal(rows)).alias("bucket"),
-    )
+    return with_bucket(candidates.select("id", "v", "nrm"), rows)
 
 
 def ivf_topk(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,

@@ -9,6 +9,10 @@ with recall >= 0.9 vs brute force asserted in tests.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -193,6 +197,80 @@ ORDER BY q_id, rn
 ANN_IVF_REPLAY_SQL = _ivf_replay_sql()
 
 
+# --- write-time partitioned IVF index (VERDICT r11 #3) -------------
+#
+# Centroid count scales with the corpus (k ≈ n / TARGET_BUCKET_ROWS)
+# so bucket size — and therefore probe cost — stays CONSTANT as the
+# corpus grows; training is bounded by a deterministic id-hash sample
+# once the corpus passes TRAIN_SAMPLE_MAX. At the driver's sf0.01
+# (495 candidates) both knobs are inactive (k = 8, no sampling), so
+# the entry reduces to EXACTLY the ann_ivf_topk_replay derivation and
+# shares its full unrolled-Lloyd value oracle.
+IVF_INDEX_VERSION = 1
+TARGET_BUCKET_ROWS = 2_048
+TRAIN_SAMPLE_MAX = 32_768
+
+
+def _emb_fingerprint(sf_dir: str) -> str:
+    """Cache key for a corpus's index: layout version + absolute path
+    + (name, size, mtime_ns) of every embeddings parquet file —
+    regeneration in place invalidates via mtime."""
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    parts = [f"v{IVF_INDEX_VERSION}", os.path.abspath(p)]
+    files = [p] if os.path.isfile(p) else sorted(
+        os.path.join(p, f) for f in os.listdir(p))
+    for f in files:
+        st = os.stat(f)
+        parts.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
+def _index_dir(sf_dir: str) -> str:
+    return os.path.join(tempfile.gettempdir(), "llm_spark_ivf_index",
+                        _emb_fingerprint(sf_dir))
+
+
+def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the partitionBy(bucket) parquet index for a
+    corpus's candidate vectors; return its path. Subsequent calls on
+    an unchanged corpus reuse it — the write-once/probe-many
+    economics the index exists for (sources/ivf_index.py)."""
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.sources.ivf_index import write_ivf_index
+
+    idx = _index_dir(sf_dir)
+    done = os.path.join(idx, "_DONE")
+    if os.path.exists(done):
+        return idx
+    vecs = _vectors(spark, sf_dir, spread=True)
+    candidates = vecs.filter(F.col("id") >= N_QUERIES)
+    n = candidates.count()
+    k = max(N_CENTROIDS, n // TARGET_BUCKET_ROWS)
+    sample_mod = (-(-n // TRAIN_SAMPLE_MAX)
+                  if n > TRAIN_SAMPLE_MAX else None)
+    centroids = train_centroids(candidates, k=k, iters=IVF_ITERS,
+                                sample_mod=sample_mod, id_hash=md5_id_hash)
+    write_ivf_index(candidates, centroids, idx)
+    open(done, "w").close()
+    return idx
+
+
+def ann_ivf_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against the WRITTEN index: reads only the n_probe
+    bucket partitions per query (planning-time PartitionFilters —
+    plan-asserted in tests/test_plans.py). Identical semantics and
+    tiebreaks to ann_ivf_topk_replay at sf0.01, where it shares that
+    entry's full value oracle; at scale the index is built once per
+    corpus and cached, so the measured cell converges on probe-only
+    cost (flat across the ladder — scale_local.json)."""
+    from last_minute_legends_spark.sources.ivf_index import probe_topk
+
+    idx = ensure_ivf_index(spark, sf_dir)
+    queries = _vectors(spark, sf_dir).filter(F.col("id") < N_QUERIES)
+    return probe_topk(spark, idx, queries, k=TOP_K,
+                      n_probe=IVF_N_PROBE).orderBy("q_id", "rn")
+
+
 def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k over int8-quantized candidates: queries stay
     full-precision (they're tiny); the 100 TB candidate side is the
@@ -242,6 +320,7 @@ SPARK = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_topk_replay": ann_ivf_topk_replay,
+    "ann_ivf_probe_indexed": ann_ivf_probe_indexed,
     "ann_quantized_topk": ann_quantized_topk,
 }
 
@@ -253,9 +332,17 @@ SQL = {
     # tests/test_ivf_replay.py ran locally since r7, now registered
     # with full ORACLE_SQL
     "ann_ivf_topk_replay": ANN_IVF_REPLAY_SQL,
-    # r9: promoted into the driver window (never externally observed
-    # before; an OLAP entry lends its slot for the round).
-    "ann_quantized_topk": ANN_QUANTIZED_SQL,
+    # r12: the written-index probe reduces to the replay derivation at
+    # sf0.01 (k = 8, no training sample — see TARGET_BUCKET_ROWS), so
+    # the same unrolled-Lloyd oracle value-checks the index write +
+    # partition-pruned probe path end-to-end
+    "ann_ivf_probe_indexed": ANN_IVF_REPLAY_SQL,
 }
 
-LOCAL_SQL = {}
+LOCAL_SQL = {
+    # r12: lends its window slot to ann_ivf_probe_indexed (the 50-slot
+    # gate is full) after green driver observations in r9 and r11; the
+    # identical value compare keeps running locally via
+    # tests/test_oracle.py
+    "ann_quantized_topk": ANN_QUANTIZED_SQL,
+}

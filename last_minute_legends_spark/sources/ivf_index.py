@@ -1,0 +1,103 @@
+"""Write-time IVF partitioning: partition-pruned ANN probes.
+
+This makes SURVEY §6's claim executable: "at 100 TB the bucket
+assignment is a write-time partitioning, so a probe reads only
+n_probe/n_centroids of the data". The trained assignment is
+materialized ONCE as ``partitionBy("bucket")`` parquet (the centroid
+model rides along as a k-row side table), and every probe then reads
+ONLY its n_probe bucket directories — a *static* planning-time
+partition filter (``PartitionFilters: bucket IN (...)`` on the scan,
+asserted in tests/test_plans.py::test_ivf_probe_prunes_partitions),
+not a runtime filter over a full scan. With the centroid count scaled
+to hold bucket size constant (k ≈ n/TARGET_BUCKET_ROWS, see
+plans/ann_q.py), probe cost is independent of corpus size — the
+measured flat ladder in scale_local.json (``ann_ivf_probe_indexed``).
+
+Economics mirror sources/bucketed.py: the expensive pass (argmax
+assignment over the full corpus — narrow, no shuffle; the writer's
+partitionBy is the only exchange) is paid once at write time and
+amortized over every probe.
+
+Reference parity: the reference has no ANN surface at all
+(SURVEY §2.4 extends it); this is the scale path for the operator
+family introduced there.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from last_minute_legends_spark.functions.vectors import cosine
+from last_minute_legends_spark.operators.similarity import assign_buckets
+
+_DATA = "data"
+_CENTROIDS = "centroids"
+
+
+def write_ivf_index(candidates: DataFrame, centroids: DataFrame,
+                    path: str) -> None:
+    """Materialize (id, v, nrm) candidates as an IVF index at
+    ``path``: parquet partitioned by the argmax-cosine bucket, plus
+    the k-row centroid model the probe side needs. Assignment is a
+    narrow map (broadcast centroid model, operators/similarity.py);
+    the write's partitionBy is the single exchange — the one shuffle
+    this index ever costs."""
+    assigned = assign_buckets(candidates, centroids)
+    (assigned.write.partitionBy("bucket").mode("overwrite")
+     .parquet(os.path.join(path, _DATA)))
+    (centroids.write.mode("overwrite")
+     .parquet(os.path.join(path, _CENTROIDS)))
+
+
+def probe_topk(spark: SparkSession, path: str, queries: DataFrame,
+               k: int = 10, n_probe: int = 2) -> DataFrame:
+    """Exact top-k within each query's ``n_probe`` nearest buckets of
+    a written index — (q_id, rn, c_id, cosine), identical semantics
+    (and tiebreaks) to operators.similarity.ivf_topk over the same
+    model.
+
+    The probe-bucket set is resolved on the DRIVER (≤ n_queries ×
+    n_probe ints — model-parameter-sized, the same class as centroid
+    collects) precisely so the data filter is a planning-time literal
+    ``bucket IN (...)``: that is what turns it into a scan
+    PartitionFilter that never lists, opens, or reads the other
+    k - n_probe bucket directories. A join-driven filter would at
+    best prune at runtime (DPP), at worst scan everything."""
+    cent = spark.read.parquet(os.path.join(path, _CENTROIDS)).select(
+        F.col("id").alias("cent_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"))
+    q = queries.select(
+        F.col("id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"))
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    probe_plan = (
+        q.join(F.broadcast(cent))
+        .withColumn("cos", cosine(F.col("qv"), F.col("qn"),
+                                  F.col("cv"), F.col("cn")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "qv", "qn", F.col("cent_id").alias("bucket"))
+    )
+    probe_rows = probe_plan.collect()
+    probes = spark.createDataFrame(probe_rows, probe_plan.schema)
+    buckets = sorted({int(r.bucket) for r in probe_rows})
+    data = (spark.read.parquet(os.path.join(path, _DATA))
+            .filter(F.col("bucket").isin(buckets)))
+    scored = F.broadcast(probes).join(data, "bucket").withColumn(
+        "cos", cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("q_id", "rn", F.col("id").alias("c_id"),
+                    F.round("cos", 4).alias("cosine")))
+
+
+def pruned_probe_scan(spark: SparkSession, path: str,
+                      buckets: list[int]) -> DataFrame:
+    """The raw pruned index read for a known bucket set — exposed so
+    plan tests can assert the PartitionFilters directly."""
+    return (spark.read.parquet(os.path.join(path, _DATA))
+            .filter(F.col("bucket").isin(sorted(buckets))))

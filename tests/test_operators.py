@@ -1285,3 +1285,147 @@ def test_round_half_up_matches_jvm(spark):
     exp = [_round_half_up(v) for v in vals]
     bad = [(v, g, e) for v, g, e in zip(vals, got, exp) if g != e]
     assert not bad, f"{len(bad)} divergences, first: {bad[:3]}"
+
+
+def test_with_bucket_strategies_agree(spark):
+    """The literal-expression and broadcast-row centroid strategies
+    must assign identical buckets (with_bucket switches on model size
+    — CENTROID_LITERAL_MAX_CELLS — so both paths are production)."""
+    from last_minute_legends_spark.operators.similarity import (
+        with_bucket, with_unit_vectors,
+    )
+
+    vecs = with_unit_vectors(
+        spark.range(200).selectExpr(
+            "id AS vec_id",
+            "array(cast(id % 7 AS float), cast(id % 11 AS float), "
+            "cast(1 + id % 3 AS float)) AS embedding"))
+    cents = [(0, [1.0, 0.0, 0.0], 1.0), (1, [0.0, 1.0, 0.0], 1.0),
+             (2, [0.0, 0.0, 1.0], 1.0), (3, [0.6, 0.8, 0.0], 1.0)]
+    lit = sorted(map(tuple, with_bucket(
+        vecs, cents, literal_max=10**9).select("id", "bucket").collect()))
+    bc = sorted(map(tuple, with_bucket(
+        vecs, cents, literal_max=0).select("id", "bucket").collect()))
+    assert lit == bc and len(lit) == 200
+
+
+def test_ivf_probe_indexed_matches_replay(spark, sf_dir):
+    """The written-index probe path (train → partitionBy(bucket)
+    write → pruned probe, plans/ann_q.py) returns EXACTLY the values
+    of the in-memory replay derivation it shares its oracle with —
+    locking the parquet roundtrip + partition pruning + probe join as
+    value-preserving."""
+    from last_minute_legends_spark.plans.ann_q import (
+        ann_ivf_probe_indexed, ann_ivf_topk_replay,
+    )
+
+    idx = [tuple(r) for r in ann_ivf_probe_indexed(spark, sf_dir).collect()]
+    rep = [tuple(r) for r in ann_ivf_topk_replay(spark, sf_dir).collect()]
+    assert idx == rep and len(idx) > 0
+
+
+def _make_png(pixels, filters):
+    """Encode an (h, w, ch) uint8 array as a real PNG (8-bit,
+    non-interlaced), applying ``filters[y % len(filters)]`` to each
+    scanline — exercises every unfilter branch of decode_media."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = pixels.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int64)
+    for y in range(h):
+        line = pixels[y].reshape(-1).astype(np.int64)
+        f = filters[y % len(filters)]
+        left = np.concatenate([np.zeros(ch, np.int64), line[:-ch]])
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = (line - left) & 0xFF
+        elif f == 2:
+            enc = (line - prev) & 0xFF
+        elif f == 3:
+            enc = (line - (left + prev) // 2) & 0xFF
+        else:  # Paeth
+            enc = np.empty(w * ch, np.int64)
+            for i in range(w * ch):
+                a = int(line[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[i] = (line[i] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_decode_media_png_roundtrip():
+    """decode_media must reproduce the exact pixel array for real
+    PNGs across every filter type (0-4) and channel layout."""
+    import numpy as np
+
+    from last_minute_legends_spark.operators.multimodal import decode_media
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            px = rng.randint(0, 256, size=(9, 13, ch)).astype(np.uint8)
+            img = decode_media(_make_png(px, filters))
+            assert (img["width"], img["height"], img["channels"]) == (13, 9, ch), (
+                ch, filters)
+            assert np.array_equal(img["pixels"], px), (ch, filters)
+    # the fallback seam stays: non-PNG bytes still raise
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"plain text payload")
+
+
+def test_multimodal_real_decode_through_spark(spark):
+    """A planted real PNG rides the SAME Arrow pass as undecodable
+    payloads: its row reports the true decoded geometry (and a real
+    nearest-neighbor resize byte count) while text rows keep the
+    deterministic fallback — and the byte-level identity columns stay
+    byte-level for both."""
+    import numpy as np
+
+    from last_minute_legends_spark.operators.multimodal import (
+        extract_features, resize_images,
+    )
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(24, 40, 3)).astype(np.uint8)
+    png = _make_png(px, [0, 1, 2, 3, 4])
+    text = b"not an image at all"
+    df = spark.createDataFrame([(1, bytearray(png)), (2, bytearray(text))],
+                               "doc_id long, payload binary")
+    feats = {r.doc_id: r for r in extract_features(df).collect()}
+    assert (feats[1].width, feats[1].height) == (40, 24)
+    assert feats[1].n_bytes == len(png)
+    assert feats[1].checksum == sum(png) % (1 << 31)
+    fallback_cs = sum(text) % (1 << 31)
+    assert feats[2].width == 64 + fallback_cs % 193
+    assert feats[2].height == 64 + (fallback_cs // 193) % 129
+    rs = {r.doc_id: r for r in resize_images(df, 16, 8).collect()}
+    assert rs[1].out_bytes == 16 * 8 * 3      # real resample buffer
+    assert rs[2].out_bytes == 16 * 8 * 3      # stand-in formula
+    # a non-3-channel PNG proves out_bytes tracks the DECODED channel
+    # count, not the stand-in constant
+    px1 = rng.randint(0, 256, size=(10, 10, 1)).astype(np.uint8)
+    df1 = spark.createDataFrame([(3, bytearray(_make_png(px1, [4])))],
+                                "doc_id long, payload binary")
+    (r3,) = resize_images(df1, 16, 8).collect()
+    assert r3.out_bytes == 16 * 8 * 1

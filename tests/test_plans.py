@@ -304,3 +304,29 @@ def test_multimodal_blobs_never_shuffled(spark, sf_dir, name):
     below = plan.split("MapInPandas", 1)[1]
     assert "Exchange" not in below, (
         f"{name}: payload Exchange below the Arrow pass\n{below[:500]}")
+
+
+def test_ivf_probe_prunes_partitions(spark, sf_dir):
+    """VERDICT r11 #3: a probe against the written IVF index must
+    prune at PLANNING time — the index FileScan carries a
+    PartitionFilters bucket IN (...) clause and no data-side bucket
+    filter, i.e. the k - n_probe other bucket directories are never
+    listed, opened, or read (the write-time-partitioning claim of
+    SURVEY §6 made executable)."""
+    from last_minute_legends_spark.plans.ann_q import ann_ivf_probe_indexed
+
+    plan = _plan(ann_ivf_probe_indexed(spark, sf_dir))
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan" in ln and "llm_spark_ivf_index" in ln]
+    assert scans, "no index scan in the probe plan:\n" + plan
+    for ln in scans:
+        part = ln.split("PartitionFilters: ", 1)
+        assert len(part) == 2 and part[1].lstrip().startswith("[bucket#"), (
+            "index scan without a planning-time bucket partition "
+            "filter:\n" + ln)
+        assert " IN (" in part[1].split("]", 1)[0], (
+            "partition filter is not the static bucket IN (...) "
+            "prune:\n" + ln)
+        assert "DataFilters: []" in ln, (
+            "bucket pruning leaked into a data-side filter (full scan "
+            "+ post-filter instead of partition prune):\n" + ln)

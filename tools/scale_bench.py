@@ -105,6 +105,7 @@ CELLS = [
     "dedup_substring",        # r11: Lee-et-al span dedup
     "dedup_substring_clean",  # r11: its keep-first repair pass
     "ann_ivf_topk",
+    "ann_ivf_probe_indexed",  # r12: flat probe — index built once/corpus
     "ann_quantized_topk",
     "curated_training_set",
     # event-analytics cells (scaled events: user count grows with the
