@@ -2,11 +2,16 @@
 
 An LLM-data pipeline carries images/audio/video as ``binary`` columns
 with typed metadata alongside. The Spark-side plumbing here is real —
-schema, Arrow batching, mapInPandas signature — while the actual
-media decode is STUBBED deterministically (`decode_media` raises
-NotImplementedError; the feature extractor catches it and derives
-features from the raw bytes instead), because no image/audio libs
-exist in this container.
+schema, Arrow batching, mapInPandas signature — and since r12 so is
+one decode path: ``decode_media`` is a pure-stdlib PNG decoder
+(signature → chunk walk → IHDR geometry → zlib-inflate IDAT →
+per-scanline unfilter), so PNG payloads yield their REAL pixel
+geometry. Payloads in any other format still raise
+NotImplementedError — the seam where PIL/ffmpeg would slot in — and
+fall back to deterministic byte-level features (this container ships
+no codec libraries, and the synthetic documents corpus is text-bytes,
+so the oracles exercise the fallback while the unit tests plant real
+PNGs through the decode path).
 
 Scale shape: mapInPandas streams Arrow record batches through Python
 once — no per-row round trips. The binary column never passes through
@@ -47,17 +52,105 @@ def _maybe_spread(df: DataFrame, id_col: str, spread: bool) -> DataFrame:
 
 
 FEATURE_SCHEMA = (
-    "doc_id long, n_bytes long, checksum long, fake_width int, "
-    "fake_height int, byte_mean double"
+    "doc_id long, n_bytes long, checksum long, width int, "
+    "height int, byte_mean double"
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> sample channels (3 = palette, not supported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
-def decode_media(payload: bytes) -> object:
-    """Real media decode — requires PIL/ffmpeg, not in this container."""
-    raise NotImplementedError(
-        "media decode requires an image/audio library; deterministic "
-        "byte-level features are used instead"
-    )
+
+def decode_media(payload: bytes) -> dict:
+    """Pure-stdlib PNG decode (8-bit, non-interlaced, non-palette):
+    returns ``{"width", "height", "channels", "pixels"}`` with pixels
+    as an (h, w, channels) uint8 array. Anything that isn't such a
+    PNG raises NotImplementedError — the seam a real codec library
+    (PIL/ffmpeg) would replace; callers fall back to deterministic
+    byte-level features for those rows.
+
+    Unfiltering: filters 0/1/2 (None/Sub/Up) are vectorized per
+    scanline (Sub is a per-channel-lane cumulative sum mod 256);
+    filters 3/4 (Average/Paeth) take the sequential per-byte path —
+    correct first, and the planted-PNG unit tests cover all five."""
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG payload; codec libraries "
+                                  "for other formats are not installed")
+    import struct
+    import zlib
+
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[pos:pos + 8])
+        if ctype == b"IHDR":
+            ihdr = payload[pos + 8:pos + 8 + length]
+        elif ctype == b"IDAT":
+            idat.append(payload[pos + 8:pos + 8 + length])
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # header + data + CRC
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise NotImplementedError("truncated or chunkless PNG")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth != 8 or interlace or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG variant unsupported (depth={depth}, color={color}, "
+            f"interlace={interlace}) — 8-bit non-interlaced "
+            "greyscale/RGB/alpha only")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError("PNG scanline data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1).astype(np.int64)
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: per-lane running sum mod 256
+            cur = np.cumsum(line.reshape(-1, ch), axis=0).reshape(-1) & 0xFF
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f in (3, 4):
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                if f == 3:  # Average
+                    pred = (a + b) // 2
+                else:       # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c)
+                cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return {"width": int(w), "height": int(h), "channels": ch,
+            "pixels": out.reshape(h, w, ch)}
+
+
+def _decoded_rows(raws: list[bytes]) -> dict[int, dict]:
+    """{row index: decoded image} for the payloads decode_media can
+    actually decode. The 8-byte signature check inside decode_media
+    rejects non-PNG rows immediately, so on a corpus with no media
+    payloads this costs one startswith per row."""
+    out: dict[int, dict] = {}
+    for i, r in enumerate(raws):
+        if r[:8] != _PNG_SIG:
+            continue
+        try:
+            out[i] = decode_media(r)
+        except NotImplementedError:
+            continue
+    return out
 
 
 def _segment_sums(raws: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
@@ -74,36 +167,38 @@ def _segment_sums(raws: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     return lens, csum[ends] - csum[ends - lens]
 
 
-def _probe_decode(raws: list[bytes]) -> None:
-    """One decode attempt per batch: with a real codec library this
-    becomes the per-payload decode loop; the stub raises and the
-    caller falls back to deterministic byte-level features."""
-    if raws:
-        try:
-            decode_media(raws[0])
-        except NotImplementedError:
-            pass
-
-
 def extract_features(binary_df: DataFrame, id_col: str = "doc_id",
                      payload_col: str = "payload", *,
                      spread: bool = False) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches of
     (id, payload: binary) — numpy-vectorized per batch (no per-row
-    Python loops; see _segment_sums)."""
+    Python loops on the byte features; see _segment_sums).
+
+    width/height are the REAL decoded dimensions for payloads
+    decode_media can decode (PNG); for everything else they are the
+    deterministic checksum-derived stand-ins (and the value oracle in
+    plans/multimodal_q.py states exactly that formula — the synthetic
+    corpus is text-bytes, so it exercises the fallback branch).
+    n_bytes/checksum/byte_mean stay byte-level for every row: they
+    identify the payload, not its pixels."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             raws = [bytes(p) if p is not None else b"" for p in pdf[payload_col]]
-            _probe_decode(raws)
+            decoded = _decoded_rows(raws)
             lens, sums = _segment_sums(raws)
             checksum = sums % (1 << 31)
+            width = (64 + checksum % 193).astype(np.int32)
+            height = (64 + (checksum // 193) % 129).astype(np.int32)
+            for i, img in decoded.items():
+                width[i] = img["width"]
+                height[i] = img["height"]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].to_numpy(),
                 "n_bytes": lens,
                 "checksum": checksum,
-                "fake_width": (64 + checksum % 193).astype(np.int32),
-                "fake_height": (64 + (checksum // 193) % 129).astype(np.int32),
+                "width": width,
+                "height": height,
                 "byte_mean": np.where(lens > 0, sums / np.maximum(lens, 1), 0.0),
             })
 
@@ -182,18 +277,27 @@ def resize_images(binary_df: DataFrame, out_width: int = 64,
                   out_height: int = 64, id_col: str = "doc_id",
                   payload_col: str = "payload", *,
                   spread: bool = False) -> DataFrame:
-    """Image resize plumbing: the decode→resize→re-encode step is
-    stubbed (``decode_media`` raises; no image libs in this
-    container), so the output byte size is the deterministic
-    3-bytes-per-pixel stand-in — but the operator's Spark shape
-    (Arrow batches in, typed rows out, blobs never shuffled) is the
-    real production plan."""
+    """Image resize: payloads decode_media can decode (PNG) get a
+    REAL nearest-neighbor resample to (out_width, out_height) and
+    report the resampled buffer's actual byte size (w·h·channels);
+    undecodable payloads keep the deterministic 3-bytes-per-pixel
+    stand-in. Either way the operator's Spark shape — Arrow batches
+    in, typed geometry rows out, blobs never shuffled — is the
+    production plan."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             raws = [bytes(p) if p is not None else b"" for p in pdf[payload_col]]
-            _probe_decode(raws)
+            decoded = _decoded_rows(raws)
             n_rows = len(raws)
+            out_bytes = np.full(n_rows, out_width * out_height * 3,
+                                dtype=np.int64)
+            for i, img in decoded.items():
+                px = img["pixels"]
+                ys = (np.arange(out_height) * img["height"]) // out_height
+                xs = (np.arange(out_width) * img["width"]) // out_width
+                resized = px[ys][:, xs]
+                out_bytes[i] = resized.nbytes
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].to_numpy(),
                 "src_bytes": np.fromiter(
@@ -201,9 +305,7 @@ def resize_images(binary_df: DataFrame, out_width: int = 64,
                 ),
                 "out_width": np.full(n_rows, out_width, dtype=np.int32),
                 "out_height": np.full(n_rows, out_height, dtype=np.int32),
-                "out_bytes": np.full(
-                    n_rows, out_width * out_height * 3, dtype=np.int64
-                ),
+                "out_bytes": out_bytes,
             })
 
     src = _maybe_spread(binary_df, id_col, spread).select(

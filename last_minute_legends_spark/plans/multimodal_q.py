@@ -136,8 +136,11 @@ WITH d AS (
     FROM d LEFT JOIN s ON s.doc_id = d.doc_id
 )
 SELECT doc_id, n_bytes, checksum,
-       CAST(64 + checksum % 193 AS INT) AS fake_width,
-       CAST(64 + (checksum // 193) % 129 AS INT) AS fake_height,
+       -- the stand-in geometry formula: REAL decoded dimensions land
+       -- here for PNG payloads (operators/multimodal.py decode_media),
+       -- but this corpus is text-bytes so every row takes the fallback
+       CAST(64 + checksum % 193 AS INT) AS width,
+       CAST(64 + (checksum // 193) % 129 AS INT) AS height,
        CASE WHEN n_bytes > 0 THEN bsum / CAST(n_bytes AS DOUBLE)
             ELSE 0.0 END AS byte_mean
 FROM f ORDER BY doc_id
