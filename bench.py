@@ -154,6 +154,9 @@ HEADLINE = [
     # reported cell converges on probe-only cost (the build is paid
     # once per corpus fingerprint and cached)
     "ann_ivf_probe_indexed",
+    # round-12: day-partitioned recency rollup (same write-once /
+    # pruned-read-many economics on the time axis)
+    "events_partition_pruned",
 ]
 
 STREAMING = (

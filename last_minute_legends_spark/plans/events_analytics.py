@@ -554,6 +554,70 @@ ORDER BY e.event_id
 """
 
 
+EVENTS_LAYOUT_VERSION = "v1"
+
+
+def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus fingerprint) the day-partitioned events
+    layout (sources/partitioned_events.py) and return its path —
+    write-once, pruned-read-many."""
+    import os
+
+    from last_minute_legends_spark.sources import layout_cache
+    from last_minute_legends_spark.sources.partitioned_events import (
+        write_day_partitioned,
+    )
+
+    path = layout_cache.layout_dir(
+        "llm_spark_events_by_day",
+        os.path.join(sf_dir, "events.parquet"), EVENTS_LAYOUT_VERSION)
+    if not layout_cache.is_built(path):
+        write_day_partitioned(Catalog(spark, sf_dir).events, path)
+        layout_cache.mark_built(path)
+    return path
+
+
+def events_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily rollup of the LAST TWO DAYS of events, read off
+    the day-partitioned layout: the range comes from the partition
+    LISTING (driver-side metadata, one entry per day), so the scan
+    carries a static planning-time PartitionFilter and never touches
+    the other day directories (plan-asserted). This is the 100 TB
+    recency-query pattern: cost scales with the days touched, not the
+    table; the DuckDB oracle computes the same range from the base
+    table with the engine-agreed day expression (epoch micros of
+    date_trunc('day', ts))."""
+    from last_minute_legends_spark.sources.partitioned_events import (
+        DAY_US, list_days, read_day_range,
+    )
+
+    path = ensure_partitioned_events(spark, sf_dir)
+    lo = max(list_days(path)) - DAY_US
+    return (
+        read_day_range(spark, path, lo)
+        .groupBy("event_day_us", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_day_us", "event_type")
+    )
+
+
+EVENTS_PARTITION_PRUNED_SQL = """
+WITH d AS (
+    SELECT event_type, value,
+           epoch_us(date_trunc('day', ts)) AS event_day_us
+    FROM events
+), mx AS (SELECT max(event_day_us) AS m FROM d)
+SELECT event_day_us, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM d, mx
+WHERE event_day_us >= m - 86400000000
+GROUP BY event_day_us, event_type
+ORDER BY event_day_us, event_type
+"""
+
+
 SPARK = {
     "events_by_type": events_by_type,
     "events_windowed": events_windowed,
@@ -572,6 +636,7 @@ SPARK = {
     "rollup_timeseries": rollup_timeseries,
     "latest_by_user": latest_by_user,
     "skew_join": skew_join,
+    "events_partition_pruned": events_partition_pruned,
 }
 
 # r11 rotation: the four r10 lenders (events_by_type / funnel /
@@ -581,6 +646,11 @@ SPARK = {
 # value-level compare locally (tests/test_oracle.py).
 LOCAL_SQL = {
     "skew_join": SKEW_JOIN_SQL,
+    # r12: new day-partitioned recency rollup — the 50-slot window is
+    # full, so its full value compare runs locally
+    # (tests/test_oracle.py::test_local_oracle_match); the pruning
+    # itself is plan-asserted in tests/test_plans.py
+    "events_partition_pruned": EVENTS_PARTITION_PRUNED_SQL,
 }
 
 SQL = {

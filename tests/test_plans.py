@@ -330,3 +330,26 @@ def test_ivf_probe_prunes_partitions(spark, sf_dir):
         assert "DataFilters: []" in ln, (
             "bucket pruning leaked into a data-side filter (full scan "
             "+ post-filter instead of partition prune):\n" + ln)
+
+
+def test_events_partition_pruned_scan(spark, sf_dir):
+    """The day-partitioned recency query must prune at planning time:
+    its index scan carries the static event_day_us >= lo
+    PartitionFilter (resolved from the partition listing, not the
+    data) and no data-side day filter."""
+    from last_minute_legends_spark.plans.events_analytics import (
+        events_partition_pruned,
+    )
+
+    plan = _plan(events_partition_pruned(spark, sf_dir))
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan" in ln and "llm_spark_events_by_day" in ln]
+    assert scans, "no partitioned-layout scan in the plan:\n" + plan
+    for ln in scans:
+        part = ln.split("PartitionFilters: ", 1)
+        assert len(part) == 2 and "event_day_us#" in part[1].split("]", 1)[0], (
+            "scan without a day PartitionFilter:\n" + ln)
+        assert ">=" in part[1].split("]", 1)[0], (
+            "day range is not a static >= prune:\n" + ln)
+        assert "DataFilters: []" in ln, (
+            "day pruning leaked into a data-side filter:\n" + ln)
