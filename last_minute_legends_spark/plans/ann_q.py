@@ -9,9 +9,7 @@ with recall >= 0.9 vs brute force asserted in tests.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -206,41 +204,31 @@ ANN_IVF_REPLAY_SQL = _ivf_replay_sql()
 # (495 candidates) both knobs are inactive (k = 8, no sampling), so
 # the entry reduces to EXACTLY the ann_ivf_topk_replay derivation and
 # shares its full unrolled-Lloyd value oracle.
-IVF_INDEX_VERSION = 1
+IVF_INDEX_VERSION = "v1"
 TARGET_BUCKET_ROWS = 2_048
 TRAIN_SAMPLE_MAX = 32_768
 
 
-def _emb_fingerprint(sf_dir: str) -> str:
-    """Cache key for a corpus's index: layout version + absolute path
-    + (name, size, mtime_ns) of every embeddings parquet file —
-    regeneration in place invalidates via mtime."""
-    p = os.path.join(sf_dir, "embeddings.parquet")
-    parts = [f"v{IVF_INDEX_VERSION}", os.path.abspath(p)]
-    files = [p] if os.path.isfile(p) else sorted(
-        os.path.join(p, f) for f in os.listdir(p))
-    for f in files:
-        st = os.stat(f)
-        parts.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
-    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
-
-
 def _index_dir(sf_dir: str) -> str:
-    return os.path.join(tempfile.gettempdir(), "llm_spark_ivf_index",
-                        _emb_fingerprint(sf_dir))
+    from last_minute_legends_spark.sources import layout_cache
+
+    return layout_cache.layout_dir(
+        "llm_spark_ivf_index", os.path.join(sf_dir, "embeddings.parquet"),
+        IVF_INDEX_VERSION)
 
 
 def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once) the partitionBy(bucket) parquet index for a
-    corpus's candidate vectors; return its path. Subsequent calls on
-    an unchanged corpus reuse it — the write-once/probe-many
-    economics the index exists for (sources/ivf_index.py)."""
+    """Build (once per corpus fingerprint — sources/layout_cache.py)
+    the partitionBy(bucket) parquet index for a corpus's candidate
+    vectors; return its path. Subsequent calls on an unchanged corpus
+    reuse it — the write-once/probe-many economics the index exists
+    for (sources/ivf_index.py)."""
     from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.sources import layout_cache
     from last_minute_legends_spark.sources.ivf_index import write_ivf_index
 
     idx = _index_dir(sf_dir)
-    done = os.path.join(idx, "_DONE")
-    if os.path.exists(done):
+    if layout_cache.is_built(idx):
         return idx
     vecs = _vectors(spark, sf_dir, spread=True)
     candidates = vecs.filter(F.col("id") >= N_QUERIES)
@@ -251,7 +239,7 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     centroids = train_centroids(candidates, k=k, iters=IVF_ITERS,
                                 sample_mod=sample_mod, id_hash=md5_id_hash)
     write_ivf_index(candidates, centroids, idx)
-    open(done, "w").close()
+    layout_cache.mark_built(idx)
     return idx
 
 
