@@ -1429,3 +1429,26 @@ def test_multimodal_real_decode_through_spark(spark):
                                 "doc_id long, payload binary")
     (r3,) = resize_images(df1, 16, 8).collect()
     assert r3.out_bytes == 16 * 8 * 1
+
+
+def test_layout_cache_invalidates_on_source_change(tmp_path):
+    """A derived layout must be keyed to its source bytes: changing
+    the source parquet (size or mtime) must move the cache directory,
+    and the built marker must round-trip."""
+    import os
+
+    from last_minute_legends_spark.sources import layout_cache
+
+    src = tmp_path / "t.parquet"
+    src.write_bytes(b"abc")
+    d1 = layout_cache.layout_dir("llm_spark_test_layout", str(src), "v1")
+    os.makedirs(d1, exist_ok=True)
+    assert not layout_cache.is_built(d1)
+    layout_cache.mark_built(d1)
+    assert layout_cache.is_built(d1)
+    src.write_bytes(b"abcd")  # size + mtime change
+    d2 = layout_cache.layout_dir("llm_spark_test_layout", str(src), "v1")
+    assert d2 != d1 and not layout_cache.is_built(d2)
+    # layout-version bump also invalidates
+    d3 = layout_cache.layout_dir("llm_spark_test_layout", str(src), "v2")
+    assert d3 != d2

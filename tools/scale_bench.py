@@ -121,6 +121,11 @@ CELLS = [
     "events_by_type",
     "user_pivot",
     "events_windowed",
+    # r12: day-partitioned recency rollup — the generated events' time
+    # RANGE grows with mult (per-day volume constant), so the pruned
+    # 2-day read is FLAT once the span passes 2 days (~x22); below
+    # that the whole corpus is inside the range and cost tracks it
+    "events_partition_pruned",
     # r10: text / curation / BPE / multimodal family — every
     # documents-reading registry entry gets a measured exponent
     # (skew_join and catalog_text_etl are excluded: they read the
