@@ -48,6 +48,16 @@ def get_spark(app_name: str = "last_minute_legends_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Whole-stage-codegen COMPILE cache (static conf, default 100
+        # entries). An 80-query workload holds far more than 100
+        # distinct generated classes, so the LRU thrashes and every
+        # revisit of a big plan pays Janino again — measured r12: the
+        # minhash-replay cell executes in ~3-4 s warm but 10-20 s
+        # whenever 45 other plans have run since its last compile
+        # (code cache NOT full — 71/116 MB — it is purely this LRU).
+        # 2000 entries ≈ the suite's working set with headroom; cost
+        # is class metadata, freed with the classes on GC.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # NOTE: spark.sql.streaming.noDataMicroBatches stays at the
