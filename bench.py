@@ -339,9 +339,21 @@ def main() -> None:
      .mapInPandas(lambda it: it, "id long")
      .write.mode("overwrite").format("noop").save())
 
+    # selective re-measure: SPARK_GRAFT_BENCH_CELLS="a,b,c" runs only
+    # those cells (batch + streaming, same protocol) — for bisecting
+    # suite-context effects and re-measuring individual regressions
+    # without paying the whole suite. The driver never sets it.
+    only = os.environ.get("SPARK_GRAFT_BENCH_CELLS")
+    headline = HEADLINE
+    streaming_cells = STREAMING
+    if only:
+        sel = [s.strip() for s in only.split(",") if s.strip()]
+        headline = [n for n in HEADLINE if n in sel]
+        streaming_cells = tuple(n for n in STREAMING if n in sel)
+
     suite_meta = {"suite_start_loadavg_1m": round(os.getloadavg()[0], 2)}
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         try:
             timings[name] = round(run(name), 3)
         except Exception as exc:  # never lose the whole bench to one query
@@ -355,7 +367,7 @@ def main() -> None:
     # stream_curate read 36 s off one aborted-commit task retry that a
     # second sample would have discarded.
     streaming: dict[str, float] = {}
-    for name in STREAMING:
+    for name in streaming_cells:
         try:
             streaming[name] = round(
                 run(name, lambda: QUERIES[name](spark, SF_DIR).count()), 3)
