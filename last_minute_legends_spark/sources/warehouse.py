@@ -114,3 +114,78 @@ def write_warehouse(df: DataFrame, url: str, driver_class: str, table: str,
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def _execute_update(spark: SparkSession, url: str, driver_class: str,
+                    sql: str) -> None:
+    """One driver-side DDL/DML statement on the warehouse (epoch-ledger
+    maintenance — a metadata-sized operation, never the data path)."""
+    jvm = spark._jvm  # noqa: SLF001
+    jvm.java.lang.Class.forName(driver_class)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            st.executeUpdate(sql)
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def _table_exists(spark: SparkSession, url: str, driver_class: str,
+                  table: str) -> bool:
+    jvm = spark._jvm  # noqa: SLF001
+    jvm.java.lang.Class.forName(driver_class)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        # unquoted identifiers are case-normalized by the warehouse
+        # (Derby/Snowflake: upper) — probe both renderings
+        for name in (table.upper(), table):
+            if conn.getMetaData().getTables(None, None, name, None).next():
+                return True
+        return False
+    finally:
+        conn.close()
+
+
+EPOCH_COL = "epoch_id"
+
+
+def warehouse_epoch_sink(url: str, driver_class: str, table: str,
+                         **options: str):
+    """Streaming → warehouse landing with per-epoch idempotence: a
+    ``foreachBatch`` function that appends each micro-batch's rows
+    tagged with the epoch id, DELETE-ing that epoch's rows first — so
+    a redelivered epoch (restart/retry replays the last uncommitted
+    batch with the SAME epoch id; Structured Streaming's foreachBatch
+    contract) REPLACES its own previous partial write instead of
+    duplicating it. The delete is a driver-side statement keyed on the
+    indexed-by-value epoch column; the insert is the distributed
+    batched JDBC write (executors move the rows).
+
+    Reference parity: services/spark_streaming_processor.py:44-55
+    parses the stream but never lands it; this is the missing
+    warehouse half of that pipeline (snowflake_query_service.py's
+    INSERT path), exactly-once per epoch without requiring warehouse
+    transactions that span statements.
+
+    Semantics: an append LOG of the stream's emissions (update-mode
+    aggregates append their refinements; the warehouse-side read takes
+    latest-per-key, the standard log+view pattern). Use it as
+    ``stream.writeStream.foreachBatch(warehouse_epoch_sink(...))``.
+    """
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _table_exists(spark, url, driver_class, table):
+            _execute_update(
+                spark, url, driver_class,
+                f'DELETE FROM {table} WHERE "{EPOCH_COL}" = {int(epoch_id)}')
+        write_warehouse(
+            batch_df.withColumn(EPOCH_COL,
+                                F.lit(int(epoch_id)).cast("bigint")),
+            url, driver_class, table, mode="append", **options)
+
+    return sink

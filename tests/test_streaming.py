@@ -994,3 +994,82 @@ def test_dedup_restart_from_checkpoint(spark, sf_dir):
         assert diff == 0, f"{diff} rows differ after restart dedup"
     finally:
         _sh.rmtree(root, ignore_errors=True)
+
+
+def test_warehouse_epoch_sink_idempotent(spark, sf_dir, tmp_path):
+    """Streaming → warehouse landing (the missing half of the
+    reference's spark_streaming_processor: parse but never land): a
+    real file-stream of events runs a per-type aggregate through
+    foreachBatch(warehouse_epoch_sink) into embedded Derby, and
+    (a) the landed log's latest-per-key state equals the batch
+    computation of the same aggregate (batch parity), and
+    (b) FORCED REDELIVERY of every epoch — calling the sink again
+    with the same epoch ids, as a restart replaying uncommitted
+    batches would — leaves the table byte-identical (per-epoch
+    idempotence: redelivered epochs replace their own rows)."""
+    from last_minute_legends_spark.sources.tables import load_table
+    from last_minute_legends_spark.sources.warehouse import (
+        jdbc_driver_available, read_warehouse, warehouse_epoch_sink,
+    )
+
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    spark._jvm.java.lang.System.setProperty(  # noqa: SLF001
+        "derby.system.home", str(tmp_path))
+    if not jdbc_driver_available(spark, drv):
+        pytest.skip("Derby driver not on the classpath")
+    url = f"jdbc:derby:{tmp_path}/whs;create=true"
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    ).limit(300)
+    # two staged files -> availableNow takes them in one or more
+    # epochs; either way every epoch lands tagged
+    ev.filter(F.col("event_id") % 2 == 0).write.mode(
+        "overwrite").parquet(f"{tmp_path}/topic/p0")
+    ev.filter(F.col("event_id") % 2 == 1).write.mode(
+        "append").parquet(f"{tmp_path}/topic/p1")
+
+    agg = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/topic/*")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+    )
+    sink = warehouse_epoch_sink(url, drv, "events_landed")
+    q = (agg.writeStream.outputMode("update").foreachBatch(sink)
+         .option("checkpointLocation", f"{tmp_path}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    landed = read_warehouse(spark, url, drv, table="events_landed")
+    rows = [tuple(r) for r in landed.collect()]
+    assert rows, "nothing landed"
+    epochs = sorted({r[-1] for r in rows})
+    assert len(epochs) >= 2, f"want multiple epochs, got {epochs}"
+
+    # (a) batch parity: latest emission per key == batch aggregate
+    latest = {}
+    for et, n, sv, ep in sorted(rows, key=lambda r: r[-1]):
+        latest[et] = (n, sv)
+    expect = {r.event_type: (r.n, r.sv) for r in ev.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 2).alias("sv")).collect()}
+    assert latest == expect
+
+    # (b) forced redelivery of EVERY epoch: replay each epoch's rows
+    # through the sink again with the same epoch id
+    for ep in epochs:
+        # materialize BEFORE the sink runs: a real redelivery's
+        # batch_df comes from the stream source, not the target table,
+        # so a lazy read-back of the table we are about to DELETE from
+        # would not model it (and would race the delete)
+        replay_rows = [r for r in rows if r[-1] == ep]
+        replay = spark.createDataFrame(
+            [r[:-1] for r in replay_rows],
+            "event_type string, n bigint, sv double")
+        sink(replay, ep)
+    again = sorted(tuple(r) for r in
+                   read_warehouse(spark, url, drv,
+                                  table="events_landed").collect())
+    assert again == sorted(rows), "redelivered epochs changed the table"
