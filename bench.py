@@ -162,6 +162,9 @@ HEADLINE = [
 STREAMING = (
     "stream_pipeline", "stream_enrich", "stream_sessionize",
     "stream_dedup", "stream_curate", "simulate_stream",
+    # r12: streaming -> JDBC warehouse landing (epoch-idempotent
+    # foreachBatch into embedded Derby, latest-per-key read-back)
+    "stream_warehouse",
 )
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK")

@@ -368,6 +368,23 @@ def simulate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("timestamp").cast("long")).limit(2000))
 
 
+
+def stream_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → JDBC warehouse landing, run to completion on
+    embedded Derby (streaming/pipeline.py run_warehouse_pipeline):
+    multi-epoch update-mode aggregate through
+    foreachBatch(warehouse_epoch_sink) — per-epoch idempotent append
+    log — read back as latest-per-key. The returned view is exactly
+    the batch aggregate, so the local oracle is a full value compare
+    (STREAM_WAREHOUSE_SQL); per-epoch redelivery idempotence is
+    locked by tests/test_streaming.py."""
+    from last_minute_legends_spark.streaming.pipeline import (
+        run_warehouse_pipeline,
+    )
+
+    return run_warehouse_pipeline(spark, sf_dir)
+
+
 SPARK = {
     "stream_json_parse": stream_json_parse,
     "events_typed_parse": events_typed_parse,
@@ -381,6 +398,7 @@ SPARK = {
     "stream_curate": stream_curate,
     "simulate_events": simulate_events,
     "simulate_stream": simulate_stream,
+    "stream_warehouse": stream_warehouse,
 }
 
 # The round-trip entry's aggregate is SQL-expressible directly from
@@ -422,6 +440,20 @@ SQL = {
 # r11: events_avro_roundtrip, driver-hash-green on its first external
 # observation (r10), lends its window slot back; the identical
 # round-trip value compare runs locally via tests/test_oracle.py.
+# r12: the warehouse-landing stream's latest-per-key view IS the batch
+# aggregate, so unlike the other stream runs it gets a full local
+# value compare (rows-only at the gate: the window is full and the
+# entry drives a real Structured Streaming run per call).
+STREAM_WAREHOUSE_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 LOCAL_SQL = {
     "events_avro_roundtrip": EVENTS_AVRO_ROUNDTRIP_SQL,
+    "stream_warehouse": STREAM_WAREHOUSE_SQL,
 }

@@ -334,3 +334,74 @@ def run_enriched_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(f"{staging}/in", ignore_errors=True)
     shutil.rmtree(f"{staging}/ckpt", ignore_errors=True)
     return out
+
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def run_warehouse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream → WAREHOUSE landing, run to completion: the staged
+    events topic feeds an update-mode per-type aggregate through
+    ``foreachBatch(warehouse_epoch_sink)`` into an embedded-Derby
+    database (the same JDBC surface a Snowflake deployment presents ≙
+    the reference's spark_streaming_processor + snowflake_query_service
+    pair, which parses but never lands), then returns the warehouse
+    state collapsed to its LATEST emission per key — the log+view
+    read. Per-epoch idempotence of the landing (restart replays
+    REPLACE, never duplicate) is locked by
+    tests/test_streaming.py::test_warehouse_epoch_sink_idempotent.
+
+    The topic is staged as multiple files with one file per trigger,
+    so the landing really exercises multi-epoch accumulation, not one
+    bulk insert."""
+    from pyspark.sql import Window
+
+    from last_minute_legends_spark.sources.warehouse import (
+        EPOCH_COL, read_warehouse, warehouse_epoch_sink,
+    )
+
+    staging = tempfile.mkdtemp(prefix="llm_spark_wh_")
+    atexit.register(shutil.rmtree, staging, ignore_errors=True)
+    # keep derby.log inside the staging dir, not the caller's cwd —
+    # only effective before the Derby engine first boots in this JVM,
+    # which is exactly when it matters
+    spark._jvm.java.lang.System.setProperty(  # noqa: SLF001
+        "derby.system.home", staging)
+    url = f"jdbc:derby:{staging}/wh;create=true"
+
+    events = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    n_files = min(8, staged_files(spark))
+    (events.repartition(n_files)
+     .write.mode("overwrite").parquet(f"{staging}/in"))
+
+    agg = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{staging}/in")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(warehouse_epoch_sink(url, DERBY_DRIVER,
+                                           "events_landed"))
+        .option("checkpointLocation", f"{staging}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    landed = read_warehouse(spark, url, DERBY_DRIVER, table="events_landed")
+    w = Window.partitionBy("event_type").orderBy(F.desc(EPOCH_COL))
+    out = (
+        landed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n_events", "sum_value")
+        .orderBy("event_type")
+    )
+    # materialize the view BEFORE returning: the frame must survive
+    # the staging cleanup at exit and repeated reads (other stream
+    # entries return parquet-backed frames; a JDBC-backed one would
+    # re-query a database whose files atexit removes)
+    return spark.createDataFrame(out.collect(), out.schema)
