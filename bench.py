@@ -157,6 +157,8 @@ HEADLINE = [
     # round-12: day-partitioned recency rollup (same write-once /
     # pruned-read-many economics on the time axis)
     "events_partition_pruned",
+    # round-12: cohort retention matrix
+    "cohort_retention",
 ]
 
 STREAMING = (

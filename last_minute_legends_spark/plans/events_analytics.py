@@ -554,6 +554,71 @@ ORDER BY e.event_id
 """
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the events stream: users are
+    cohorted by their FIRST active day, and each (cohort, day-offset)
+    cell counts the distinct cohort members active that day plus their
+    share of the cohort — the standard activation/retention read.
+
+    Shape at scale: one narrow projection to (user_id, day), a
+    distinct + min-by-user (both partial-aggregatable shuffles on
+    user_id — AQE reuses the exchange), one (cohort, offset) count
+    aggregate, and a BROADCAST join of the per-cohort sizes (bounded
+    by the day count, not the user count). No window over users, no
+    self-join of the fact table."""
+    ev = Catalog(spark, sf_dir).events
+    days = ev.select(
+        "user_id",
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day_us").alias("cohort_us"))
+    cells = (
+        days.join(first, "user_id")
+        .select(
+            "cohort_us",
+            ((F.col("day_us") - F.col("cohort_us"))
+             / F.lit(86_400_000_000)).cast("int").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_us", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    sizes = (cells.filter(F.col("day_offset") == 0)
+             .select("cohort_us", F.col("n_users").alias("cohort_size")))
+    return (
+        cells.join(F.broadcast(sizes), "cohort_us")
+        .select(
+            "cohort_us", "day_offset", "n_users", "cohort_size",
+            F.round(F.col("n_users") / F.col("cohort_size"), 4)
+            .alias("retention"),
+        )
+        .orderBy("cohort_us", "day_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH days AS (
+    SELECT DISTINCT user_id,
+           epoch_us(date_trunc('day', ts)) AS day_us
+    FROM events
+), first AS (
+    SELECT user_id, min(day_us) AS cohort_us FROM days GROUP BY user_id
+), cells AS (
+    SELECT f.cohort_us,
+           CAST((d.day_us - f.cohort_us) / 86400000000 AS INT) AS day_offset,
+           count(DISTINCT d.user_id) AS n_users
+    FROM days d JOIN first f ON d.user_id = f.user_id
+    GROUP BY 1, 2
+), sizes AS (
+    SELECT cohort_us, n_users AS cohort_size FROM cells WHERE day_offset = 0
+)
+SELECT c.cohort_us, c.day_offset, c.n_users, s.cohort_size,
+       round(c.n_users / CAST(s.cohort_size AS DOUBLE), 4) AS retention
+FROM cells c JOIN sizes s ON c.cohort_us = s.cohort_us
+ORDER BY c.cohort_us, c.day_offset
+"""
+
+
 EVENTS_LAYOUT_VERSION = "v1"
 
 
@@ -637,6 +702,7 @@ SPARK = {
     "latest_by_user": latest_by_user,
     "skew_join": skew_join,
     "events_partition_pruned": events_partition_pruned,
+    "cohort_retention": cohort_retention,
 }
 
 # r11 rotation: the four r10 lenders (events_by_type / funnel /
@@ -651,6 +717,9 @@ LOCAL_SQL = {
     # (tests/test_oracle.py::test_local_oracle_match); the pruning
     # itself is plan-asserted in tests/test_plans.py
     "events_partition_pruned": EVENTS_PARTITION_PRUNED_SQL,
+    # r12: cohort retention matrix — same full-window situation;
+    # rotate into the gate window next round
+    "cohort_retention": COHORT_RETENTION_SQL,
 }
 
 SQL = {
