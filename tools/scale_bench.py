@@ -126,6 +126,7 @@ CELLS = [
     # 2-day read is FLAT once the span passes 2 days (~x22); below
     # that the whole corpus is inside the range and cost tracks it
     "events_partition_pruned",
+    "cohort_retention",  # r12: retention matrix over scaled events
     # r10: text / curation / BPE / multimodal family — every
     # documents-reading registry entry gets a measured exponent
     # (skew_join and catalog_text_etl are excluded: they read the
