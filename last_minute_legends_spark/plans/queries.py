@@ -64,12 +64,16 @@ ORACLE_WINDOW = 50
 # The r7–r10 rotations gave every registry entry driver-visible
 # evidence at least once. r12, like r11, rotates EMPTY: all 50
 # window slots go to value-level oracle entries — the nine returning
-# curation oracles, the three r12-new entries (the
+# curation oracles, the four r12-new oracle entries (the
 # dedup_minhash_lsh_replay / ann_ivf_topk_replay portable-hash twins,
 # which give the LSH and IVF families their first DRIVER-side value
-# checks, and events_avro_evolution), and the standing set — on
-# slots lent by twelve multi-round-green OLAP entries (plans/olap.py
-# LOCAL_SQL).
+# checks, events_avro_evolution, and ann_ivf_probe_indexed, the
+# written-index probe sharing the unrolled-Lloyd oracle), and the
+# standing set — on slots lent by twelve multi-round-green OLAP
+# entries (plans/olap.py LOCAL_SQL) plus ann_quantized_topk
+# (plans/ann_q.py LOCAL_SQL). The r12-NEW entries past the window
+# (events_partition_pruned, stream_warehouse, cohort_retention) have
+# full local value compares and are first in line for r13 rotation.
 WINDOW_ROTATE: list[str] = []
 
 _order = (
