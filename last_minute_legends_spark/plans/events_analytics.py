@@ -581,7 +581,14 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
         )
         .groupBy("cohort_us", "day_offset")
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        # plain count, NOT count-distinct: the (user, day) rows are
+        # distinct by construction and a user has one cohort, so
+        # (user, day_offset) is already unique — count-distinct's
+        # two-phase expand machinery bought nothing and its x100→x300
+        # ladder tail measured superlinear (5.8 → 24.5 s, marginal
+        # exponent 1.32); the plain count re-measured 4.4 → 7.3 s
+        # (marginal exponent 0.45, scale_local.json)
+        .agg(F.count("user_id").alias("n_users"))
     )
     sizes = (cells.filter(F.col("day_offset") == 0)
              .select("cohort_us", F.col("n_users").alias("cohort_size")))
@@ -604,9 +611,11 @@ WITH days AS (
 ), first AS (
     SELECT user_id, min(day_us) AS cohort_us FROM days GROUP BY user_id
 ), cells AS (
+    -- plain count: (user_id, day_us) is distinct and each user has
+    -- one cohort, so (user_id, day_offset) is already unique
     SELECT f.cohort_us,
            CAST((d.day_us - f.cohort_us) / 86400000000 AS INT) AS day_offset,
-           count(DISTINCT d.user_id) AS n_users
+           count(d.user_id) AS n_users
     FROM days d JOIN first f ON d.user_id = f.user_id
     GROUP BY 1, 2
 ), sizes AS (
