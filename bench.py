@@ -357,6 +357,12 @@ def main() -> None:
         streaming_cells = tuple(n for n in STREAMING if n in sel)
 
     suite_meta = {"suite_start_loadavg_1m": round(os.getloadavg()[0], 2)}
+    if only:
+        # a subset run's total is NOT a headline suite total — mark it
+        # in BOTH outputs so cross-round comparisons can't mistake a
+        # bisect artifact for a full-suite number
+        suite_meta["cells_subset"] = sorted(set(headline)
+                                            | set(streaming_cells))
     timings: dict[str, float] = {}
     for name in headline:
         try:
@@ -440,6 +446,8 @@ def main() -> None:
             "bench_schema": 3,
             "smin": 2,
         }
+        if only:
+            payload["subset"] = 1
         if keep_streaming:
             payload["streaming"] = {k: fmt_secs(v, sig)
                                     for k, v in streaming.items()}

@@ -93,11 +93,3 @@ def probe_topk(spark: SparkSession, path: str, queries: DataFrame,
             .filter(F.col("rn") <= k)
             .select("q_id", "rn", F.col("id").alias("c_id"),
                     F.round("cos", 4).alias("cosine")))
-
-
-def pruned_probe_scan(spark: SparkSession, path: str,
-                      buckets: list[int]) -> DataFrame:
-    """The raw pruned index read for a known bucket set — exposed so
-    plan tests can assert the PartitionFilters directly."""
-    return (spark.read.parquet(os.path.join(path, _DATA))
-            .filter(F.col("bucket").isin(sorted(buckets))))

@@ -38,10 +38,21 @@ def write_day_partitioned(events: DataFrame, path: str) -> None:
 
 def list_days(path: str) -> list[int]:
     """The day partitions present, from the directory listing (what a
-    metastore partition listing returns on a cluster)."""
-    return sorted(
-        int(d.split("=", 1)[1]) for d in os.listdir(path)
-        if d.startswith(f"{_PART}="))
+    metastore partition listing returns on a cluster). Rows with a
+    NULL ts land in Hive's default partition
+    (``event_day_us=__HIVE_DEFAULT_PARTITION__``) — they have no day,
+    so they are not a day partition and are skipped here (a day-range
+    read never selects them; the oracle's ``day_us >= lo`` comparison
+    excludes NULL days the same way)."""
+    days = []
+    for d in os.listdir(path):
+        if not d.startswith(f"{_PART}="):
+            continue
+        val = d.split("=", 1)[1]
+        if val == "__HIVE_DEFAULT_PARTITION__":
+            continue
+        days.append(int(val))
+    return sorted(days)
 
 
 def read_day_range(spark: SparkSession, path: str, lo_us: int,

@@ -139,10 +139,19 @@ def _table_exists(spark: SparkSession, url: str, driver_class: str,
     jvm.java.lang.Class.forName(driver_class)
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
+        meta = conn.getMetaData()
+        # getTables treats the name as a SQL LIKE pattern, so '_' in
+        # a table name is a single-char wildcard — escape it with the
+        # driver's escape string or 'EVENTS_LANDED' would match any
+        # EVENTSxLANDED table
+        esc = meta.getSearchStringEscape()
         # unquoted identifiers are case-normalized by the warehouse
         # (Derby/Snowflake: upper) — probe both renderings
         for name in (table.upper(), table):
-            if conn.getMetaData().getTables(None, None, name, None).next():
+            pat = name
+            for ch in (esc, "_", "%"):
+                pat = pat.replace(ch, esc + ch)
+            if meta.getTables(None, None, pat, None).next():
                 return True
         return False
     finally:

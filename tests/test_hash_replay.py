@@ -154,9 +154,13 @@ def test_simhash_wide_duckdb_replay(spark, sf_dir, docs):
     size-switch tier): both majority words, the 4x32 banding, and the
     summed hamming verify, recomputed from scratch in DuckDB with the
     same injected md5-prefix hashes."""
+    from last_minute_legends_spark.functions.portable_hash import (
+        md5_word_hash,
+    )
+
     sdf = simhash_pairs(
         docs, max_hamming=MAX_HAMMING, token_hash=_md5h, n_bits=128,
-        word_hash=lambda c, w: _md5h(c, F.lit(str(w))),
+        word_hash=md5_word_hash,
     ).orderBy("doc_a", "doc_b")
     odf = run_oracle(_simhash128_replay_sql(), sf_dir)
     issues = compare(sdf, odf)

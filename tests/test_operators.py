@@ -1452,3 +1452,36 @@ def test_layout_cache_invalidates_on_source_change(tmp_path):
     # layout-version bump also invalidates
     d3 = layout_cache.layout_dir("llm_spark_test_layout", str(src), "v2")
     assert d3 != d2
+
+
+def test_simhash_auto_width_accepts_known_corpus_size(spark):
+    """The opt-in size switch (n_bits=None) must produce identical
+    pairs whether it counts the corpus itself or the caller supplies
+    n_docs (the r11-ADVICE surface for skipping the extra eager count
+    when the size is already known) — including when the supplied
+    size crosses the 128-bit threshold."""
+    from last_minute_legends_spark.operators.dedup import (
+        SIMHASH_WIDE_MIN_DOCS, simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words here entirely now")],
+        "doc_id long, text string")
+    auto = sorted((r.doc_a, r.doc_b)
+                  for r in simhash_pairs(docs, n_bits=None).collect())
+    hinted = sorted((r.doc_a, r.doc_b)
+                    for r in simhash_pairs(docs, n_bits=None,
+                                           n_docs=3).collect())
+    assert auto == hinted == [(1, 2)]
+    # a size hint past the threshold must select the wide signature,
+    # same as an actual corpus that size would
+    wide = sorted(
+        (r.doc_a, r.doc_b)
+        for r in simhash_pairs(docs, n_bits=None,
+                               n_docs=SIMHASH_WIDE_MIN_DOCS).collect())
+    wide_explicit = sorted(
+        (r.doc_a, r.doc_b)
+        for r in simhash_pairs(docs, n_bits=128).collect())
+    assert wide == wide_explicit
