@@ -172,6 +172,23 @@ CELLS = [
     "events_sketches",
     "stream_json_parse",
     "events_avro_roundtrip",
+    # r12: the core-OLAP family ladders too — gen_tpch scales the
+    # whole star schema together (customers/suppliers/parts/orders/
+    # lineitem ∝ mult, fixed region/nation catalogs) on separate
+    # x{m}tpch corpora, closing the "OLAP cells excluded" caveat.
+    # (skew_join / catalog_text_etl / events_typed_parse still mix
+    # events with TPC-H tables across corpus families and stay out.)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_margin",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    "q19_or_predicate",
+    "topn_per_group",
+    "cube_agg",
+    "q16_supplier_count",
+    "q22_idle_customers",
 ]
 
 
@@ -271,6 +288,158 @@ def gen_events(spark, n_events: int, n_users: int, out_path: str) -> None:
     ev.write.mode("overwrite").parquet(out_path)
 
 
+# sf0.1 row counts of the TPC-H-shaped tables (the OLAP ladder's x1)
+BASE_ORDERS = 150_000
+BASE_CUST = 15_000
+BASE_SUPP = 1_000
+BASE_PART = 20_000
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD")
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_STATUSES = ("O", "F", "P")
+_PTYPES = ("ECONOMY", "SMALL", "LARGE", "STANDARD", "MEDIUM", "PROMO")
+_PADJ = ("blue", "old", "large", "hot", "cold", "red", "small", "new")
+_PNOUN = ("widget", "ring", "gear", "gizmo", "bolt", "plate", "rod", "anvil")
+_EPOCH_1995 = 788_918_400_000_000  # 1995-01-01 UTC in micros
+_DAY_US_ = 86_400_000_000
+
+
+def _pick(col, values):
+    from pyspark.sql import functions as F
+
+    return F.element_at(F.array(*[F.lit(v) for v in values]),
+                        (F.pmod(col, F.lit(len(values))) + 1).cast("int"))
+
+
+def gen_tpch(spark, mult: int, out_dir: str) -> None:
+    """sf0.1-shaped TPC-H-ish star schema at any size — same value
+    ranges, formats, and predicate literals as the shipped testdata
+    (dates 1995..2001, Brand#0-24, the 8x8 part-name vocabulary incl.
+    'widget', the five mktsegments/priorities), so every plans/olap.py
+    filter selects a comparable fraction at every mult. Closed-form
+    hash fields (the gen_events pattern): no RNG, no driver loops,
+    deterministic at any size. Fact keys range over the SCALED
+    dimension keys, so join fan-outs hold shape as everything grows
+    together (the TPC-H scaling model). region/nation stay the fixed
+    25/5 catalogs, copied by ensure_corpus."""
+    from pyspark.sql import functions as F
+
+    def h(k, col):
+        return F.xxhash64(col, F.lit(77), F.lit(k))
+
+    n_cust, n_supp = BASE_CUST * mult, BASE_SUPP * mult
+    n_part, n_orders = BASE_PART * mult, BASE_ORDERS * mult
+
+    ids = spark.range(n_cust)
+    (ids.select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("Customer#"),
+                 F.lpad(F.col("id").cast("string"), 9, "0")).alias("c_name"),
+        F.pmod(h(1, F.col("id")), F.lit(25)).cast("int").alias("c_nationkey"),
+        (F.pmod(h(2, F.col("id")), F.lit(1_000_000)) / 100.0).alias("c_acctbal"),
+        _pick(h(3, F.col("id")), _SEGMENTS).alias("c_mktsegment"),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "customer.parquet")))
+
+    ids = spark.range(n_supp)
+    (ids.select(
+        F.col("id").alias("s_suppkey"),
+        F.concat(F.lit("Supplier#"),
+                 F.lpad(F.col("id").cast("string"), 9, "0")).alias("s_name"),
+        F.pmod(h(4, F.col("id")), F.lit(25)).cast("int").alias("s_nationkey"),
+        (F.pmod(h(5, F.col("id")), F.lit(1_000_000)) / 100.0).alias("s_acctbal"),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "supplier.parquet")))
+
+    ids = spark.range(n_part)
+    (ids.select(
+        F.col("id").alias("p_partkey"),
+        F.concat(_pick(h(6, F.col("id")), _PADJ), F.lit(" "),
+                 _pick(h(7, F.col("id")), _PNOUN)).alias("p_name"),
+        F.concat(F.lit("Brand#"),
+                 F.pmod(h(8, F.col("id")), F.lit(25)).cast("string")).alias("p_brand"),
+        _pick(h(9, F.col("id")), _PTYPES).alias("p_type"),
+        (F.pmod(h(10, F.col("id")), F.lit(50)) + 1).cast("int").alias("p_size"),
+        (F.lit(900.0) + F.pmod(h(11, F.col("id")), F.lit(1000)) / 10.0)
+        .alias("p_retailprice"),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "part.parquet")))
+
+    orders = spark.range(n_orders).select(
+        F.col("id").alias("o_orderkey"),
+        F.pmod(h(12, F.col("id")), F.lit(n_cust)).alias("o_custkey"),
+        _pick(h(13, F.col("id")), _STATUSES).alias("o_orderstatus"),
+        (F.pmod(h(14, F.col("id")), F.lit(40_000_000)) / 100.0 + 900.0)
+        .alias("o_totalprice"),
+        F.timestamp_micros(
+            F.lit(_EPOCH_1995)
+            + F.pmod(h(15, F.col("id")), F.lit(2404)) * F.lit(_DAY_US_)
+        ).alias("o_orderdate"),
+        _pick(h(16, F.col("id")), _PRIORITIES).alias("o_orderpriority"),
+    )
+    orders.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet"))
+
+    # lineitem rides the orders frame: 1-7 lines per order (avg 4,
+    # the sf0.1 shape) via explode of a hash-sized sequence (explode) — one
+    # narrow pass, no join back
+    li_src = orders.select(
+        "o_orderkey", "o_orderdate",
+        F.sequence(F.lit(1), (F.pmod(h(17, F.col("o_orderkey")), F.lit(7)) + 1)
+                   .cast("int")).alias("_lines"))
+    lk = F.col("o_orderkey") * 8 + F.col("l_linenumber")  # unique per line
+    (li_src.select("o_orderkey", "o_orderdate",
+                   F.explode("_lines").alias("l_linenumber"))
+     .select(
+         F.col("o_orderkey").alias("l_orderkey"),
+         F.pmod(h(18, lk), F.lit(n_part)).alias("l_partkey"),
+         F.pmod(h(19, lk), F.lit(n_supp)).alias("l_suppkey"),
+         F.col("l_linenumber").cast("int"),
+         (F.pmod(h(20, lk), F.lit(50)) + 1).cast("double").alias("l_quantity"),
+         (F.lit(900.0) + F.pmod(h(21, lk), F.lit(10_410_000)) / 100.0)
+         .alias("l_extendedprice"),
+         (F.pmod(h(22, lk), F.lit(11)) / 100.0).alias("l_discount"),
+         (F.pmod(h(23, lk), F.lit(9)) / 100.0).alias("l_tax"),
+         _pick(h(24, lk), ("N", "A", "R")).alias("l_returnflag"),
+         _pick(h(25, lk), ("O", "F")).alias("l_linestatus"),
+         F.timestamp_micros(
+             F.unix_micros(F.col("o_orderdate"))
+             + (F.pmod(h(26, lk), F.lit(95)) + 1) * F.lit(_DAY_US_)
+         ).alias("l_shipdate"),
+     )
+     .write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet")))
+
+
+# cells that read ONLY the TPC-H star schema — they ladder on the
+# x{m}tpch corpora (scaled customer/supplier/part/orders/lineitem +
+# fixed region/nation). Kept OUT of the shared doc/event corpora so
+# stream_enrich's fixed-dim broadcast history stays comparable.
+# (skew_join / catalog_text_etl / events_typed_parse mix events with
+# TPC-H tables and stay unladdered.)
+TPCH_CELLS = {
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q9_product_margin", "q13_customer_distribution",
+    "q18_large_volume_customer", "q19_or_predicate", "topn_per_group",
+    "cube_agg", "q16_supplier_count", "q22_idle_customers",
+}
+
+
+def ensure_tpch(spark, mult: int, root: str) -> str:
+    d = os.path.join(root, f"x{mult}tpch")
+    marker = os.path.join(d, "_GENERATED_TPCH_v1")
+    if not os.path.exists(marker):
+        t0 = time.perf_counter()
+        gen_tpch(spark, mult, d)
+        with open(marker, "w") as f:
+            f.write(json.dumps({"mult": mult,
+                                "orders": BASE_ORDERS * mult,
+                                "gen_sec": round(time.perf_counter() - t0, 2)}))
+    import shutil as _shutil
+    dim_src = os.environ.get("SPARK_GRAFT_DIM_SRC", "/root/testdata/sf0.1")
+    for dim in ("region.parquet", "nation.parquet"):
+        src, dst = os.path.join(dim_src, dim), os.path.join(d, dim)
+        if not os.path.exists(dst) and os.path.exists(src):
+            (_shutil.copytree if os.path.isdir(src) else _shutil.copy2)(src, dst)
+    return d
+
+
 def ensure_corpus(spark, mult: int, root: str,
                   vocab: int = VOCAB) -> str:
     suffix = "" if vocab == VOCAB else f"v{vocab}"
@@ -347,15 +516,22 @@ def main() -> None:
     def vocab_for(m: int) -> int:
         return VOCAB if not args.vocab_beta else int(VOCAB * m ** args.vocab_beta)
 
+    need_doc = any(c not in TPCH_CELLS for c in args.cells)
+    need_tpch = any(c in TPCH_CELLS for c in args.cells)
     dirs = {m: ensure_corpus(spark, m, args.out, vocab=vocab_for(m))
-            for m in args.mults}
+            for m in args.mults} if need_doc else {}
+    tpch_dirs = {m: ensure_tpch(spark, m, args.out)
+                 for m in args.mults} if need_tpch else {}
 
     # warmup (JVM + codegen + python daemon fleet)
-    QUERIES["dedup_exact"](spark, dirs[args.mults[0]]).write.mode(
+    warm = ("dedup_exact", dirs) if need_doc else ("q1_pricing_summary",
+                                                   tpch_dirs)
+    QUERIES[warm[0]](spark, warm[1][args.mults[0]]).write.mode(
         "overwrite").format("noop").save()
 
     results: dict[str, dict] = {}
     for name in args.cells:
+        src = tpch_dirs if name in TPCH_CELLS else dirs
         per_mult: dict[str, float] = {}
         rows: dict[str, int] = {}
         # per-cell warmup at the smallest mult: whole-stage codegen
@@ -363,19 +539,19 @@ def main() -> None:
         # paths, so without this the smallest mult absorbs the one-time
         # compile cost and the fitted exponent is deflated (observed:
         # jaccard x1 13.1 s > x3 7.8 s on the first full run)
-        QUERIES[name](spark, dirs[min(args.mults)]).write.mode(
+        QUERIES[name](spark, src[min(args.mults)]).write.mode(
             "overwrite").format("noop").save()
         spark.catalog.clearCache()
         for m in args.mults:
             times = []
             for _ in range(2):
                 t0 = time.perf_counter()
-                QUERIES[name](spark, dirs[m]).write.mode(
+                QUERIES[name](spark, src[m]).write.mode(
                     "overwrite").format("noop").save()
                 times.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
             per_mult[str(m)] = round(min(times), 3)
-            rows[str(m)] = QUERIES[name](spark, dirs[m]).count()
+            rows[str(m)] = QUERIES[name](spark, src[m]).count()
             spark.catalog.clearCache()
         key = (name if not args.vocab_beta
                else f"{name}@vb{args.vocab_beta:g}")
