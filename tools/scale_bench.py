@@ -189,6 +189,14 @@ CELLS = [
     "cube_agg",
     "q16_supplier_count",
     "q22_idle_customers",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity",
 ]
 
 
@@ -418,6 +426,9 @@ TPCH_CELLS = {
     "q9_product_margin", "q13_customer_distribution",
     "q18_large_volume_customer", "q19_or_predicate", "topn_per_group",
     "cube_agg", "q16_supplier_count", "q22_idle_customers",
+    "q4_order_priority", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q10_returned_items", "q14_promo_effect",
+    "q15_top_supplier", "q17_small_quantity",
 }
 
 
