@@ -9,18 +9,10 @@ MULTS="${*:-1 3 10}"
 # SCALE_FRESH=1 starts a new scale_local.json; default accumulates
 # minima across invocations (the throttling-robust protocol)
 [ -n "$SCALE_FRESH" ] && rm -f scale_local.json
-CELLS="${SCALE_CELLS:-dedup_exact dedup_ngram_jaccard dedup_minhash_lsh dedup_simhash \
-dedup_embedding dedup_clusters ann_ivf_topk ann_quantized_topk \
-curated_training_set sessionization rollup_timeseries events_quantiles \
-latest_by_user funnel json_props \
-moving_avg user_segmentation events_by_type user_pivot events_windowed \
-text_langid text_quality text_tfidf_topterms text_vocab_topk \
-corpus_stats text_unigram_logprob train_bpe bpe_tokenize \
-text_pii_redact text_repetition dedup_paragraph pack_shards \
-mixture_sample decontaminate training_set train_val_split \
-multimodal_features multimodal_framesample multimodal_resize \
-stream_pipeline stream_sessionize stream_enrich stream_dedup stream_curate \
-events_sketches stream_json_parse events_avro_roundtrip}"
+# default cell list comes from scale_bench.py's CELLS so the two
+# never drift (the old inline copy silently missed every cell added
+# after r10)
+CELLS="${SCALE_CELLS:-$(python -c "from tools.scale_bench import CELLS; print(' '.join(CELLS))")}"
 FAILED=""
 for c in $CELLS; do
     # stderr goes to a per-cell log (Spark chatter would drown the
