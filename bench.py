@@ -32,6 +32,11 @@ connected-components fixpoint, do their real work there). Caches a
 query persists internally are cleared after its runs so cross-query
 cache accumulation can't OOM the suite (it did in r4).
 
+Selective runs (r12): SPARK_GRAFT_BENCH_CELLS="a,b" measures only the
+named cells (same protocol); such runs are marked subset:1 on stdout
+and cells_subset in bench_local.json so they can never be mistaken
+for a suite total.
+
 Protocol versioning (r12): the stdout line and bench_local.json carry
 `bench_schema` (3 = min-of-2 cells + per-cell GC + contention-triggered
 re-runs) and `smin`/`stream_min_of` (streaming sample count, 2) so any
