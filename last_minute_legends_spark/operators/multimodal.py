@@ -141,14 +141,23 @@ def _decoded_rows(raws: list[bytes]) -> dict[int, dict]:
     """{row index: decoded image} for the payloads decode_media can
     actually decode. The 8-byte signature check inside decode_media
     rejects non-PNG rows immediately, so on a corpus with no media
-    payloads this costs one startswith per row."""
+    payloads this costs one startswith per row.
+
+    Catches CORRUPT payloads too, not just unsupported ones: a valid
+    PNG signature followed by truncated/garbage chunk data raises
+    zlib.error (bad IDAT stream) or struct.error/ValueError (chunk
+    walk off the end), and one such row must fall back to byte-level
+    features rather than fail the whole extract/resize job."""
+    import struct
+    import zlib
+
     out: dict[int, dict] = {}
     for i, r in enumerate(raws):
         if r[:8] != _PNG_SIG:
             continue
         try:
             out[i] = decode_media(r)
-        except NotImplementedError:
+        except (NotImplementedError, zlib.error, struct.error, ValueError):
             continue
     return out
 

@@ -9,6 +9,7 @@ with recall >= 0.9 vs brute force asserted in tests.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -239,8 +240,37 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     centroids = train_centroids(candidates, k=k, iters=IVF_ITERS,
                                 sample_mod=sample_mod, id_hash=md5_id_hash)
     write_ivf_index(candidates, centroids, idx)
+    with open(os.path.join(idx, _IVF_PARAMS), "w") as fh:
+        json.dump({"n": n, "k": k, "sample_mod": sample_mod}, fh)
     layout_cache.mark_built(idx)
     return idx
+
+
+# The shared ANN_IVF_REPLAY_SQL oracle is valid ONLY while the index
+# was built with k == N_CENTROIDS and no training sample (i.e. the
+# corpus fits n <= TARGET_BUCKET_ROWS * N_CENTROIDS and
+# n <= TRAIN_SAMPLE_MAX) — past that the entry would silently diverge
+# from its registered oracle and report a false red. The guard below
+# fails LOUDLY instead; scale runs (the ladder, where no oracle
+# compare happens) opt out via this env var.
+IVF_SCALE_OK_ENV = "SPARK_GRAFT_IVF_SCALE_OK"
+_IVF_PARAMS = "_IVF_PARAMS.json"
+
+
+def _check_probe_oracle_regime(idx: str) -> None:
+    params_path = os.path.join(idx, _IVF_PARAMS)
+    if os.environ.get(IVF_SCALE_OK_ENV) or not os.path.exists(params_path):
+        return
+    with open(params_path) as fh:
+        p = json.load(fh)
+    if p["k"] != N_CENTROIDS or p["sample_mod"] is not None:
+        raise RuntimeError(
+            f"ann_ivf_probe_indexed: oracle not applicable at this scale "
+            f"(corpus n={p['n']} built k={p['k']} != {N_CENTROIDS} or "
+            f"sampled training mod={p['sample_mod']}) — the registered "
+            f"ANN_IVF_REPLAY_SQL would silently diverge and report a "
+            f"false red; set {IVF_SCALE_OK_ENV}=1 for non-oracle scale "
+            f"runs")
 
 
 def ann_ivf_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,6 +284,7 @@ def ann_ivf_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from last_minute_legends_spark.sources.ivf_index import probe_topk
 
     idx = ensure_ivf_index(spark, sf_dir)
+    _check_probe_oracle_regime(idx)
     queries = _vectors(spark, sf_dir).filter(F.col("id") < N_QUERIES)
     return probe_topk(spark, idx, queries, k=TOP_K,
                       n_probe=IVF_N_PROBE).orderBy("q_id", "rn")

@@ -52,20 +52,39 @@ def write_ivf_index(candidates: DataFrame, centroids: DataFrame,
      .parquet(os.path.join(path, _CENTROIDS)))
 
 
+# Above this many queries the probe falls back to the distributed
+# bucket-join: the static IN-literal needs a driver collect that
+# scales with query count, and at batch-ANN query volumes (e.g.
+# corpus-vs-corpus joins) nearly every bucket is probed anyway, so
+# planning-time pruning buys nothing — the fallback keeps everything
+# executor-side (the r10 adaptive-branch pattern; parity locked by
+# tests/test_operators.py::test_ivf_probe_static_distributed_parity).
+PROBE_STATIC_MAX = 8_192
+
+
 def probe_topk(spark: SparkSession, path: str, queries: DataFrame,
-               k: int = 10, n_probe: int = 2) -> DataFrame:
+               k: int = 10, n_probe: int = 2,
+               static_max: int = PROBE_STATIC_MAX) -> DataFrame:
     """Exact top-k within each query's ``n_probe`` nearest buckets of
     a written index — (q_id, rn, c_id, cosine), identical semantics
     (and tiebreaks) to operators.similarity.ivf_topk over the same
     model.
 
-    The probe-bucket set is resolved on the DRIVER (≤ n_queries ×
-    n_probe ints — model-parameter-sized, the same class as centroid
-    collects) precisely so the data filter is a planning-time literal
-    ``bucket IN (...)``: that is what turns it into a scan
+    SEARCH path (≤ ``static_max`` queries): the probe-bucket set is
+    resolved on the driver so the data filter is a planning-time
+    literal ``bucket IN (...)`` — that is what turns it into a scan
     PartitionFilter that never lists, opens, or reads the other
-    k - n_probe bucket directories. A join-driven filter would at
-    best prune at runtime (DPP), at worst scan everything."""
+    k - n_probe bucket directories (a join-driven filter would at
+    best prune at runtime via DPP, at worst scan everything). Only
+    ``(q_id, bucket)`` int pairs are collected — n_queries × n_probe
+    ints, model-parameter-sized; the query VECTORS never leave the
+    executors (they re-attach via a broadcast join on q_id).
+
+    BATCH path (> ``static_max`` queries): nothing is collected — the
+    probe assignment joins the full index on ``bucket`` as an
+    ordinary distributed join. At that query volume most buckets are
+    probed anyway, so the lost pruning is worth ~nothing and the
+    driver stays out of the data path entirely."""
     cent = spark.read.parquet(os.path.join(path, _CENTROIDS)).select(
         F.col("id").alias("cent_id"), F.col("v").alias("cv"),
         F.col("nrm").alias("cn"))
@@ -73,7 +92,7 @@ def probe_topk(spark: SparkSession, path: str, queries: DataFrame,
         F.col("id").alias("q_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"))
     wq = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cent_id"))
-    probe_plan = (
+    assigned = (
         q.join(F.broadcast(cent))
         .withColumn("cos", cosine(F.col("qv"), F.col("qn"),
                                   F.col("cv"), F.col("cn")))
@@ -81,12 +100,23 @@ def probe_topk(spark: SparkSession, path: str, queries: DataFrame,
         .filter(F.col("rn") <= n_probe)
         .select("q_id", "qv", "qn", F.col("cent_id").alias("bucket"))
     )
-    probe_rows = probe_plan.collect()
-    probes = spark.createDataFrame(probe_rows, probe_plan.schema)
-    buckets = sorted({int(r.bucket) for r in probe_rows})
-    data = (spark.read.parquet(os.path.join(path, _DATA))
-            .filter(F.col("bucket").isin(buckets)))
-    scored = F.broadcast(probes).join(data, "bucket").withColumn(
+    # bounded membership probe: one cheap job that stops at the
+    # threshold instead of a full count over the query side
+    small = q.limit(static_max + 1).count() <= static_max
+    if small:
+        pair_plan = assigned.select("q_id", "bucket")
+        pairs = pair_plan.collect()          # ints only — never vectors
+        pairs_df = spark.createDataFrame(pairs, pair_plan.schema)
+        probes = q.join(F.broadcast(pairs_df), "q_id").select(
+            "q_id", "qv", "qn", "bucket")
+        buckets = sorted({int(r.bucket) for r in pairs})
+        data = (spark.read.parquet(os.path.join(path, _DATA))
+                .filter(F.col("bucket").isin(buckets)))
+        scored = F.broadcast(probes).join(data, "bucket")
+    else:
+        data = spark.read.parquet(os.path.join(path, _DATA))
+        scored = assigned.join(data, "bucket")
+    scored = scored.withColumn(
         "cos", cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
     return (scored.withColumn("rn", F.row_number().over(w))

@@ -4,9 +4,17 @@ The write-time layouts (date-partitioned facts, the IVF bucket index)
 are worth their build cost only if built ONCE per corpus and reused by
 every subsequent query — on a cluster that lifecycle lives in the
 metastore; here it is a local directory keyed by a fingerprint of the
-source parquet (absolute path + per-file size + mtime_ns, plus a
-layout version), so regenerating the corpus in place, or changing the
-layout code, invalidates the cache instead of serving stale data.
+source parquet (absolute path + per-file size + mtime_ns, recursive,
+plus a layout version), so regenerating the corpus in place, or
+changing the layout code, invalidates the cache instead of serving
+stale data.
+
+The cache root is PER-USER and mode 0700 (``SPARK_GRAFT_LAYOUT_CACHE``
+overrides it): a shared world-writable tmpdir keyed only by an md5
+fingerprint would let another user on a multi-user host pre-create the
+fingerprint directory and poison the cache with attacker-controlled
+parquet (or break it with permission failures). A root owned by
+someone else fails loudly instead of being silently trusted.
 """
 
 from __future__ import annotations
@@ -16,22 +24,54 @@ import os
 import tempfile
 
 _DONE = "_LAYOUT_DONE"
+_ENV_ROOT = "SPARK_GRAFT_LAYOUT_CACHE"
+
+
+def cache_root() -> str:
+    """Per-user 0700 cache root, created on first use. Honors
+    ``SPARK_GRAFT_LAYOUT_CACHE``; otherwise
+    ``$TMPDIR/spark_graft_layouts_uid<uid>``. Refuses a pre-existing
+    root owned by another user — that is exactly the poisoning/
+    permission-failure scenario the per-user scoping exists to stop."""
+    root = os.environ.get(_ENV_ROOT)
+    if not root:
+        uid = os.getuid() if hasattr(os, "getuid") else 0
+        root = os.path.join(tempfile.gettempdir(),
+                            f"spark_graft_layouts_uid{uid}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    if hasattr(os, "getuid") and os.stat(root).st_uid != os.getuid():
+        raise RuntimeError(
+            f"layout cache root {root!r} is owned by uid "
+            f"{os.stat(root).st_uid}, not the current user "
+            f"({os.getuid()}) — refusing to trust or write derived "
+            f"layouts there; set {_ENV_ROOT} to a directory you own")
+    os.chmod(root, 0o700)
+    return root
 
 
 def source_fingerprint(table_path: str, version: str) -> str:
+    """md5 over (layout version, abspath, every file's relative path +
+    size + mtime_ns) — RECURSIVE, so a nested source layout (e.g. a
+    partitioned table whose leaf files are rewritten in place)
+    invalidates like a flat one does."""
     parts = [version, os.path.abspath(table_path)]
-    files = ([table_path] if os.path.isfile(table_path) else
-             sorted(os.path.join(table_path, f)
-                    for f in os.listdir(table_path)))
+    if os.path.isfile(table_path):
+        files = [table_path]
+    else:
+        files = []
+        for d, dirs, names in os.walk(table_path):
+            dirs.sort()
+            files.extend(os.path.join(d, f) for f in sorted(names))
     for f in files:
         st = os.stat(f)
-        parts.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+        rel = os.path.relpath(f, table_path)
+        parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
 
 
 def layout_dir(namespace: str, table_path: str, version: str) -> str:
     """Cache directory for one derived layout of one source table."""
-    return os.path.join(tempfile.gettempdir(), namespace,
+    return os.path.join(cache_root(), namespace,
                         source_fingerprint(table_path, version))
 
 

@@ -56,10 +56,18 @@ class LocalSchemaRegistry:
     fixtures. A subject maps to one schema string OR a list of schema
     VERSIONS (the Schema Registry's evolution model: a topic's writers
     drift across versions under one subject, each version getting its
-    own global id). Ids are 1-based over (sorted subject, version
-    order) — with single-version subjects this reduces to the legacy
-    sorted-subject numbering, so the same fixture set always yields
-    the same ids and frames stay replayable."""
+    own global id). Ids are allocated in VERSION-MAJOR order: every
+    subject's v1 first (sorted by subject), then every v2, and so on —
+    so adding a LATER version to one subject appends new ids without
+    renumbering any id a previously persisted frame was written with
+    (sequential (subject, version) numbering would shift every later
+    subject's ids, and old frames would then silently decode against
+    the wrong writer schema). With single-version subjects this
+    reduces to the legacy sorted-subject numbering. Ids are still only
+    stable for a fixed SUBJECT set: adding a new subject shifts the
+    v1 block, so frames must never be compared across registries with
+    different subject sets — a real Schema Registry's ids are global
+    and persistent for exactly this reason."""
 
     def __init__(self, subjects: dict[str, str | list[str]] | None = None):
         if subjects is None:
@@ -72,9 +80,13 @@ class LocalSchemaRegistry:
         self._subject_of: dict[int, str] = {}
         self._ids_of: dict[str, list[int]] = {}
         next_id = 1
-        for s, schemas in self._versions.items():
-            for sch in schemas:
-                self._schema_of_id[next_id] = sch
+        max_versions = max((len(v) for v in self._versions.values()),
+                           default=0)
+        for vi in range(max_versions):
+            for s, schemas in self._versions.items():
+                if vi >= len(schemas):
+                    continue
+                self._schema_of_id[next_id] = schemas[vi]
                 self._subject_of[next_id] = s
                 self._ids_of.setdefault(s, []).append(next_id)
                 next_id += 1

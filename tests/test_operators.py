@@ -1240,6 +1240,34 @@ def test_confluent_registry_mixed_topic_decode(spark):
         decode_confluent(mixed, half, load_schema("user_activity"))
 
 
+def test_registry_ids_stable_when_versions_added():
+    """Version-major id allocation: adding a LATER version to one
+    subject must not renumber any other subject's existing ids —
+    frames persisted under the old registry still resolve the same
+    writer schema. (Adding a new SUBJECT still shifts ids; that is
+    documented as out of contract.)"""
+    from last_minute_legends_spark.sources.registry import (
+        LocalSchemaRegistry,
+    )
+
+    a1, a2, b1, c1 = ('{"type":"record","name":"%s","fields":[]}' % n
+                      for n in ("A1", "A2", "B1", "C1"))
+    before = LocalSchemaRegistry({"a-value": a1, "b-value": b1,
+                                  "c-value": c1})
+    after = LocalSchemaRegistry({"a-value": [a1, a2], "b-value": b1,
+                                 "c-value": c1})
+    for subj in ("a-value", "b-value", "c-value"):
+        old_id, old_schema = before.version(subj, 1)
+        new_id, new_schema = after.version(subj, 1)
+        assert (old_id, old_schema) == (new_id, new_schema), subj
+    # the new version appends past every v1 id
+    v2_id, v2_schema = after.version("a-value", 2)
+    assert v2_schema == a2
+    assert v2_id > max(before.version(s, 1)[0]
+                       for s in ("a-value", "b-value", "c-value"))
+    assert after.latest("a-value") == (v2_id, a2)
+
+
 def test_confluent_magic_check(spark):
     """A non-Confluent value (first byte != 0x00) must fail the job
     loudly instead of misdecoding from a shifted offset."""
@@ -1322,6 +1350,46 @@ def test_ivf_probe_indexed_matches_replay(spark, sf_dir):
     idx = [tuple(r) for r in ann_ivf_probe_indexed(spark, sf_dir).collect()]
     rep = [tuple(r) for r in ann_ivf_topk_replay(spark, sf_dir).collect()]
     assert idx == rep and len(idx) > 0
+
+
+def test_ivf_probe_oracle_regime_guard(spark, sf_dir, tmp_path,
+                                       monkeypatch):
+    """An index built OUTSIDE the shared replay oracle's regime
+    (sampled training / scaled k) must fail the oracle-registered
+    entry loudly — 'oracle not applicable at this scale' — instead of
+    silently diverging into a false driver red; the documented env
+    opt-out re-enables scale runs."""
+    from last_minute_legends_spark.plans import ann_q
+
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_CACHE", str(tmp_path))
+    monkeypatch.delenv("SPARK_GRAFT_IVF_SCALE_OK", raising=False)
+    # force the sampled-training branch at the gate corpus size
+    monkeypatch.setattr(ann_q, "TRAIN_SAMPLE_MAX", 10)
+    with pytest.raises(RuntimeError, match="oracle not applicable"):
+        ann_q.ann_ivf_probe_indexed(spark, sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_IVF_SCALE_OK", "1")
+    assert ann_q.ann_ivf_probe_indexed(spark, sf_dir).count() > 0
+
+
+def test_ivf_probe_static_distributed_parity(spark, sf_dir):
+    """The batch-ANN fallback (query count > static_max → distributed
+    bucket-join, no driver collect at all) must return EXACTLY the
+    static pruned path's rows — same top-k, same tiebreaks. Forced
+    with static_max=0 on the same written index."""
+    from last_minute_legends_spark.plans.ann_q import (
+        N_QUERIES, ensure_ivf_index, _vectors,
+    )
+    from last_minute_legends_spark.sources.ivf_index import probe_topk
+
+    idx = ensure_ivf_index(spark, sf_dir)
+    queries = _vectors(spark, sf_dir).filter(F.col("id") < N_QUERIES)
+    static = [tuple(r) for r in probe_topk(spark, idx, queries, k=10,
+                                           n_probe=2)
+              .orderBy("q_id", "rn").collect()]
+    dist = [tuple(r) for r in probe_topk(spark, idx, queries, k=10,
+                                         n_probe=2, static_max=0)
+            .orderBy("q_id", "rn").collect()]
+    assert static == dist and len(static) > 0
 
 
 def _make_png(pixels, filters):
@@ -1431,6 +1499,40 @@ def test_multimodal_real_decode_through_spark(spark):
     assert r3.out_bytes == 16 * 8 * 1
 
 
+def test_multimodal_corrupt_png_falls_back(spark):
+    """A CORRUPT payload with a valid PNG signature (truncated IDAT →
+    zlib.error, not NotImplementedError) must fall back to byte-level
+    features instead of failing the whole job — one bad blob in a
+    100 TB corpus cannot kill the extract/resize pass."""
+    import numpy as np
+
+    from last_minute_legends_spark.operators.multimodal import (
+        _decoded_rows, extract_features, resize_images,
+    )
+
+    rng = np.random.RandomState(23)
+    px = rng.randint(0, 256, size=(12, 12, 3)).astype(np.uint8)
+    good = _make_png(px, [0, 1, 2])
+    # keep the signature + IHDR intact but slice into the IDAT body:
+    # zlib.decompress raises zlib.error on the truncated stream
+    corrupt = good[: len(good) - 40]
+    import zlib as _zlib
+    with pytest.raises(_zlib.error):
+        from last_minute_legends_spark.operators.multimodal import decode_media
+        decode_media(corrupt)
+    assert _decoded_rows([good, corrupt]) .keys() == {0}
+
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(corrupt))],
+        "doc_id long, payload binary")
+    feats = {r.doc_id: r for r in extract_features(df).collect()}
+    assert (feats[1].width, feats[1].height) == (12, 12)   # decoded
+    cs = sum(corrupt) % (1 << 31)
+    assert feats[2].width == 64 + cs % 193                 # fallback
+    rs = {r.doc_id: r for r in resize_images(df, 8, 8).collect()}
+    assert rs[1].out_bytes == 8 * 8 * 3 and rs[2].out_bytes == 8 * 8 * 3
+
+
 def test_layout_cache_invalidates_on_source_change(tmp_path):
     """A derived layout must be keyed to its source bytes: changing
     the source parquet (size or mtime) must move the cache directory,
@@ -1452,6 +1554,39 @@ def test_layout_cache_invalidates_on_source_change(tmp_path):
     # layout-version bump also invalidates
     d3 = layout_cache.layout_dir("llm_spark_test_layout", str(src), "v2")
     assert d3 != d2
+
+
+def test_layout_cache_root_scoped_and_fingerprint_recursive(tmp_path,
+                                                            monkeypatch):
+    """The cache root is per-user (0700, env-overridable) and the
+    fingerprint walks NESTED source layouts — rewriting a leaf file of
+    a partitioned table in place must move the cache directory."""
+    import os
+    import stat
+
+    from last_minute_legends_spark.sources import layout_cache
+
+    # env override wins and gets created 0700
+    override = tmp_path / "cache_root"
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_CACHE", str(override))
+    root = layout_cache.cache_root()
+    assert root == str(override)
+    assert stat.S_IMODE(os.stat(root).st_mode) == 0o700
+
+    # default root is uid-scoped
+    monkeypatch.delenv("SPARK_GRAFT_LAYOUT_CACHE")
+    assert f"uid{os.getuid()}" in layout_cache.cache_root()
+
+    # recursive fingerprint: nested leaf rewrite invalidates
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_CACHE", str(override))
+    src = tmp_path / "part_table"
+    leaf = src / "day=2024-01-01"
+    leaf.mkdir(parents=True)
+    (leaf / "part-0.parquet").write_bytes(b"v1")
+    d1 = layout_cache.layout_dir("llm_spark_test_layout", str(src), "v1")
+    (leaf / "part-0.parquet").write_bytes(b"v2+")
+    d2 = layout_cache.layout_dir("llm_spark_test_layout", str(src), "v1")
+    assert d2 != d1
 
 
 def test_simhash_auto_width_accepts_known_corpus_size(spark):
