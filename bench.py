@@ -164,6 +164,9 @@ HEADLINE = [
     "events_partition_pruned",
     # round-12: cohort retention matrix
     "cohort_retention",
+    # round-13: MERGE/upsert compaction into the day-partitioned
+    # layout (private copy per run — build + merge + rollup)
+    "cdc_merge_upsert",
 ]
 
 STREAMING = (
@@ -172,6 +175,11 @@ STREAMING = (
     # r12: streaming -> JDBC warehouse landing (epoch-idempotent
     # foreachBatch into embedded Derby, latest-per-key read-back)
     "stream_warehouse",
+    # r13: watermarked stream-stream inner join (view -> purchase per
+    # user within 2h) and day-partitioned parquet landing with
+    # per-epoch dynamic-overwrite idempotence
+    "stream_stream_join",
+    "stream_partitioned_landing",
 )
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK")

@@ -692,6 +692,100 @@ ORDER BY event_day_us, event_type
 """
 
 
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert compaction on the CDC path (completing
+    latest_by_user's keep-newest story): a deterministic change-set —
+    updates (+1000.0 to value for event_id % 10 == 3) and inserts
+    (re-keyed copies of event_id % 97 == 0 rows), both restricted to
+    the corpus's LAST THREE DAYS — merges into a private copy of the
+    day-partitioned events layout via
+    sources/partitioned_events.py::merge_day_partitioned: the base
+    side reads only the touched day partitions (planning-time
+    ``event_day_us IN (...)``), merged partitions land in a staging
+    dir, and each touched day directory swaps in as a metadata move —
+    untouched partitions keep their files byte-for-byte
+    (tests/test_operators.py::test_merge_rewrites_only_touched_days;
+    idempotence: re-applying the same change-set is a no-op). Returns
+    the merged table's per-day rollup; the oracle replays the same
+    merge relationally (DuckDB CTEs)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from last_minute_legends_spark.sources.partitioned_events import (
+        DAY_US, merge_day_partitioned, write_day_partitioned,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="llm_spark_cdc_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    path = f"{tmp}/events_by_day"
+    events = Catalog(spark, sf_dir).events.filter(F.col("ts").isNotNull())
+    write_day_partitioned(events, path)
+
+    day = F.unix_micros(F.date_trunc("day", F.col("ts")))
+    mx = events.agg(F.max("event_id").alias("mid"),
+                    F.max(day).alias("md")).collect()[0]
+    mid, cutoff = mx.mid, mx.md - 2 * DAY_US
+
+    recent = events.withColumn("event_day_us", day).filter(
+        F.col("event_day_us") >= cutoff)
+    updates = (recent.filter(F.col("event_id") % 10 == 3)
+               .withColumn("value", F.col("value") + F.lit(1000.0)))
+    inserts = (recent.filter(F.col("event_id") % 97 == 0)
+               .withColumn("event_id",
+                           F.col("event_id") + F.lit(mid) + F.lit(1)))
+    merge_day_partitioned(spark, path,
+                          updates.unionByName(inserts))
+
+    merged = spark.read.parquet(path)
+    return (
+        merged.groupBy("event_day_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when((F.col("event_id") % 10 == 3)
+                           & (F.col("event_id") <= mid)
+                           & (F.col("event_day_us") >= cutoff), 1))
+            .alias("n_updated"),
+            F.count(F.when(F.col("event_id") > mid, 1)).alias("n_inserted"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_day_us")
+    )
+
+
+CDC_MERGE_UPSERT_SQL = """
+WITH e AS (
+    SELECT event_id, value,
+           epoch_us(date_trunc('day', ts)) AS event_day_us
+    FROM events WHERE ts IS NOT NULL
+), mx AS (
+    SELECT max(event_id) AS mid,
+           max(event_day_us) - 2 * 86400000000 AS cutoff
+    FROM e
+), upd AS (
+    SELECT event_id, value + 1000.0 AS value, event_day_us
+    FROM e, mx WHERE event_id % 10 = 3 AND event_day_us >= cutoff
+), ins AS (
+    SELECT event_id + mid + 1 AS event_id, value, event_day_us
+    FROM e, mx WHERE event_id % 97 = 0 AND event_day_us >= cutoff
+), merged AS (
+    SELECT event_id, value, event_day_us FROM e
+    WHERE event_id NOT IN (SELECT event_id FROM upd)
+    UNION ALL SELECT * FROM upd
+    UNION ALL SELECT * FROM ins
+)
+SELECT m.event_day_us,
+       count(*) AS n_events,
+       count(CASE WHEN m.event_id % 10 = 3 AND m.event_id <= mx.mid
+                   AND m.event_day_us >= mx.cutoff THEN 1 END) AS n_updated,
+       count(CASE WHEN m.event_id > mx.mid THEN 1 END) AS n_inserted,
+       round(sum(m.value), 2) AS sum_value
+FROM merged m, mx
+GROUP BY m.event_day_us, mx.mid, mx.cutoff
+ORDER BY m.event_day_us
+"""
+
+
 SPARK = {
     "events_by_type": events_by_type,
     "events_windowed": events_windowed,
@@ -712,6 +806,7 @@ SPARK = {
     "skew_join": skew_join,
     "events_partition_pruned": events_partition_pruned,
     "cohort_retention": cohort_retention,
+    "cdc_merge_upsert": cdc_merge_upsert,
 }
 
 # r11 rotation: the four r10 lenders (events_by_type / funnel /
@@ -729,6 +824,8 @@ LOCAL_SQL = {
     # r12: cohort retention matrix — same full-window situation;
     # rotate into the gate window next round
     "cohort_retention": COHORT_RETENTION_SQL,
+    # r13-new: MERGE/upsert compaction — full relational merge replay
+    "cdc_merge_upsert": CDC_MERGE_UPSERT_SQL,
 }
 
 SQL = {

@@ -385,6 +385,65 @@ def stream_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_warehouse_pipeline(spark, sf_dir)
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (view -> purchase per
+    user within 2 hours), run to completion on the file-stream
+    harness (streaming/pipeline.py run_stream_join_pipeline). The
+    row-level output is deterministic — the bounded corpus joins to a
+    fixed pair set however micro-batches slice — so unlike the other
+    streaming runs this entry carries a FULL value oracle
+    (STREAM_STREAM_JOIN_SQL); batch parity vs the identical batch
+    plan is locked in tests/test_stream_oracle.py."""
+    from last_minute_legends_spark.streaming.pipeline import (
+        run_stream_join_pipeline,
+    )
+
+    return run_stream_join_pipeline(spark, sf_dir)
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS purchase_id,
+       epoch_us(v.ts) AS view_us,
+       epoch_us(c.ts) AS purchase_us,
+       epoch_us(c.ts) - epoch_us(v.ts) AS wait_us
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'purchase'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+ORDER BY view_id, purchase_id
+"""
+
+
+def stream_partitioned_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming landing into the day-partitioned parquet layout with
+    per-epoch dynamic-partition-overwrite idempotence
+    (streaming/pipeline.py run_partitioned_landing_pipeline) — the
+    r12 Derby epoch sink's semantics on the layout that survives
+    100 TB. Returns the landed table's daily rollup, which must equal
+    the batch rollup of the base table (full value oracle); per-epoch
+    redelivery idempotence and planning-time pruning of the landed
+    layout are locked in tests/test_streaming.py."""
+    from last_minute_legends_spark.streaming.pipeline import (
+        run_partitioned_landing_pipeline,
+    )
+
+    return run_partitioned_landing_pipeline(spark, sf_dir)
+
+
+STREAM_PARTITIONED_LANDING_SQL = """
+SELECT epoch_us(date_trunc('day', ts)) AS event_day_us,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 SPARK = {
     "stream_json_parse": stream_json_parse,
     "events_typed_parse": events_typed_parse,
@@ -399,6 +458,8 @@ SPARK = {
     "simulate_events": simulate_events,
     "simulate_stream": simulate_stream,
     "stream_warehouse": stream_warehouse,
+    "stream_stream_join": stream_stream_join,
+    "stream_partitioned_landing": stream_partitioned_landing,
 }
 
 # The round-trip entry's aggregate is SQL-expressible directly from
@@ -435,6 +496,11 @@ SQL = {
     "stream_curate": None,     # batch parity + DuckDB compare (observed r10)
     "simulate_events": None,  # determinism/integrity + hash-replay (r10)
     "simulate_stream": None,  # batch-parity + LIVE-vs-replay compare (r10)
+    # r13-new: unlike the runs above, these two streaming entries have
+    # DETERMINISTIC row-level/rollup outputs, so they carry full value
+    # oracles — the first streaming entries the driver can hash-check
+    "stream_stream_join": STREAM_STREAM_JOIN_SQL,
+    "stream_partitioned_landing": STREAM_PARTITIONED_LANDING_SQL,
 }
 
 # r11: events_avro_roundtrip, driver-hash-green on its first external

@@ -63,3 +63,81 @@ def read_day_range(spark: SparkSession, path: str, lo_us: int,
     if hi_us is not None:
         df = df.filter(F.col(_PART) <= F.lit(hi_us))
     return df
+
+
+def day_partition_epoch_sink(path: str):
+    """``foreachBatch`` sink landing micro-batches into the
+    day-partitioned layout with per-epoch idempotence — the scale-safe
+    warehouse landing (the JDBC/Derby epoch sink demonstrates the
+    same semantics against a database; THIS is what survives 100 TB).
+
+    Each batch writes ``partitionBy(event_day_us, epoch)`` with
+    DYNAMIC partition overwrite: a redelivered epoch (sink failure →
+    Structured Streaming re-runs the batch with the SAME epoch_id)
+    replaces exactly its own (day, epoch) partitions — REPLACE, never
+    duplicate — while other epochs' partitions under the same day are
+    untouched. Dynamic overwrite alone only replaces partitions
+    PRESENT in the redelivered batch, so the sink first drops every
+    existing ``epoch=N`` directory (a bounded metadata listing — one
+    entry per day; the FileSystem-API analogue on a cluster), giving
+    the same strict REPLACE the JDBC epoch sink's DELETE WHERE
+    epoch=N provides. Idempotence is locked by
+    tests/test_streaming.py::test_day_partition_sink_idempotent."""
+    import shutil
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.isdir(path):
+            for d in os.listdir(path):
+                if d.startswith(f"{_PART}="):
+                    shutil.rmtree(
+                        os.path.join(path, d, f"epoch={int(epoch_id)}"),
+                        ignore_errors=True)
+        (batch_df
+         .withColumn(_PART,
+                     F.unix_micros(F.date_trunc("day", F.col("ts"))))
+         .withColumn("epoch", F.lit(int(epoch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(_PART, "epoch")
+         .parquet(path))
+
+    return sink
+
+
+def merge_day_partitioned(spark: SparkSession, path: str,
+                          changes: DataFrame, key: str = "event_id") -> list[int]:
+    """MERGE (upsert) a change-set into a day-partitioned layout:
+    rows in ``changes`` replace base rows with the same ``key`` and
+    new keys insert — rewriting ONLY the touched day partitions,
+    never the table. Returns the touched day list.
+
+    The CDC compaction pattern at 100 TB: the change-set names its
+    days (bounded driver collect — days, not rows), the base side is
+    read with a planning-time ``event_day_us IN (...)`` partition
+    filter (the untouched 99.x% of the table is never listed, opened,
+    or read), the merged partitions are written to a staging
+    directory, and each touched day directory is swapped in as a
+    metadata move. Untouched partition files keep their identity —
+    asserted byte-for-byte in tests (only touched partitions
+    rewrite). ``changes`` must carry ``event_day_us``."""
+    import shutil
+
+    days = sorted(r[0] for r in
+                  changes.select(_PART).distinct().collect()
+                  if r[0] is not None)
+    if not days:
+        return []
+    base = spark.read.parquet(path).filter(F.col(_PART).isin(days))
+    merged = (base.join(changes.select(key).distinct(), key, "left_anti")
+              .unionByName(changes.select(*base.columns)))
+    staged = f"{path}_merge_staged"
+    shutil.rmtree(staged, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy(_PART).parquet(staged)
+    for d in days:
+        dst = os.path.join(path, f"{_PART}={d}")
+        src = os.path.join(staged, f"{_PART}={d}")
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.exists(src):
+            shutil.move(src, dst)
+    shutil.rmtree(staged, ignore_errors=True)
+    return days

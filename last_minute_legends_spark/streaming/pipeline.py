@@ -405,3 +405,158 @@ def run_warehouse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entries return parquet-backed frames; a JDBC-backed one would
     # re-query a database whose files atexit removes)
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+JOIN_SCHEMA = (
+    "user_id long, view_id long, purchase_id long, view_us long, "
+    "purchase_us long, wait_us long"
+)
+
+JOIN_BOUND_HOURS = 2
+
+
+def run_stream_join_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join, run to completion: the
+    staged events topic is read as TWO independent streams — item
+    views and purchases (the reference's item_view / added_to_cart
+    cart shape, reference/UserEvents.py) — joined per user within a
+    2-hour event-time bound.
+
+    Semantics and scale: the equi-key (user_id) makes the join a
+    streaming state-store hash join co-partitioned on user_id; the
+    time-bound condition plus BOTH sides' watermarks let the engine
+    evict join state older than (watermark - bound), so state is
+    O(rate x horizon), not history. Inner-join matches emit eagerly
+    in the micro-batch they complete in — no sentinel flush needed —
+    and the parquet-sink append is the run-to-completion harness
+    shared with the other pipelines. Batch parity is locked in
+    tests/test_stream_oracle.py; the full DuckDB value oracle is
+    STREAM_STREAM_JOIN_SQL (plans/stream_q.py)."""
+    staging, _max_ts = stage_events_json(spark, sf_dir)
+    n_files = staged_file_count(staging)
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            parse_event_json(
+                file_json_stream(spark, f"{staging}/in",
+                                 max_files_per_trigger=n_files))
+            .filter(F.col("event_type") == event_type)
+            .withWatermark("ts", "1 hour")
+            .select(F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("user_id").alias(f"{prefix}_user"),
+                    F.col("ts").alias(f"{prefix}_ts"))
+        )
+
+    views = side("view", "view")
+    purchases = side("purchase", "purchase")
+    joined = (
+        views.join(
+            purchases,
+            F.expr(f"""view_user = purchase_user
+                       AND purchase_ts >= view_ts
+                       AND purchase_ts <= view_ts
+                           + interval {JOIN_BOUND_HOURS} hours"""),
+            "inner")
+        .select(F.col("view_user").alias("user_id"), "view_id",
+                "purchase_id",
+                F.unix_micros("view_ts").alias("view_us"),
+                F.unix_micros("purchase_ts").alias("purchase_us"),
+                (F.unix_micros("purchase_ts")
+                 - F.unix_micros("view_ts")).alias("wait_us"))
+    )
+    with sentinel_paced(spark):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", f"{staging}/out")
+            .option("checkpointLocation", f"{staging}/ckpt")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    out = spark.read.schema(JOIN_SCHEMA).parquet(f"{staging}/out")
+    shutil.rmtree(f"{staging}/in", ignore_errors=True)
+    shutil.rmtree(f"{staging}/ckpt", ignore_errors=True)
+    return out
+
+
+def batch_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same view->purchase join as a batch plan — the parity
+    oracle for run_stream_join_pipeline (and what this query IS on a
+    bounded corpus)."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"), F.col("ts").alias("view_ts"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"))
+    return (
+        views.join(
+            purchases,
+            F.expr(f"""view_user = purchase_user
+                       AND purchase_ts >= view_ts
+                       AND purchase_ts <= view_ts
+                           + interval {JOIN_BOUND_HOURS} hours"""),
+            "inner")
+        .select(F.col("view_user").alias("user_id"), "view_id",
+                "purchase_id",
+                F.unix_micros("view_ts").alias("view_us"),
+                F.unix_micros("purchase_ts").alias("purchase_us"),
+                (F.unix_micros("purchase_ts")
+                 - F.unix_micros("view_ts")).alias("wait_us"))
+    )
+
+
+LANDED_SCHEMA = "event_day_us long, n_events long, sum_value double"
+
+
+def run_partitioned_landing_pipeline(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Stream → day-partitioned PARQUET landing, run to completion:
+    the staged events topic (multi-file, one file per trigger — real
+    multi-epoch accumulation) lands through
+    ``foreachBatch(day_partition_epoch_sink)`` into a
+    ``partitionBy(event_day_us, epoch)`` layout with per-epoch
+    dynamic-partition-overwrite idempotence, then returns the landed
+    table's daily rollup. This is the scale-safe warehouse landing —
+    the Derby JDBC epoch sink demonstrates the same semantics against
+    a database; a 100 TB deployment lands exactly like THIS, and the
+    landed layout serves planning-time day-pruned reads
+    (tests/test_streaming.py asserts the PartitionFilters on it)."""
+    from last_minute_legends_spark.sources.partitioned_events import (
+        day_partition_epoch_sink,
+    )
+
+    staging = tempfile.mkdtemp(prefix="llm_spark_land_")
+    atexit.register(shutil.rmtree, staging, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    n_files = min(8, staged_files(spark))
+    (events.repartition(n_files)
+     .write.mode("overwrite").parquet(f"{staging}/in"))
+
+    stream = (spark.readStream.schema(EVENT_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(f"{staging}/in"))
+    q = (
+        stream.writeStream
+        .foreachBatch(day_partition_epoch_sink(f"{staging}/landed"))
+        .option("checkpointLocation", f"{staging}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    landed = spark.read.parquet(f"{staging}/landed")
+    out = (
+        landed.filter(F.col("event_day_us").isNotNull())
+        .groupBy("event_day_us")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_day_us")
+    )
+    shutil.rmtree(f"{staging}/in", ignore_errors=True)
+    shutil.rmtree(f"{staging}/ckpt", ignore_errors=True)
+    return out

@@ -1620,3 +1620,65 @@ def test_simhash_auto_width_accepts_known_corpus_size(spark):
         (r.doc_a, r.doc_b)
         for r in simhash_pairs(docs, n_bits=128).collect())
     assert wide == wide_explicit
+
+
+def _day_rows(spark):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1 + i % 4, 8), 100 + i, "view",
+          float(i), "{}") for i in range(40)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+
+
+def test_merge_rewrites_only_touched_days(spark, tmp_path):
+    """merge_day_partitioned must (a) apply upserts exactly — changed
+    keys replaced, new keys inserted, everything else untouched — and
+    (b) leave UNTOUCHED day partitions' files byte-identical (same
+    paths, sizes, mtimes): the 100 TB compaction contract is that a
+    change-set rewrites only the partitions it names."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from last_minute_legends_spark.sources.partitioned_events import (
+        merge_day_partitioned, write_day_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    write_day_partitioned(_day_rows(spark), path)
+
+    def snapshot(day_dir):
+        root = os.path.join(path, day_dir)
+        return {f: (os.path.getsize(os.path.join(root, f)),
+                    os.path.getmtime(os.path.join(root, f)))
+                for f in sorted(os.listdir(root))}
+
+    days = sorted(d for d in os.listdir(path) if d.startswith("event_day_us="))
+    assert len(days) == 4
+    untouched_before = {d: snapshot(d) for d in days}
+
+    # change-set touches ONLY day 2024-01-02: one update + one insert
+    target_day = int(days[1].split("=")[1])
+    changes = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2, 8), 101, "view", 999.0, "{}",
+          target_day),
+         (1000, dt.datetime(2024, 1, 2, 9), 200, "purchase", 5.0, "{}",
+          target_day)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string, event_day_us long")
+    touched = merge_day_partitioned(spark, path, changes)
+    assert touched == [target_day]
+
+    merged = spark.read.parquet(path)
+    assert merged.count() == 41
+    assert merged.filter("event_id = 1").collect()[0].value == 999.0
+    assert merged.filter("event_id = 1000").count() == 1
+    for d in days:
+        if d != days[1]:
+            assert snapshot(d) == untouched_before[d], f"{d} was rewritten"
+
+    # idempotence: re-applying the same change-set is a no-op
+    before = {tuple(r) for r in merged.collect()}
+    merge_day_partitioned(spark, path, changes)
+    after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert after == before

@@ -113,3 +113,18 @@ def test_stream_curate_vs_duckdb(spark, sf_dir):
 
     sdf = stream_curate(spark, sf_dir).orderBy("doc_id")
     _check(sdf, STREAM_CURATE_ORACLE_SQL, sf_dir, "stream_curate")
+
+
+def test_stream_stream_join_batch_parity(spark, sf_dir):
+    """The watermarked stream-stream inner join must emit EXACTLY the
+    batch join's pairs — however the micro-batches slice, the bounded
+    corpus joins to one fixed pair set (eager inner-join emission;
+    watermarks only bound state). The DuckDB value oracle for the
+    same entry runs via test_oracle.py (STREAM_STREAM_JOIN_SQL)."""
+    from last_minute_legends_spark.streaming.pipeline import (
+        batch_join_twin, run_stream_join_pipeline,
+    )
+
+    got = {tuple(r) for r in run_stream_join_pipeline(spark, sf_dir).collect()}
+    exp = {tuple(r) for r in batch_join_twin(spark, sf_dir).collect()}
+    assert got == exp and len(exp) > 0

@@ -1,6 +1,8 @@
 """Streaming + text-catalog ETL tests: real streaming runs via the
 file source with processAllAvailable, plus batch/streaming parity."""
 
+import datetime as dt
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -1073,3 +1075,47 @@ def test_warehouse_epoch_sink_idempotent(spark, sf_dir, tmp_path):
                    read_warehouse(spark, url, drv,
                                   table="events_landed").collect())
     assert again == sorted(rows), "redelivered epochs changed the table"
+
+
+def test_day_partition_sink_idempotent(spark, tmp_path):
+    """The day-partitioned landing sink must be per-epoch idempotent:
+    redelivering an epoch (same epoch_id — a restart replaying an
+    uncommitted batch) REPLACES its own (day, epoch) partitions, never
+    duplicates, and other epochs' rows under the same day survive.
+    The landed layout must then serve planning-time day-pruned reads
+    (static PartitionFilters, like the write-once layout)."""
+    from last_minute_legends_spark.sources.partitioned_events import (
+        DAY_US, day_partition_epoch_sink, list_days, read_day_range,
+    )
+
+    path = str(tmp_path / "landed")
+    sink = day_partition_epoch_sink(path)
+    b0 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 5), 10, "view", 1.0, "{}"),
+         (2, dt.datetime(2024, 1, 2, 6), 11, "view", 2.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    b1 = spark.createDataFrame(
+        [(3, dt.datetime(2024, 1, 2, 7), 12, "purchase", 3.0, "{}")],
+        b0.schema)
+    sink(b0, 0)
+    sink(b1, 1)
+    # redeliver epoch 0 — byte-identical state, no duplicates
+    sink(b0, 0)
+    landed = spark.read.parquet(path)
+    assert sorted(r.event_id for r in landed.collect()) == [1, 2, 3]
+    # a REVISED redelivery of epoch 0 replaces its old rows entirely
+    b0rev = b0.limit(1)
+    sink(b0rev, 0)
+    assert sorted(r.event_id
+                  for r in spark.read.parquet(path).collect()) == [1, 3]
+
+    # planning-time pruning over the landed layout
+    days = list_days(path)
+    assert len(days) == 2
+    plan = (read_day_range(spark, path, max(days))
+            ._jdf.queryExecution().executedPlan().toString())
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans and all("PartitionFilters: [" in ln and
+                         "event_day_us#" in ln.split("PartitionFilters:", 1)[1]
+                         for ln in scans), plan
