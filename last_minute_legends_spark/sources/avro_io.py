@@ -75,8 +75,20 @@ def avro_available(spark: SparkSession) -> bool:
         return False
 
 
+# Driver-side engagement log of the pure-Python codec path. The
+# Python codec is Arrow-batched but per-RECORD Python inside the
+# batch (~6 s on the events_avro_evolution bench cell vs built-ins'
+# sub-second — SURVEY §8), so when the JVM spark-avro jar is absent
+# it must stay confined to the wire-parity entries that EXIST to
+# exercise the wire format. Builders append here at plan-build time;
+# tests/test_plans.py::test_no_shuffle_cartesian_or_row_udf asserts
+# no other registry entry engages it.
+PY_CODEC_USES: list[str] = []
+
+
 def _encode_avro_py(df: DataFrame, cols: list[str], schema: str) -> DataFrame:
     """Arrow-batched pure-Python Avro encode (jar-less fallback)."""
+    PY_CODEC_USES.append("encode")
     fields = parse_fields(schema)
     names = [n for n, _, _ in fields]
     if list(cols) != names:
@@ -106,6 +118,7 @@ def _decode_avro_py(raw: DataFrame, schema: str, value_col: str = "value",
     With ``reader_schema``, each datum is decoded with the WRITER
     schema and resolved into the reader layout per the Avro spec
     (defaults / dropped fields / promotions)."""
+    PY_CODEC_USES.append("decode")
     fields = parse_fields(schema)
     if reader_schema is None:
         out_fields = fields

@@ -26,18 +26,35 @@ def _batch_keys():
     return sorted(k for k in QUERIES if k not in _SKIP)
 
 
+# The only registry entries allowed to engage the pure-Python Avro
+# codec when the JVM spark-avro jar is absent: they EXIST to exercise
+# the Confluent wire format end-to-end. Any other entry adopting the
+# codec is a new hot path on the ~per-record slow lane (VERDICT r12
+# #7; the measured cost is the 6 s events_avro_evolution bench cell).
+_AVRO_OK = {"events_avro_roundtrip", "events_avro_evolution"}
+
+
 @pytest.mark.parametrize("name", _batch_keys())
 def test_no_shuffle_cartesian_or_row_udf(spark, sf_dir, name):
     """CartesianProduct = all-pairs shuffle join (the 100 TB killer);
     BatchEvalPython = row-at-a-time Python UDF (the 10-100x slow path).
     Neither may appear in any registered batch plan. (Broadcast
     nested-loop joins against bounded broadcast sides — query vectors,
-    hyperplanes, 1-row corpus stats — are intentional and allowed.)"""
+    hyperplanes, 1-row corpus stats — are intentional and allowed.)
+    Also asserts the pure-Python Avro codec stays confined to the
+    wire-parity entries (_AVRO_OK)."""
     from last_minute_legends_spark.plans.queries import QUERIES
+    from last_minute_legends_spark.sources import avro_io
 
+    avro_io.PY_CODEC_USES.clear()
     plan = _plan(QUERIES[name](spark, sf_dir))
     assert "CartesianProduct" not in plan, f"{name}: shuffle cartesian in plan"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if avro_io.PY_CODEC_USES and name not in _AVRO_OK:
+        raise AssertionError(
+            f"{name}: engages the pure-Python Avro codec "
+            f"({avro_io.PY_CODEC_USES}) — the per-record slow lane is "
+            f"confined to {sorted(_AVRO_OK)}")
 
 
 def test_q5_broadcasts_dimensions(spark, sf_dir):
