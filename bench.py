@@ -37,9 +37,11 @@ named cells (same protocol); such runs are marked subset:1 on stdout
 and cells_subset in bench_local.json so they can never be mistaken
 for a suite total.
 
-Protocol versioning (r12): the stdout line and bench_local.json carry
-`bench_schema` (3 = min-of-2 cells + per-cell GC + contention-triggered
-re-runs) and `smin`/`stream_min_of` (streaming sample count, 2) so any
+Protocol versioning (r12, r13): the stdout line and bench_local.json
+carry `bench_schema` (4 = min-of-2 cells + per-cell GC +
+contention-triggered re-runs + a fresh-JVM isolated re-measure of the
+md5-replay twins, per-cell min kept with both readings in diag) and
+`smin`/`stream_min_of` (streaming sample count, 2) so any
 two rounds' BENCH files can be compared protocol-aware. Contention
 re-runs: when the min-of-2 sample that would be REPORTED carries a
 contaminated diag (other_cores > 2, or a failed-task retry inside the
@@ -384,6 +386,34 @@ def main() -> None:
             timings[name] = -1.0
             diag.setdefault(name, {})["error"] = repr(exc)
 
+    # r13 (VERDICT r12 #8): the md5-replay twins are the suite's
+    # documented JVM-aging/contention victims — r12 recorded
+    # 17.9/25.8/7.9 s samples in-suite vs 3-4 s isolated. Re-measure
+    # them in ONE fresh-JVM subprocess (a subset run of this same
+    # script) and keep the per-cell min, so the headline no longer
+    # inherits a phantom 3-5 s; the in-suite reading stays in diag.
+    ISOLATED_RETRY = ("dedup_minhash_lsh_replay", "ann_ivf_topk_replay")
+    if (not only and os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
+            and any(n in timings for n in ISOLATED_RETRY)):
+        import subprocess
+        import sys as _sys
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_CELLS"] = ",".join(
+            n for n in ISOLATED_RETRY if n in timings)
+        env["SPARK_GRAFT_BENCH_ISOLATE"] = "0"
+        try:
+            out = subprocess.run(
+                [_sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=600, check=True)
+            iso = json.loads(out.stdout.strip().splitlines()[-1])
+            for n, t in iso.get("queries", {}).items():
+                if n in timings and t >= 0:
+                    diag.setdefault(n, {})["in_suite_sec"] = timings[n]
+                    diag[n]["isolated_sec"] = t
+                    timings[n] = round(min(timings[n], t), 3)
+        except Exception as exc:  # keep the in-suite numbers on failure
+            diag.setdefault("_isolated_retry", {})["error"] = repr(exc)
+
     # streaming runs timed separately (real multi-batch executions —
     # kept OUT of the headline total so batch regressions stay visible).
     # min-of-2 like the batch cells (each run is an idempotent
@@ -415,8 +445,10 @@ def main() -> None:
     # measurement protocol changes so cross-round cells are mechanically
     # comparable. v1 = single-sample streaming (<= r10); v2 = min-of-2
     # everywhere + per-cell GC (r11); v3 = v2 + contention-triggered
-    # re-runs with min_contaminated flags (r12).
-    suite_meta["bench_schema"] = 3
+    # re-runs with min_contaminated flags (r12); v4 = v3 + fresh-JVM
+    # isolated re-measure of the md5-replay twins, per-cell min kept
+    # (r13 — in-suite and isolated readings both recorded in diag).
+    suite_meta["bench_schema"] = 4
     suite_meta["stream_min_of"] = 2
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
@@ -456,7 +488,7 @@ def main() -> None:
             # protocol version + streaming sample count (see
             # suite_meta above) — tiny constant cost, lets any two
             # BENCH_r{N}.json files be compared protocol-aware
-            "bench_schema": 3,
+            "bench_schema": suite_meta["bench_schema"],
             "smin": 2,
         }
         if only:
