@@ -165,6 +165,14 @@ CELLS = [
     "stream_enrich",
     "stream_dedup",
     "stream_curate",
+    # r13: watermarked stream-stream join (state ∝ rate x horizon),
+    # day-partitioned streaming landing (foreachBatch dynamic
+    # overwrite), and the CDC merge (private layout build + last-3-day
+    # merge — the BUILD dominates and scales with the corpus; the
+    # merge itself touches only the partitions the change-set names)
+    "stream_stream_join",
+    "stream_partitioned_landing",
+    "cdc_merge_upsert",
     # events wire-format cells (events-only readers; new_records /
     # price_extraction / skew_join / catalog_text_etl /
     # events_typed_parse stay excluded — they read the TPC-H tables
