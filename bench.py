@@ -156,6 +156,9 @@ HEADLINE = [
     # consumption through reader resolution
     "dedup_minhash_lsh_replay",
     "ann_ivf_topk_replay",
+    # round-13: simhash portable-hash twin (driver-visible value
+    # check for the last banding family without one)
+    "dedup_simhash_replay",
     "events_avro_evolution",
     # round-12: write-time partitioned IVF index — min-of-2 means the
     # reported cell converges on probe-only cost (the build is paid
@@ -392,7 +395,8 @@ def main() -> None:
     # them in ONE fresh-JVM subprocess (a subset run of this same
     # script) and keep the per-cell min, so the headline no longer
     # inherits a phantom 3-5 s; the in-suite reading stays in diag.
-    ISOLATED_RETRY = ("dedup_minhash_lsh_replay", "ann_ivf_topk_replay")
+    ISOLATED_RETRY = ("dedup_minhash_lsh_replay", "ann_ivf_topk_replay",
+                      "dedup_simhash_replay")
     if (not only and os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
             and any(n in timings for n in ISOLATED_RETRY)):
         import subprocess

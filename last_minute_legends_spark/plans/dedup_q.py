@@ -352,6 +352,79 @@ ORDER BY doc_a, doc_b
 
 DEDUP_MINHASH_REPLAY_SQL = _minhash_replay_sql()
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def dedup_simhash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_simhash`` with the portable md5-prefix token hash
+    injected (functions/portable_hash.py) and the gate-stable 64-bit
+    signature — the SAME operator code and plan shape (distinct token
+    hashes → per-bit majority vote → 4x16 bands → hamming-verified
+    pairs), but with a hash DuckDB computes bit-for-bit, so the
+    driver gate value-checks every arithmetic step of the simhash
+    pipeline (signature bits, band keys, the candidate set, the exact
+    hamming distances) instead of a rows-only count — the r12
+    minhash/IVF replay-twin pattern applied to the last banding
+    family without a driver-side value check. Injected-vs-production
+    parity and the 128-bit variant stay locked in
+    tests/test_hash_replay.py."""
+    from last_minute_legends_spark.functions.portable_hash import (
+        md5_hash60,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    return simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING,
+                         token_hash=md5_hash60, n_bits=64).orderBy(
+        "doc_a", "doc_b")
+
+
+def _simhash_replay_sql() -> str:
+    """From-scratch DuckDB replay of the 64-bit simhash pipeline with
+    the portable hash: distinct tokens → 60-bit hashes → per-bit
+    majority signature → 4x16-bit band join → hamming verify. Every
+    intermediate must agree with Spark's for the final frame to
+    value-match."""
+    from last_minute_legends_spark.functions.portable_hash import (
+        duck_hash60,
+    )
+
+    csum = ", ".join(f"sum((h >> {b}) & 1) AS c{b}" for b in range(64))
+    majority = " | ".join(
+        f"(CASE WHEN 2 * c{b} > n THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(64)
+    )
+    return f"""
+WITH tokd AS (
+    SELECT DISTINCT doc_id, t
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
+        FROM documents
+    )
+), h AS (
+    SELECT doc_id, {duck_hash60('t')} AS h FROM tokd
+), sums AS (
+    SELECT doc_id, count(*) AS n, {csum} FROM h GROUP BY doc_id
+), sig AS (
+    SELECT doc_id, ({majority}) AS simhash FROM sums
+), bands AS (
+    SELECT doc_id, simhash, k AS band,
+           (simhash >> (16 * k)) & 65535 AS bv
+    FROM sig, UNNEST([0, 1, 2, 3]) t(k)
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming
+FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_SIMHASH_REPLAY_SQL = _simhash_replay_sql()
+
 
 SUBSTRING_K = 8
 
@@ -519,6 +592,7 @@ SPARK = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_replay": dedup_minhash_lsh_replay,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_replay": dedup_simhash_replay,
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
     "dedup_substring": dedup_substring,
@@ -536,6 +610,10 @@ SQL = {
     # ran locally since r7, now registered with full ORACLE_SQL)
     "dedup_minhash_lsh_replay": DEDUP_MINHASH_REPLAY_SQL,
     "dedup_simhash": None,       # simhash banding: rows-only check
+    # r13: the portable-hash twin gives the SIMHASH family its first
+    # DRIVER-side value check (the replay tests/test_hash_replay.py
+    # ran locally since r7, now registered with full ORACLE_SQL)
+    "dedup_simhash_replay": DEDUP_SIMHASH_REPLAY_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     # r11-new: in the gate window for their first external

@@ -31,8 +31,12 @@ from last_minute_legends_spark.operators.dedup import (
 # r12: the minhash replay formulation is now a REGISTRY entry
 # (dedup_minhash_lsh_replay) with driver-side ORACLE_SQL; this test
 # keeps running the identical compare locally against the shared SQL.
+# r13: the simhash replay formulation is ALSO a registry entry now
+# (dedup_simhash_replay); both shared SQLs come from dedup_q so the
+# local compares and the driver gate always run the identical oracle.
 from last_minute_legends_spark.plans.dedup_q import (
     _minhash_replay_sql,
+    _simhash_replay_sql,
 )
 
 from last_minute_legends_spark.sources.tables import Catalog
@@ -40,42 +44,6 @@ from tests.oracle import compare, run_oracle
 
 THRESHOLD = 0.8
 MAX_HAMMING = 3
-
-
-def _simhash_replay_sql() -> str:
-    csum = ", ".join(f"sum((h >> {b}) & 1) AS c{b}" for b in range(64))
-    majority = " | ".join(
-        f"(CASE WHEN 2 * c{b} > n THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
-        for b in range(64)
-    )
-    return f"""
-WITH tokd AS (
-    SELECT DISTINCT doc_id, t
-    FROM (
-        SELECT doc_id,
-               unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
-        FROM documents
-    )
-), h AS (
-    SELECT doc_id, {_dh('t')} AS h FROM tokd
-), sums AS (
-    SELECT doc_id, count(*) AS n, {csum} FROM h GROUP BY doc_id
-), sig AS (
-    SELECT doc_id, ({majority}) AS simhash FROM sums
-), bands AS (
-    SELECT doc_id, simhash, k AS band,
-           (simhash >> (16 * k)) & 65535 AS bv
-    FROM sig, UNNEST([0, 1, 2, 3]) t(k)
-), pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, hamming
-FROM pairs WHERE hamming <= {MAX_HAMMING}
-ORDER BY doc_a, doc_b
-"""
 
 
 def _simhash128_replay_sql() -> str:
