@@ -172,6 +172,9 @@ HEADLINE = [
     # round-13: MERGE/upsert compaction into the day-partitioned
     # layout (private copy per run — build + merge + rollup)
     "cdc_merge_upsert",
+    # round-13: small-file compaction (fragmented layout build +
+    # salted one-shuffle bin-pack + rollup read-back)
+    "compact_small_files",
 ]
 
 STREAMING = (

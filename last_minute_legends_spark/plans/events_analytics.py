@@ -786,6 +786,57 @@ ORDER BY m.event_day_us
 """
 
 
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (sources/partitioned_events.py
+    compact_day_partitions): a deliberately FRAGMENTED private copy
+    of the day-partitioned events layout (12 files per day — the
+    many-epochs/many-tasks landing shape) is compacted in one salted
+    shuffle into each day's byte-quota of files, then read back as a
+    per-day rollup. Content preservation is the oracle (any lost or
+    duplicated row value-mismatches); the file-count collapse and
+    retained day pruning are asserted in
+    tests/test_operators.py::test_compact_day_partitions."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from last_minute_legends_spark.sources.partitioned_events import (
+        compact_day_partitions,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="llm_spark_compact_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    events = Catalog(spark, sf_dir).events.filter(F.col("ts").isNotNull())
+    frag = f"{tmp}/fragmented"
+    (events.repartition(12)
+     .withColumn("event_day_us",
+                 F.unix_micros(F.date_trunc("day", F.col("ts"))))
+     .write.partitionBy("event_day_us").mode("overwrite").parquet(frag))
+    compacted = f"{tmp}/compacted"
+    compact_day_partitions(spark, frag, compacted,
+                           target_bytes=4 << 20)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("event_day_us")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_day_us")
+    )
+
+
+COMPACT_SMALL_FILES_SQL = """
+SELECT epoch_us(date_trunc('day', ts)) AS event_day_us,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 SPARK = {
     "events_by_type": events_by_type,
     "events_windowed": events_windowed,
@@ -807,6 +858,7 @@ SPARK = {
     "events_partition_pruned": events_partition_pruned,
     "cohort_retention": cohort_retention,
     "cdc_merge_upsert": cdc_merge_upsert,
+    "compact_small_files": compact_small_files,
 }
 
 # r11 rotation: the four r10 lenders (events_by_type / funnel /
@@ -826,6 +878,9 @@ LOCAL_SQL = {
     "cohort_retention": COHORT_RETENTION_SQL,
     # r13-new: MERGE/upsert compaction — full relational merge replay
     "cdc_merge_upsert": CDC_MERGE_UPSERT_SQL,
+    # r13-new: small-file compaction — content preservation is the
+    # value compare; file-count collapse asserted in tests
+    "compact_small_files": COMPACT_SMALL_FILES_SQL,
 }
 
 SQL = {

@@ -141,3 +141,55 @@ def merge_day_partitioned(spark: SparkSession, path: str,
             shutil.move(src, dst)
     shutil.rmtree(staged, ignore_errors=True)
     return days
+
+
+def compact_day_partitions(spark: SparkSession, path: str, out_path: str,
+                           target_bytes: int = 128 << 20) -> None:
+    """Small-file compaction for a day-partitioned layout — the
+    maintenance pass every streamed-in table needs at 100 TB (a
+    landing writes files per (epoch × task); a day ends up as
+    hundreds of small files, and small files are the classic scan
+    killer: per-file open/footer cost dominates and row-group
+    pruning degrades).
+
+    Single distributed pass, no per-day driver loop: per-day byte
+    sizes come from the LISTING (bounded metadata — one entry per
+    day), each day gets a file quota ceil(bytes/target), and rows
+    are salted ``pmod(hash(id), quota)`` so ONE shuffle
+    ``repartition(day, salt)`` bin-packs every day into at most its
+    quota of output files (hash collisions can only merge salts —
+    fewer, larger files, never more). Content is preserved exactly
+    (epoch or other sub-partition columns fold back into data
+    columns); the rewritten layout keeps planning-time day pruning.
+    """
+    import math
+
+    quotas = []
+    for d in os.listdir(path):
+        if not d.startswith(f"{_PART}="):
+            continue
+        val = d.split("=", 1)[1]
+        if val == "__HIVE_DEFAULT_PARTITION__":
+            continue
+        root = os.path.join(path, d)
+        size = sum(os.path.getsize(os.path.join(dp, f))
+                   for dp, _, fs in os.walk(root) for f in fs
+                   if not f.startswith(("_", ".")))
+        quotas.append((int(val), max(1, math.ceil(size / target_bytes))))
+    if not quotas:
+        raise ValueError(f"no day partitions under {path}")
+    qdf = spark.createDataFrame(quotas, f"{_PART} long, n_files int")
+    df = spark.read.parquet(path)
+    # EXPLICIT partition count (total quota): an unnumbered
+    # repartition participates in AQE partition coalescing, which
+    # merges the (day, salt) groups back into few tasks and collapses
+    # the per-day file counts the quota exists to control
+    n_total = sum(n for _, n in quotas)
+    salted = (
+        df.join(F.broadcast(qdf), _PART)
+        .withColumn("salt", F.pmod(F.xxhash64("event_id"),
+                                   F.col("n_files")))
+        .repartition(n_total, F.col(_PART), F.col("salt"))
+        .drop("n_files", "salt")
+    )
+    salted.write.partitionBy(_PART).mode("overwrite").parquet(out_path)

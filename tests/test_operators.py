@@ -1682,3 +1682,50 @@ def test_merge_rewrites_only_touched_days(spark, tmp_path):
     merge_day_partitioned(spark, path, changes)
     after = {tuple(r) for r in spark.read.parquet(path).collect()}
     assert after == before
+
+
+def test_compact_day_partitions(spark, tmp_path):
+    """Compaction must bin-pack each day into its byte quota of files
+    (huge target → exactly 1 file/day), preserve content exactly, and
+    keep the layout's planning-time day pruning."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from last_minute_legends_spark.sources.partitioned_events import (
+        compact_day_partitions, list_days, read_day_range,
+    )
+
+    frag = str(tmp_path / "frag")
+    (_day_rows(spark).repartition(6)
+     .withColumn("event_day_us",
+                 F.unix_micros(F.date_trunc("day", F.col("ts"))))
+     .write.partitionBy("event_day_us").mode("overwrite").parquet(frag))
+
+    def files_per_day(path):
+        return {d: len([f for f in os.listdir(os.path.join(path, d))
+                        if f.startswith("part-")])
+                for d in os.listdir(path) if d.startswith("event_day_us=")}
+
+    assert all(n > 1 for n in files_per_day(frag).values())
+
+    out = str(tmp_path / "compact")
+    compact_day_partitions(spark, frag, out, target_bytes=1 << 30)
+    per_day = files_per_day(out)
+    assert len(per_day) == 4 and all(n == 1 for n in per_day.values()), per_day
+
+    before = {tuple(r) for r in spark.read.parquet(frag).collect()}
+    after = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert after == before and len(after) == 40
+
+    # pruning retained on the compacted layout
+    days = list_days(out)
+    plan = (read_day_range(spark, out, days[-1])
+            ._jdf.queryExecution().executedPlan().toString())
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans and all("PartitionFilters: [" in ln for ln in scans), plan
+
+    # a small target yields MORE than one file for a day big enough
+    tiny = str(tmp_path / "tiny")
+    compact_day_partitions(spark, frag, tiny, target_bytes=1024)
+    assert any(n > 1 for n in files_per_day(tiny).values())
