@@ -175,6 +175,8 @@ HEADLINE = [
     # round-13: small-file compaction (fragmented layout build +
     # salted one-shuffle bin-pack + rollup read-back)
     "compact_small_files",
+    # round-13: z-order clustering (Morton rewrite + 2-D selective agg)
+    "zorder_events",
 ]
 
 STREAMING = (

@@ -837,6 +837,68 @@ ORDER BY 1
 """
 
 
+ZORDER_USER_LO, ZORDER_USER_HI = 10, 60
+
+
+def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering (sources/zorder.py): a private copy of
+    events rewritten on the Morton curve of (user_id, event_day_us),
+    then queried with a 2-D selective predicate (a user band AND the
+    last week). Day partitioning alone can't skip on user;
+    day × user partitioning explodes at 100 TB; the z-ordered flat
+    file set gives BOTH axes tight per-file min/max footer stats, so
+    any stats-aware reader skips most files
+    (tests/test_operators.py::test_zorder_skipping asserts the
+    skip-fraction from the actual parquet footers). The oracle
+    replays the 2-D aggregate from the base table — content
+    preservation + predicate semantics are the value compare."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from last_minute_legends_spark.sources.partitioned_events import DAY_US
+    from last_minute_legends_spark.sources.zorder import write_zordered
+
+    tmp = tempfile.mkdtemp(prefix="llm_spark_zorder_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    path = f"{tmp}/events_z"
+    events = (Catalog(spark, sf_dir).events
+              .filter(F.col("ts").isNotNull())
+              .withColumn("event_day_us",
+                          F.unix_micros(F.date_trunc("day", F.col("ts")))))
+    write_zordered(events, path, "user_id", "event_day_us")
+
+    zdf = spark.read.parquet(path)
+    md = zdf.agg(F.max("event_day_us").alias("m")).collect()[0].m
+    return (
+        zdf.filter(F.col("user_id").between(ZORDER_USER_LO, ZORDER_USER_HI)
+                   & (F.col("event_day_us") >= md - 6 * DAY_US))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+ZORDER_EVENTS_SQL = f"""
+WITH e AS (
+    SELECT event_type, user_id, value,
+           epoch_us(date_trunc('day', ts)) AS d
+    FROM events WHERE ts IS NOT NULL
+), mx AS (SELECT max(d) AS md FROM e)
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS sum_value
+FROM e, mx
+WHERE user_id BETWEEN {ZORDER_USER_LO} AND {ZORDER_USER_HI}
+  AND d >= md - 6 * 86400000000
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 SPARK = {
     "events_by_type": events_by_type,
     "events_windowed": events_windowed,
@@ -859,6 +921,7 @@ SPARK = {
     "cohort_retention": cohort_retention,
     "cdc_merge_upsert": cdc_merge_upsert,
     "compact_small_files": compact_small_files,
+    "zorder_events": zorder_events,
 }
 
 # r11 rotation: the four r10 lenders (events_by_type / funnel /
@@ -881,6 +944,9 @@ LOCAL_SQL = {
     # r13-new: small-file compaction — content preservation is the
     # value compare; file-count collapse asserted in tests
     "compact_small_files": COMPACT_SMALL_FILES_SQL,
+    # r13-new: z-order clustering — the 2-D selective aggregate is the
+    # value compare; footer-stats skipping asserted in tests
+    "zorder_events": ZORDER_EVENTS_SQL,
 }
 
 SQL = {

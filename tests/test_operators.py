@@ -1729,3 +1729,72 @@ def test_compact_day_partitions(spark, tmp_path):
     tiny = str(tmp_path / "tiny")
     compact_day_partitions(spark, frag, tiny, target_bytes=1024)
     assert any(n > 1 for n in files_per_day(tiny).values())
+
+
+def test_zvalue_morton_interleave(spark):
+    """Hand-computed Morton values: zvalue must interleave a on even
+    bits, b on odd bits."""
+    from last_minute_legends_spark.sources.zorder import zvalue
+
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 3), (2, 1), (65535, 0)], "a long, b long")
+    got = [r.z for r in df.select(
+        zvalue(F.col("a"), F.col("b")).alias("z")).collect()]
+    #   a=1,b=0 -> 0b01 = 1;  a=0,b=1 -> 0b10 = 2;  a=3,b=3 -> 0b1111
+    #   a=2,b=1 -> a bits on even (bit2), b bit0 on odd (bit1) -> 0b110
+    #   a=65535 (16 ones) on even positions -> 0x55555555
+    assert got == [1, 2, 15, 6, 0x55555555]
+
+
+def test_zorder_skipping(spark, tmp_path):
+    """The z-ordered layout must (a) preserve content exactly and
+    (b) make per-FILE parquet min/max stats tight on BOTH columns:
+    for a narrow user band, most files' [min,max] user ranges must
+    not overlap it at all (stats-skippable), while the unclustered
+    write leaves every file overlapping. Asserted from the actual
+    parquet footers via pyarrow — engine-independent evidence any
+    stats-aware reader skips."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from last_minute_legends_spark.sources.zorder import write_zordered
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("user_id"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(365)).alias("day"))
+    plain = str(tmp_path / "plain")
+    df.repartition(16).write.parquet(plain)
+    zpath = str(tmp_path / "z")
+    write_zordered(df, zpath, "user_id", "day", n_files=64)
+
+    def overlap_fraction(path, lo, hi):
+        files = glob.glob(f"{path}/part-*.parquet")
+        assert files
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(md.row_group(rg).column(i)
+                           for i in range(md.num_columns)
+                           if md.row_group(rg).column(i).path_in_schema
+                           == "user_id")
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            if min(mins) <= hi and max(maxs) >= lo:
+                hit += 1
+        return hit / len(files)
+
+    # content preserved exactly
+    assert ({tuple(r) for r in spark.read.parquet(zpath).collect()}
+            == {tuple(r) for r in df.collect()})
+    # a 5%-wide user band: unclustered files ALL overlap; z-ordered
+    # files mostly don't (64 files ~ an 8x8 z-grid: the band covers
+    # 1-2 of 8 user columns -> ~a quarter of files, boundary files
+    # included)
+    assert overlap_fraction(plain, 475, 525) == 1.0
+    zfrac = overlap_fraction(zpath, 475, 525)
+    assert zfrac <= 0.45, f"z-ordered overlap fraction {zfrac}"
