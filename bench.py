@@ -190,6 +190,10 @@ STREAMING = (
     # per-epoch dynamic-overwrite idempotence
     "stream_stream_join",
     "stream_partitioned_landing",
+    # r13: incremental MV maintenance over the epoch landing (lands,
+    # then folds one epoch at a time — timed end-to-end like the
+    # other streaming-driven cells)
+    "incremental_rollup",
 )
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK")

@@ -34,3 +34,23 @@ def new_records(candidates: DataFrame, published: DataFrame, key: str,
     return candidates.join(
         pub, on=candidates[key] == F.col("__pub_key"), how="left_anti"
     )
+
+
+def fold_rollup(rollup: DataFrame | None, delta: DataFrame,
+                keys: list[str], sums: list[str]) -> DataFrame:
+    """One step of incremental materialized-view maintenance for a
+    SUM-MERGEABLE rollup: fold a new delta (the aggregate of newly
+    arrived data) into the existing rollup by summing per key. The
+    100 TB refresh pattern: each maintenance pass aggregates ONLY the
+    new epoch's partitions and touches rollup state whose size is the
+    AGGREGATE's (days × types), never the fact table's — a full
+    recompute reads everything, this reads the delta.
+
+    Count/sum (and any commutative-monoid measure) compose exactly;
+    avg/min/max derive from stored sums or need their own mergeable
+    state — callers store (count, sum) and derive avg at read time."""
+    if rollup is None:
+        return delta
+    return (rollup.unionByName(delta)
+            .groupBy(*keys)
+            .agg(*[F.sum(c).alias(c) for c in sums]))

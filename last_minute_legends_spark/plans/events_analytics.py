@@ -899,6 +899,68 @@ ORDER BY event_type
 """
 
 
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance over the streamed
+    landing: events land in epochs (streaming/pipeline.py
+    land_events_partitioned), then the (day, type) rollup is
+    maintained ONE EPOCH AT A TIME — each pass reads only that
+    epoch's partitions (planning-time ``epoch = N`` PartitionFilter
+    on the nested layout, plan-asserted in
+    tests/test_operators.py::test_incremental_rollup_epoch_pruning)
+    and folds sum-mergeable (count, sum) deltas into rollup state
+    whose size is the AGGREGATE's, never the fact table's
+    (operators/incremental.py::fold_rollup). The final maintained
+    rollup must equal the single-shot aggregate of the base table —
+    that equality IS the registered value oracle, so a missed epoch,
+    a double-fold, or a non-mergeable measure all value-mismatch."""
+    import os
+
+    from last_minute_legends_spark.operators.incremental import fold_rollup
+    from last_minute_legends_spark.streaming.pipeline import (
+        land_events_partitioned,
+    )
+
+    landed_path = land_events_partitioned(spark, sf_dir)
+    epochs = sorted({
+        int(e.split("=", 1)[1])
+        for d in os.listdir(landed_path) if d.startswith("event_day_us=")
+        for e in os.listdir(os.path.join(landed_path, d))
+        if e.startswith("epoch=")})
+    landed = spark.read.parquet(landed_path)
+    rollup = None
+    for ep in epochs:
+        delta = (
+            landed.filter(F.col("epoch") == ep)
+            .filter(F.col("event_day_us").isNotNull())
+            .groupBy("event_day_us", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("raw_sum"))
+        )
+        rollup = fold_rollup(rollup, delta,
+                             keys=["event_day_us", "event_type"],
+                             sums=["n_events", "raw_sum"])
+        # materialize each maintenance step like a real refresh would
+        # (the stored state is aggregate-sized); localCheckpoint keeps
+        # the fold from re-reading every prior epoch through lineage
+        rollup = rollup.localCheckpoint(eager=True)
+    return (rollup
+            .select("event_day_us", "event_type", "n_events",
+                    F.round("raw_sum", 2).alias("sum_value"))
+            .orderBy("event_day_us", "event_type"))
+
+
+INCREMENTAL_ROLLUP_SQL = """
+SELECT epoch_us(date_trunc('day', ts)) AS event_day_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 SPARK = {
     "events_by_type": events_by_type,
     "events_windowed": events_windowed,
@@ -922,6 +984,7 @@ SPARK = {
     "cdc_merge_upsert": cdc_merge_upsert,
     "compact_small_files": compact_small_files,
     "zorder_events": zorder_events,
+    "incremental_rollup": incremental_rollup,
 }
 
 # r11 rotation: the four r10 lenders (events_by_type / funnel /
@@ -947,6 +1010,10 @@ LOCAL_SQL = {
     # r13-new: z-order clustering — the 2-D selective aggregate is the
     # value compare; footer-stats skipping asserted in tests
     "zorder_events": ZORDER_EVENTS_SQL,
+    # r13-new: incremental MV maintenance — maintained rollup must
+    # equal the single-shot aggregate (missed epoch / double-fold
+    # value-mismatches)
+    "incremental_rollup": INCREMENTAL_ROLLUP_SQL,
 }
 
 SQL = {

@@ -27,6 +27,7 @@ micro-batch; the parquet sink append is idempotent per window.
 from __future__ import annotations
 
 import atexit
+import os
 import contextlib
 import datetime
 import glob
@@ -513,19 +514,14 @@ def batch_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 LANDED_SCHEMA = "event_day_us long, n_events long, sum_value double"
 
 
-def run_partitioned_landing_pipeline(spark: SparkSession,
-                                     sf_dir: str) -> DataFrame:
-    """Stream → day-partitioned PARQUET landing, run to completion:
-    the staged events topic (multi-file, one file per trigger — real
-    multi-epoch accumulation) lands through
+def land_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events topic as multi-file parquet and stream it
+    (one file per trigger — real multi-epoch accumulation) through
     ``foreachBatch(day_partition_epoch_sink)`` into a
-    ``partitionBy(event_day_us, epoch)`` layout with per-epoch
-    dynamic-partition-overwrite idempotence, then returns the landed
-    table's daily rollup. This is the scale-safe warehouse landing —
-    the Derby JDBC epoch sink demonstrates the same semantics against
-    a database; a 100 TB deployment lands exactly like THIS, and the
-    landed layout serves planning-time day-pruned reads
-    (tests/test_streaming.py asserts the PartitionFilters on it)."""
+    ``partitionBy(event_day_us, epoch)`` layout; returns the landed
+    path (``<staging>/landed``; topic + checkpoints are consumed).
+    Shared by the landing entry and the incremental-rollup
+    maintenance entry."""
     from last_minute_legends_spark.sources.partitioned_events import (
         day_partition_epoch_sink,
     )
@@ -548,8 +544,25 @@ def run_partitioned_landing_pipeline(spark: SparkSession,
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(f"{staging}/in", ignore_errors=True)
+    shutil.rmtree(f"{staging}/ckpt", ignore_errors=True)
+    return f"{staging}/landed"
 
-    landed = spark.read.parquet(f"{staging}/landed")
+
+def run_partitioned_landing_pipeline(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Stream → day-partitioned PARQUET landing, run to completion:
+    the staged events topic (multi-file, one file per trigger — real
+    multi-epoch accumulation) lands through
+    ``foreachBatch(day_partition_epoch_sink)`` into a
+    ``partitionBy(event_day_us, epoch)`` layout with per-epoch
+    dynamic-partition-overwrite idempotence, then returns the landed
+    table's daily rollup. This is the scale-safe warehouse landing —
+    the Derby JDBC epoch sink demonstrates the same semantics against
+    a database; a 100 TB deployment lands exactly like THIS, and the
+    landed layout serves planning-time day-pruned reads
+    (tests/test_streaming.py asserts the PartitionFilters on it)."""
+    landed = spark.read.parquet(land_events_partitioned(spark, sf_dir))
     out = (
         landed.filter(F.col("event_day_us").isNotNull())
         .groupBy("event_day_us")
@@ -557,6 +570,4 @@ def run_partitioned_landing_pipeline(spark: SparkSession,
              F.round(F.sum("value"), 2).alias("sum_value"))
         .orderBy("event_day_us")
     )
-    shutil.rmtree(f"{staging}/in", ignore_errors=True)
-    shutil.rmtree(f"{staging}/ckpt", ignore_errors=True)
     return out

@@ -1798,3 +1798,44 @@ def test_zorder_skipping(spark, tmp_path):
     assert overlap_fraction(plain, 475, 525) == 1.0
     zfrac = overlap_fraction(zpath, 475, 525)
     assert zfrac <= 0.45, f"z-ordered overlap fraction {zfrac}"
+
+
+def test_incremental_rollup_epoch_pruning(spark, tmp_path):
+    """A maintenance pass must read ONLY its epoch's partitions: the
+    epoch = N filter on the (day, epoch)-partitioned landing is a
+    planning-time PartitionFilter with no data-side residue, and
+    fold_rollup composes (count, sum) deltas exactly."""
+    from pyspark.sql import functions as F
+
+    from last_minute_legends_spark.operators.incremental import fold_rollup
+    from last_minute_legends_spark.sources.partitioned_events import (
+        day_partition_epoch_sink,
+    )
+
+    path = str(tmp_path / "landed")
+    sink = day_partition_epoch_sink(path)
+    rows = _day_rows(spark)
+    sink(rows.filter("event_id % 2 = 0"), 0)
+    sink(rows.filter("event_id % 2 = 1"), 1)
+
+    landed = spark.read.parquet(path)
+    delta = (landed.filter(F.col("epoch") == 1)
+             .groupBy("event_day_us")
+             .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")))
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans, plan
+    for ln in scans:
+        pf = ln.split("PartitionFilters: ", 1)
+        assert len(pf) == 2 and "epoch#" in pf[1].split("]", 1)[0], ln
+        assert "DataFilters: []" in ln, ln
+
+    # sum-mergeable fold equals the single-shot aggregate
+    full = {(r.event_day_us, r.n, r.s) for r in
+            landed.groupBy("event_day_us")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()}
+    r0 = (landed.filter(F.col("epoch") == 0).groupBy("event_day_us")
+          .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")))
+    folded = fold_rollup(r0, delta, keys=["event_day_us"], sums=["n", "s"])
+    assert {(r.event_day_us, r.n, r.s) for r in folded.collect()} == full

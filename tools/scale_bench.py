@@ -175,6 +175,7 @@ CELLS = [
     "cdc_merge_upsert",
     "compact_small_files",
     "zorder_events",
+    "incremental_rollup",
     # events wire-format cells (events-only readers; new_records /
     # price_extraction / skew_join / catalog_text_etl /
     # events_typed_parse stay excluded — they read the TPC-H tables
