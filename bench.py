@@ -13,8 +13,10 @@ a per-cell loadavg map pushed the line past the window. Therefore:
 
 - The final stdout line carries ONLY metric/value/unit/queries/
   streaming/sf, compact separators, adaptive value precision (max 5
-  chars per cell), and a hard length guard that degrades precision and
-  finally drops the streaming map rather than ever exceeding ~1.9 KB.
+  chars per cell), and a hard length guard that degrades precision,
+  then drops the streaming map, then (r13, 84+ cells) elides the
+  cheapest per-cell entries (`queries_omitted`: N marks the
+  truncation) rather than ever exceeding ~1.9 KB.
 - ALL diagnostics (full 3-decimal timings, per-cell 1-min loadavg,
   per-cell self-CPU vs machine-CPU, streaming row counts) go to
   bench_local.json next to this file — never stdout/stderr, because
@@ -518,6 +520,22 @@ def main() -> None:
         # to the next rung instead of overflowing).
         if len(line) <= 1950:
             break
+    # r13: 84 batch cells outgrew even the (1, False) rung — the
+    # "always fits" assumption broke at ~82 cells of long key names.
+    # Final fallback: drop the CHEAPEST cells from the stdout map
+    # (their full-precision values are in bench_local.json regardless)
+    # until the line fits, recording how many were elided so a reader
+    # knows the map is a suffix-truncated view, not the whole suite.
+    if len(line) > 1950:
+        by_cost = sorted(timings, key=lambda k: timings[k])
+        omitted = 0
+        while len(line) > 1950 and omitted < len(by_cost):
+            omitted += 1
+            keep = set(by_cost[omitted:])
+            payload["queries"] = {k: fmt_secs(v, 1)
+                                  for k, v in timings.items() if k in keep}
+            payload["queries_omitted"] = omitted
+            line = json.dumps(payload, separators=(",", ":"))
     assert len(line) <= 1990, f"bench stdout line {len(line)} > capture window"
     # stop() BEFORE printing: any JVM shutdown noise on stderr then
     # precedes the JSON line instead of eating the tail of the
