@@ -1,0 +1,127 @@
+"""Portable HyperLogLog: a register-level HLL distinct-count built
+from JVM expressions only, replayable bit-for-bit by a second engine.
+
+The production sketch entry (plans/events_analytics.py::
+events_sketches) uses Spark's native ``approx_count_distinct`` —
+HLL++ inside the JVM, the right 100 TB tool but a black box no
+external oracle can replay, which forced its check to rows-only +
+error-bound tests. This module implements the classic Flajolet et
+al. HLL estimator over the portable md5-prefix hash
+(functions/portable_hash.py), so every step — hash → register index
+→ rank (leading-zero count) → per-register max → harmonic-mean
+estimate with the small-range linear-counting correction — is plain
+integer/double arithmetic that DuckDB reproduces exactly. That gives
+the sketch family its first driver-side VALUE check (the r12/r13
+``*_replay`` twin pattern: minhash, IVF, simhash, now HLL).
+
+Scale shape (same as the native sketch): two partial-aggregatable
+shuffles — (group, register) then (group) — with per-group state
+bounded at m registers regardless of input size; registers are
+sum-mergeable across partitions/epochs, which is what makes HLL the
+100 TB distinct-count answer. Everything is whole-stage-codegen
+expressions; no UDFs.
+
+Numeric determinism: the harmonic denominator is accumulated as the
+EXACT integer ``sum(2^(maxrho - Mj))`` (every term a power of two,
+bounded by m * 2^maxrho < 2^61), so the sum is order-independent;
+the only floating-point steps are one division, one optional ln, and
+the final round(4), each computed from identical inputs by both
+engines.
+
+Reference parity: the reference's analytics service has no sketch
+operator at all (its distinct counts are exact GROUP BYs,
+services/snowflake_query_service.py:33-60); this is part of the
+"operations a large-scale pipeline needs" mandate, not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+
+# 2^P registers. P=8 keeps the register frame tiny (m rows per group)
+# while landing ~6.5% standard error (1.04/sqrt(m)) on the raw branch;
+# the linear-counting branch below covers small cardinalities far more
+# tightly (measured 4.2% at n=150).
+HLL_P = 8
+HLL_M = 1 << HLL_P
+# The portable hash is 60 bits: top P index the register, the low
+# (60-P) feed the rank, whose max value is (60-P)+1 when they are all
+# zero.
+_RANK_BITS = 60 - HLL_P
+_RANK_MASK = (1 << _RANK_BITS) - 1
+_MAX_RHO = _RANK_BITS + 1
+# alpha_m * m^2 * 2^maxrho, folded to one double literal so both
+# engines parse the identical constant instead of re-deriving it with
+# possibly different operation order.
+_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_EST_NUMER = _ALPHA * HLL_M * HLL_M * float(1 << _MAX_RHO)
+# Flajolet small-range threshold: below 2.5m with empty registers the
+# harmonic estimator biases low and linear counting is exact-er.
+_SMALL_RANGE = 2.5 * HLL_M
+
+
+def hll_registers(df: DataFrame, key: Column, group_cols: list[str]) -> DataFrame:
+    """Per-(group, register) HLL state: ``mj`` = max rank observed,
+    ``n`` = rows folded in. This frame IS the mergeable sketch — a
+    union of register frames from different partitions/epochs reduces
+    with the same max/sum."""
+    h = md5_id_hash(key)
+    rem = h.bitwiseAND(F.lit(_RANK_MASK))
+    rho = (
+        F.when(rem == 0, F.lit(_MAX_RHO))
+        .otherwise(F.lit(_MAX_RHO) - F.length(F.bin(rem)))
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.shiftright(h, _RANK_BITS).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("mj"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold register state into the per-group estimate. The
+    denominator is the exact integer sum(2^(maxrho - Mj)) with absent
+    registers contributing Mj = 0 (i.e. 2^maxrho each), so the only
+    FP ops are the final division / ln / round."""
+    per_group = registers.groupBy(*group_cols).agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(_MAX_RHO) - F.col("mj")).cast("long")
+        ).alias("s_scaled"),
+        F.count(F.lit(1)).alias("nreg"),
+        F.sum("n").alias("n_events"),
+    )
+    zeros = F.lit(HLL_M) - F.col("nreg")
+    denom = F.col("s_scaled") + zeros * F.lit(1 << _MAX_RHO)
+    raw = F.lit(_EST_NUMER) / denom
+    linear = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros)
+    est = F.when(
+        (raw <= F.lit(_SMALL_RANGE)) & (F.col("nreg") < F.lit(HLL_M)), linear
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols,
+        F.round(est, 4).alias("approx_users"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register frames (e.g. one per epoch/partition batch) into
+    one: max over ranks, sum over row counts. ``merge(regs(A) ∪
+    regs(B)) == regs(A ∪ B)`` exactly — the property that lets a 100 TB
+    pipeline maintain distinct counts incrementally instead of
+    rescanning (locked by tests/test_hll_replay.py::test_hll_merge)."""
+    return (
+        registers.groupBy(*group_cols, "reg")
+        .agg(F.max("mj").alias("mj"), F.sum("n").alias("n"))
+    )
+
+
+def hll_distinct(df: DataFrame, key: Column, group_cols: list[str]) -> DataFrame:
+    """Portable-hash HLL distinct count of ``key`` per ``group_cols``."""
+    return hll_estimate(hll_registers(df, key, group_cols), group_cols)

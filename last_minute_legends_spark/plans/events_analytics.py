@@ -437,6 +437,71 @@ def events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events_sketches``' distinct-count half with a PORTABLE
+    HyperLogLog (operators/sketches.py) in place of the native HLL++
+    black box: md5-prefix hash → 256 registers → max-rank →
+    harmonic-mean estimate with the Flajolet linear-counting
+    small-range branch. Same scale shape as the native sketch (two
+    partial-aggregatable shuffles, per-group state capped at m
+    registers, registers sum-mergeable across epochs) but every
+    arithmetic step replays bit-for-bit in the driver's DuckDB gate —
+    the sketch family's first driver-side VALUE check (r12/r13
+    replay-twin pattern). Both estimator branches are exercised by
+    the test corpora: sf0.01 lands in linear counting (n=150 < 2.5m),
+    sf0.1 in the raw harmonic branch (n=1500). Accuracy vs
+    the exact distinct and vs native approx_count_distinct is
+    asserted in tests/test_hll_replay.py."""
+    from last_minute_legends_spark.operators.sketches import hll_distinct
+
+    ev = Catalog(spark, sf_dir).events
+    return hll_distinct(ev, F.col("user_id"), ["event_type"]).orderBy(
+        "event_type")
+
+
+def _hll_replay_sql() -> str:
+    """From-scratch DuckDB replay of the portable HLL: identical
+    hash, register math, exact-integer harmonic denominator, and
+    branch condition."""
+    from last_minute_legends_spark.operators.sketches import (
+        HLL_M, _EST_NUMER, _MAX_RHO, _RANK_BITS, _RANK_MASK, _SMALL_RANGE,
+    )
+    from last_minute_legends_spark.functions.portable_hash import duck_hash60
+
+    h = duck_hash60("user_id::VARCHAR")
+    scale = 1 << _MAX_RHO
+    return f"""
+WITH h AS (
+    SELECT event_type, {h} AS h FROM events
+), rr AS (
+    SELECT event_type, h >> {_RANK_BITS} AS reg,
+           CASE WHEN (h & {_RANK_MASK}) = 0 THEN {_MAX_RHO}
+                ELSE {_MAX_RHO} - length(bin(h & {_RANK_MASK})) END AS rho
+    FROM h
+), regs AS (
+    SELECT event_type, reg, max(rho) AS mj, count(*) AS n
+    FROM rr GROUP BY 1, 2
+), pt AS (
+    SELECT event_type,
+           sum(CAST(power(2, {_MAX_RHO} - mj) AS BIGINT)) AS s_scaled,
+           count(*) AS nreg, sum(n) AS n_events
+    FROM regs GROUP BY 1
+)
+SELECT event_type,
+       round(CASE WHEN {_EST_NUMER!r} / (s_scaled + ({HLL_M} - nreg) * {scale}) <= {_SMALL_RANGE!r}
+                   AND nreg < {HLL_M}
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - nreg))
+              ELSE {_EST_NUMER!r} / (s_scaled + ({HLL_M} - nreg) * {scale}) END,
+             4) AS approx_users,
+       CAST(n_events AS BIGINT) AS n_events
+FROM pt
+ORDER BY event_type
+"""
+
+
+EVENTS_HLL_REPLAY_SQL = _hll_replay_sql()
+
+
 # --- rollup_timeseries: multi-resolution continuous aggregate -------------
 
 def rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -976,6 +1041,7 @@ SPARK = {
     "events_quantiles": events_quantiles,
     "moving_avg": moving_avg,
     "events_sketches": events_sketches,
+    "events_hll_replay": events_hll_replay,
     "rollup_timeseries": rollup_timeseries,
     "latest_by_user": latest_by_user,
     "skew_join": skew_join,
@@ -1030,7 +1096,10 @@ SQL = {
     "range_join": RANGE_JOIN_SQL,
     "events_quantiles": EVENTS_QUANTILES_SQL,
     "moving_avg": MOVING_AVG_SQL,
-    "events_sketches": None,   # sketch estimates: rows-only + error-bound test
+    "events_sketches": None,   # native HLL++/quantile sketch: rows-only +
+    # error-bound test; its portable twin below carries the family's
+    # driver-side value check
+    "events_hll_replay": EVENTS_HLL_REPLAY_SQL,
     "rollup_timeseries": ROLLUP_TIMESERIES_SQL,
     "latest_by_user": LATEST_BY_USER_SQL,
 }

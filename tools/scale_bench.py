@@ -181,6 +181,8 @@ CELLS = [
     # events_typed_parse stay excluded — they read the TPC-H tables
     # the generator does not scale)
     "events_sketches",
+    "events_hll_replay",  # r13: portable-HLL twin — same two-shuffle
+    # register shape as the native sketch, md5 instead of xxhash64
     "stream_json_parse",
     "events_avro_roundtrip",
     # r12: the core-OLAP family ladders too — gen_tpch scales the
