@@ -273,6 +273,94 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _signature_bands(sh: DataFrame, perm_hash, band_hash) -> DataFrame:
+    """(doc_id, n_sh, band, bv) LSH band rows from an exploded shingle
+    frame. n_sh comes out of the SAME signature groupBy (stamped on
+    every shingle row by _shingle_sets) — no separate sizes table, and
+    it rides the band rows into the candidate join where the lossless
+    PPJoin length filter (min ≥ t·max, see jaccard_pairs) prunes
+    size-mismatched collisions before the verify enumeration."""
+    aggs = [
+        F.min(perm_hash(F.col("s"), i)).alias(f"h{i}")
+        for i in range(N_PERM)
+    ]
+    sig = sh.groupBy("doc_id").agg(F.min("n_sh").alias("n_sh"), *aggs)
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            band_hash(*[F.col(f"h{b * ROWS_PER_BAND + r}")
+                        for r in range(ROWS_PER_BAND)]).alias("bv"),
+        )
+        for b in range(N_BANDS)
+    ])
+    return sig.select("doc_id", "n_sh", F.explode(bands).alias("bs")).select(
+        "doc_id", "n_sh", F.col("bs.band").alias("band"), F.col("bs.bv").alias("bv")
+    )
+
+
+def minhash_lsh_cross(corpus: DataFrame, reference: DataFrame,
+                      threshold: float = 0.8, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      perm_hash=None, band_hash=None) -> DataFrame:
+    """Asymmetric MinHash-LSH: near-matches of a big ``corpus``
+    against a SMALL ``reference`` set (fuzzy decontamination — train
+    corpus vs eval benchmarks — or any corpus-vs-allowlist/blocklist
+    shape). Returns (doc_id, ref_doc_id, jaccard) for every corpus
+    doc whose true shingle Jaccard with a reference doc is ≥ t
+    (modulo LSH misses, ~0.5% at t=0.8 with 8×4 banding).
+
+    Scale shape — what makes this different from running
+    minhash_lsh_pairs on the union: the reference side (band rows AND
+    its exploded shingles) is BROADCAST, so the corpus crosses the
+    wire exactly once, as map-side-combined signature partials
+    (N_PERM longs per doc per map partition); candidate verification
+    joins corpus shingles to the broadcast reference shingles with no
+    corpus×corpus pairing anywhere. A 100 TB corpus against a
+    few-thousand-doc eval suite never shuffles its text and never
+    self-joins. The reference side must fit in a broadcast (~eval
+    suites do); for reference sets beyond that, fall back to
+    minhash_lsh_pairs on the union, which co-shuffles both sides.
+
+    ``perm_hash`` / ``band_hash`` are injectable exactly as in
+    minhash_lsh_pairs (the portable md5 forms make the whole pipeline
+    DuckDB-replayable — plans/curation_q.py::decontaminate_fuzzy
+    registers that form as its driver-gate oracle)."""
+    perm_hash = perm_hash or _xx_perm_hash
+    band_hash = band_hash or F.xxhash64
+    sh_c = _shingle_sets(corpus, id_col, text_col, n).persist()
+    sh_r = _shingle_sets(reference, id_col, text_col, n).persist()
+    cb = _signature_bands(sh_c, perm_hash, band_hash).alias("a")
+    rb = F.broadcast(_signature_bands(sh_r, perm_hash, band_hash)).alias("b")
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    length_ok = F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb) - F.lit(1e-9)
+    cand = (
+        cb.join(rb, (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bv") == F.col("b.bv")) & length_ok)
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("ref_doc_id"),
+            na.alias("na"), nb.alias("nb"),
+        )
+        .distinct()
+    )
+    sha = sh_c.select(F.col("doc_id"), F.col("s").alias("sa"))
+    shb = F.broadcast(
+        sh_r.select(F.col("doc_id").alias("ref_doc_id"), F.col("s").alias("sb"))
+    )
+    inter = (
+        cand.join(sha, "doc_id").join(shb, "ref_doc_id")
+        .filter(F.col("sa") == F.col("sb"))
+        .groupBy("doc_id", "ref_doc_id", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "ref_doc_id", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
                       id_col: str = "doc_id", text_col: str = "text",
                       n: int = 3, perm_hash=None, band_hash=None) -> DataFrame:
@@ -293,27 +381,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
     # shingles feed the signature pass, both verify sides, and sizes —
     # persist the exploded frame once (LRU-evicted, disk-spillable)
     sh = _shingle_sets(docs, id_col, text_col, n).persist()
-    aggs = [
-        F.min(perm_hash(F.col("s"), i)).alias(f"h{i}")
-        for i in range(N_PERM)
-    ]
-    # n_sh comes out of the SAME signature groupBy (stamped on every
-    # shingle row by _shingle_sets) — no separate sizes table, and it
-    # rides the band rows into the candidate join where the lossless
-    # PPJoin length filter (min ≥ t·max, see jaccard_pairs) prunes
-    # size-mismatched collisions before the verify enumeration.
-    sig = sh.groupBy("doc_id").agg(F.min("n_sh").alias("n_sh"), *aggs)
-    bands = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            band_hash(*[F.col(f"h{b * ROWS_PER_BAND + r}")
-                        for r in range(ROWS_PER_BAND)]).alias("bv"),
-        )
-        for b in range(N_BANDS)
-    ])
-    exploded = sig.select("doc_id", "n_sh", F.explode(bands).alias("bs")).select(
-        "doc_id", "n_sh", F.col("bs.band").alias("band"), F.col("bs.bv").alias("bv")
-    )
+    exploded = _signature_bands(sh, perm_hash, band_hash)
     a, b = exploded.alias("a"), exploded.alias("b")
     na, nb = F.col("a.n_sh"), F.col("b.n_sh")
     length_ok = F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb) - F.lit(1e-9)

@@ -184,6 +184,101 @@ ORDER BY doc_id
 """
 
 
+FUZZY_DECONT_THRESHOLD = 0.8
+
+
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination: train documents that are NEAR-duplicates
+    (true 3-shingle Jaccard ≥ 0.8) of an eval document — catching the
+    lightly-edited benchmark copies exact n-gram matching
+    (``decontaminate``) misses. Built on the asymmetric broadcast LSH
+    (operators/dedup.py::minhash_lsh_cross): the eval side's band
+    rows and shingles broadcast, the train corpus crosses the wire
+    once as signature partials and never self-joins — the shape that
+    survives a 100 TB train corpus against a few-thousand-doc eval
+    suite. Registered with the portable md5 hash (the
+    dedup_minhash_lsh_replay pattern), so the driver gate
+    value-checks signatures → band keys → candidates → exact-Jaccard
+    verify; production xxhash64 parity is locked in
+    tests/test_fuzzy_decont.py."""
+    from last_minute_legends_spark.functions.portable_hash import (
+        concat_band_key, md5_perm_hash,
+    )
+    from last_minute_legends_spark.operators.dedup import minhash_lsh_cross
+
+    docs = _docs_spread(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 7 == 0)
+    return minhash_lsh_cross(
+        train, eval_set, threshold=FUZZY_DECONT_THRESHOLD,
+        perm_hash=md5_perm_hash, band_hash=concat_band_key,
+    ).orderBy("doc_id", "ref_doc_id")
+
+
+def _fuzzy_decont_sql() -> str:
+    """From-scratch DuckDB replay of the asymmetric pipeline: shared
+    shingle/signature/band CTEs over the whole corpus, the candidate
+    join restricted to train×eval by the %7 split (signatures depend
+    only on a doc's own shingles, so splitting before or after
+    signing is equivalent), then the exact-Jaccard verify."""
+    from last_minute_legends_spark.functions.portable_hash import duck_hash60
+    from last_minute_legends_spark.operators.dedup import (
+        N_BANDS, N_PERM, ROWS_PER_BAND,
+    )
+
+    t = FUZZY_DECONT_THRESHOLD
+    mins = ", ".join(
+        "min({h}) AS h{i}".format(h=duck_hash60("s || ':{}'".format(i)), i=i)
+        for i in range(N_PERM)
+    )
+    band_selects = "\n    UNION ALL ".join(
+        "SELECT doc_id, n_sh, {b} AS band, {bv} AS bv FROM sig".format(
+            b=b,
+            bv=" || '|' || ".join(
+                f"h{b * ROWS_PER_BAND + r}::VARCHAR"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return rf"""
+WITH tok AS (
+    SELECT doc_id,
+           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+    FROM tok, UNNEST(generate_series(1, len(w) - 2)) t(i)
+), sig AS (
+    SELECT doc_id, count(*) AS n_sh, {mins}
+    FROM sh GROUP BY doc_id
+), bands AS (
+    {band_selects}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS ref_doc_id,
+           a.n_sh AS na, b.n_sh AS nb
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bv = b.bv
+     AND a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+     AND least(a.n_sh, b.n_sh) >= {t} * greatest(a.n_sh, b.n_sh) - 1e-9
+), inter AS (
+    SELECT cand.doc_id, ref_doc_id, na, nb, count(*) AS inter
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.doc_id
+    JOIN sh sb ON sb.doc_id = cand.ref_doc_id AND sa.s = sb.s
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id, ref_doc_id,
+       round(inter / (na + nb - inter), 4) AS jaccard
+FROM inter
+WHERE inter / (na + nb - inter) >= {t}
+ORDER BY doc_id, ref_doc_id
+"""
+
+
+DECONTAMINATE_FUZZY_SQL = _fuzzy_decont_sql()
+
+
 def curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL curation flagship: every gate a pretraining pipeline
     applies before a document reaches the tokenizer —
@@ -614,6 +709,7 @@ SPARK = {
     "text_repetition": text_repetition,
     "dedup_paragraph": dedup_paragraph,
     "decontaminate": decontaminate_train,
+    "decontaminate_fuzzy": decontaminate_fuzzy,
     "curated_training_set": curated_training_set,
     "pack_shards": pack_training_shards,
     "mixture_sample": mixture_sample_weighted,
@@ -635,6 +731,7 @@ SQL = {
     "text_repetition": TEXT_REPETITION_SQL,
     "dedup_paragraph": DEDUP_PARAGRAPH_SQL,
     "decontaminate": DECONTAMINATE_SQL,
+    "decontaminate_fuzzy": DECONTAMINATE_FUZZY_SQL,
     "curated_training_set": CURATED_TRAINING_SET_SQL,
     "pack_shards": PACK_SHARDS_SQL,
     "mixture_sample": MIXTURE_SAMPLE_SQL,

@@ -250,6 +250,24 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     )
 
 
+def test_decontaminate_fuzzy_broadcasts_eval_side(spark, sf_dir):
+    """The asymmetric LSH must broadcast BOTH eval-side frames — band
+    rows into the candidate join and eval shingles into the verify
+    join. A sort-merge join on the band or shingle keys would mean
+    the train corpus' band/shingle stream shuffled, the exact cost
+    minhash_lsh_cross exists to avoid."""
+    from last_minute_legends_spark.plans.curation_q import decontaminate_fuzzy
+
+    plan = _plan(decontaminate_fuzzy(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "eval band rows and eval shingles must both broadcast"
+    )
+    assert "SortMergeJoin [band#" not in plan and \
+        "SortMergeJoin [bv#" not in plan, (
+            "train band rows shuffled into the candidate join"
+        )
+
+
 def test_ivf_assignment_is_narrow(spark, sf_dir):
     """Bucket assignment against a trained centroid model must be a
     narrow map over the candidate scan — no join, no aggregation

@@ -145,6 +145,10 @@ CELLS = [
     "pack_shards",
     "mixture_sample",
     "decontaminate",
+    "decontaminate_fuzzy",  # r13: asymmetric broadcast LSH — the %7 eval
+    # split scales with the corpus here (worst case for the broadcast);
+    # a production eval suite is fixed-size, so the measured exponent is
+    # an upper bound on the real deployment's
     "training_set",
     "train_val_split",
     "multimodal_features",
