@@ -459,10 +459,14 @@ def events_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type")
 
 
-def _hll_replay_sql() -> str:
-    """From-scratch DuckDB replay of the portable HLL: identical
-    hash, register math, exact-integer harmonic denominator, and
-    branch condition."""
+def _hll_sql(group_expr: str, group_alias: str, where: str = "") -> str:
+    """From-scratch DuckDB replay of the portable HLL over ``events``
+    grouped by ``group_expr``: identical hash, register math,
+    exact-integer harmonic denominator, and branch condition as
+    operators/sketches.py. Shared by the single-shot replay twin and
+    the incrementally-maintained variant — whose oracle being the
+    SINGLE-SHOT derivation is exactly what makes a broken merge or a
+    missed epoch a value mismatch."""
     from last_minute_legends_spark.operators.sketches import (
         HLL_M, _EST_NUMER, _MAX_RHO, _RANK_BITS, _RANK_MASK, _SMALL_RANGE,
     )
@@ -472,22 +476,22 @@ def _hll_replay_sql() -> str:
     scale = 1 << _MAX_RHO
     return f"""
 WITH h AS (
-    SELECT event_type, {h} AS h FROM events
+    SELECT {group_expr} AS {group_alias}, {h} AS h FROM events {where}
 ), rr AS (
-    SELECT event_type, h >> {_RANK_BITS} AS reg,
+    SELECT {group_alias}, h >> {_RANK_BITS} AS reg,
            CASE WHEN (h & {_RANK_MASK}) = 0 THEN {_MAX_RHO}
                 ELSE {_MAX_RHO} - length(bin(h & {_RANK_MASK})) END AS rho
     FROM h
 ), regs AS (
-    SELECT event_type, reg, max(rho) AS mj, count(*) AS n
+    SELECT {group_alias}, reg, max(rho) AS mj, count(*) AS n
     FROM rr GROUP BY 1, 2
 ), pt AS (
-    SELECT event_type,
+    SELECT {group_alias},
            sum(CAST(power(2, {_MAX_RHO} - mj) AS BIGINT)) AS s_scaled,
            count(*) AS nreg, sum(n) AS n_events
     FROM regs GROUP BY 1
 )
-SELECT event_type,
+SELECT {group_alias},
        round(CASE WHEN {_EST_NUMER!r} / (s_scaled + ({HLL_M} - nreg) * {scale}) <= {_SMALL_RANGE!r}
                    AND nreg < {HLL_M}
               THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - nreg))
@@ -495,11 +499,11 @@ SELECT event_type,
              4) AS approx_users,
        CAST(n_events AS BIGINT) AS n_events
 FROM pt
-ORDER BY event_type
+ORDER BY {group_alias}
 """
 
 
-EVENTS_HLL_REPLAY_SQL = _hll_replay_sql()
+EVENTS_HLL_REPLAY_SQL = _hll_sql("event_type", "event_type")
 
 
 # --- rollup_timeseries: multi-resolution continuous aggregate -------------
@@ -1026,6 +1030,61 @@ ORDER BY 1, 2
 """
 
 
+def incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-at-a-time maintenance of per-day DISTINCT users — the
+    aggregate ``incremental_rollup`` structurally CANNOT maintain:
+    count-distinct is not sum-mergeable, so an exact incremental
+    refresh would have to re-read the whole fact table every epoch.
+    HLL register state IS mergeable (max over ranks, sum over
+    counts), so each maintenance pass reads ONLY that epoch's
+    partitions of the streamed landing (same planning-time ``epoch``
+    PartitionFilter as incremental_rollup), folds the epoch's
+    register delta into running state bounded at m registers per day
+    (operators/sketches.py::hll_merge), and only the FINAL state is
+    estimated. merge-exactness (tests/test_hll_replay.py) makes the
+    maintained registers identical to a single-shot build, so the
+    registered oracle is the single-shot DuckDB HLL replay over the
+    base table — a missed epoch, a double-fold, or a broken merge
+    value-mismatches. This is the 100 TB daily-active-users pattern:
+    per-epoch cost ∝ epoch size, state ∝ days × m."""
+    import os
+
+    from last_minute_legends_spark.operators.sketches import (
+        hll_estimate, hll_merge, hll_registers,
+    )
+    from last_minute_legends_spark.streaming.pipeline import (
+        land_events_partitioned,
+    )
+
+    landed_path = land_events_partitioned(spark, sf_dir)
+    epochs = sorted({
+        int(e.split("=", 1)[1])
+        for d in os.listdir(landed_path) if d.startswith("event_day_us=")
+        for e in os.listdir(os.path.join(landed_path, d))
+        if e.startswith("epoch=")})
+    landed = spark.read.parquet(landed_path)
+    regs = None
+    for ep in epochs:
+        delta = hll_registers(
+            landed.filter(F.col("epoch") == ep)
+            .filter(F.col("event_day_us").isNotNull()),
+            F.col("user_id"), ["event_day_us"],
+        )
+        regs = delta if regs is None else hll_merge(
+            regs.unionByName(delta), ["event_day_us"])
+        # materialize each maintenance step like a real refresh would
+        # (stored state is register-sized: days × m rows);
+        # localCheckpoint keeps the fold from re-reading every prior
+        # epoch through lineage
+        regs = regs.localCheckpoint(eager=True)
+    return hll_estimate(regs, ["event_day_us"]).orderBy("event_day_us")
+
+
+INCREMENTAL_DISTINCT_SQL = _hll_sql(
+    "epoch_us(date_trunc('day', ts))", "event_day_us",
+    where="WHERE ts IS NOT NULL")
+
+
 SPARK = {
     "events_by_type": events_by_type,
     "events_windowed": events_windowed,
@@ -1051,6 +1110,7 @@ SPARK = {
     "compact_small_files": compact_small_files,
     "zorder_events": zorder_events,
     "incremental_rollup": incremental_rollup,
+    "incremental_distinct": incremental_distinct,
 }
 
 # r11 rotation: the four r10 lenders (events_by_type / funnel /
@@ -1100,6 +1160,10 @@ SQL = {
     # error-bound test; its portable twin below carries the family's
     # driver-side value check
     "events_hll_replay": EVENTS_HLL_REPLAY_SQL,
+    # r13: incrementally-maintained HLL distinct — the oracle is the
+    # single-shot replay over the base table, so the epoch fold must
+    # reproduce it exactly
+    "incremental_distinct": INCREMENTAL_DISTINCT_SQL,
     "rollup_timeseries": ROLLUP_TIMESERIES_SQL,
     "latest_by_user": LATEST_BY_USER_SQL,
 }

@@ -93,6 +93,29 @@ def test_hll_merge(spark):
     assert abs(merged[0]["approx_users"] - 900) / 900 < 0.20
 
 
+def test_incremental_distinct_equals_single_shot(spark, sf_dir):
+    """The epoch-maintained registers must estimate EXACTLY like one
+    single-shot build over the same landed table — the property the
+    registered oracle also checks (vs DuckDB on the base table), here
+    asserted Spark-vs-Spark so a landing/fold bug is distinguishable
+    from a codec/oracle bug."""
+    from last_minute_legends_spark.plans.events_analytics import (
+        incremental_distinct,
+    )
+    from last_minute_legends_spark.streaming.pipeline import (
+        land_events_partitioned,
+    )
+
+    maintained = incremental_distinct(spark, sf_dir).collect()
+    landed = spark.read.parquet(land_events_partitioned(spark, sf_dir))
+    single = (
+        hll_distinct(landed.filter(F.col("event_day_us").isNotNull()),
+                     F.col("user_id"), ["event_day_us"])
+        .orderBy("event_day_us").collect()
+    )
+    assert [tuple(r) for r in maintained] == [tuple(r) for r in single]
+
+
 def test_hll_vs_native(spark, sf_dir):
     """The portable estimator agrees with Spark's native HLL++ to
     within the sum of their error budgets — ties the replay twin to

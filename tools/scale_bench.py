@@ -180,6 +180,8 @@ CELLS = [
     "compact_small_files",
     "zorder_events",
     "incremental_rollup",
+    "incremental_distinct",  # r13: HLL-register MV maintenance — per-epoch
+    # cost ∝ epoch size, state ∝ days × m
     # events wire-format cells (events-only readers; new_records /
     # price_extraction / skew_join / catalog_text_etl /
     # events_typed_parse stay excluded — they read the TPC-H tables
