@@ -194,8 +194,10 @@ STREAMING = (
     "stream_partitioned_landing",
     # r13: incremental MV maintenance over the epoch landing (lands,
     # then folds one epoch at a time — timed end-to-end like the
-    # other streaming-driven cells)
+    # other streaming-driven cells); incremental_distinct is its
+    # HLL-register sibling for the non-sum-mergeable distinct count
     "incremental_rollup",
+    "incremental_distinct",
 )
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK")

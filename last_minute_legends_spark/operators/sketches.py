@@ -66,7 +66,16 @@ def hll_registers(df: DataFrame, key: Column, group_cols: list[str]) -> DataFram
     """Per-(group, register) HLL state: ``mj`` = max rank observed,
     ``n`` = rows folded in. This frame IS the mergeable sketch — a
     union of register frames from different partitions/epochs reduces
-    with the same max/sum."""
+    with the same max/sum.
+
+    NULL-key policy (explicit, matching ``count(DISTINCT key)``):
+    NULL keys are dropped before hashing. Without the filter a NULL
+    hash would form a phantom register that inflates ``nreg`` while
+    contributing nothing to the harmonic sum — identically on both
+    engines (NULL-ignoring sums vs count(*)), so the replay would
+    still match, but the estimate would silently diverge from the
+    distinct-count semantics the sketch stands in for."""
+    df = df.filter(key.isNotNull())
     h = md5_id_hash(key)
     rem = h.bitwiseAND(F.lit(_RANK_MASK))
     rho = (

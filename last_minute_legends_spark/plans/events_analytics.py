@@ -474,6 +474,9 @@ def _hll_sql(group_expr: str, group_alias: str, where: str = "") -> str:
 
     h = duck_hash60("user_id::VARCHAR")
     scale = 1 << _MAX_RHO
+    # NULL keys are dropped on both engines (hll_registers' explicit
+    # NULL-key policy — count(DISTINCT) semantics)
+    where = (where + " AND " if where else "WHERE ") + "user_id IS NOT NULL"
     return f"""
 WITH h AS (
     SELECT {group_expr} AS {group_alias}, {h} AS h FROM events {where}
