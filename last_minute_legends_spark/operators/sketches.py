@@ -134,3 +134,103 @@ def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
 def hll_distinct(df: DataFrame, key: Column, group_cols: list[str]) -> DataFrame:
     """Portable-hash HLL distinct count of ``key`` per ``group_cols``."""
     return hll_estimate(hll_registers(df, key, group_cols), group_cols)
+
+
+# --- portable histogram quantiles ------------------------------------------
+#
+# The quantile half of the sketch story: Spark's percentile_approx is
+# a positional summary no second engine reproduces, so (like HLL++
+# above) its external check could only ever be rows-only. The
+# equi-width-histogram estimator below is the replayable, mergeable
+# stand-in: two partial-aggregatable passes (exact per-group min/max/
+# count, then per-(group, bin) counts with state bounded at HIST_BINS
+# rows per group), quantiles interpolated uniform-within-bin. Bin
+# counts are sum-mergeable across partitions/epochs once the bin edges
+# (the stats frame) are fixed — the same incremental lifecycle as the
+# HLL registers. The estimate lands in the same bin as the DISCRETE
+# percentile (the data value at rank ⌈q·n⌉), so their distance is
+# bounded by one bin width, (max-min)/HIST_BINS — asserted in
+# tests/test_hist_quantile.py. (No histogram estimator can bound the
+# distance to an INTERPOLATED percentile: in a sparse tail it sits
+# between data values that can span many empty bins.)
+
+HIST_BINS = 64
+
+
+def hist_stats(df: DataFrame, value: Column, group_cols: list[str]) -> DataFrame:
+    """Per-group exact (mn, mx, n) — fixes the bin edges. NULL values
+    are dropped (count(value) semantics), mirroring the oracle."""
+    df = df.filter(value.isNotNull())
+    return df.groupBy(*group_cols).agg(
+        F.min(value).alias("mn"), F.max(value).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def hist_bins(df: DataFrame, value: Column, group_cols: list[str],
+              stats: DataFrame) -> DataFrame:
+    """Per-(group, bin) counts against the bin edges ``stats`` fixed.
+    The degenerate mx == mn group collapses into bin 0."""
+    df = df.filter(value.isNotNull())
+    binned = df.join(F.broadcast(stats), group_cols)
+    bin_col = F.when(
+        F.col("mx") == F.col("mn"), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.lit(HIST_BINS - 1),
+            F.floor((value - F.col("mn")) / (F.col("mx") - F.col("mn"))
+                    * F.lit(float(HIST_BINS))).cast("int"),
+        )
+    )
+    return (
+        binned.select(*group_cols, bin_col.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(bins: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge bin frames built against the SAME stats (epochs/partition
+    batches): counts sum. merge(bins(A) ∪ bins(B)) == bins(A ∪ B)
+    exactly (tests/test_hist_quantile.py::test_hist_merge)."""
+    return bins.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(bins: DataFrame, stats: DataFrame,
+                   group_cols: list[str],
+                   qs: dict[str, float]) -> DataFrame:
+    """Per-group quantile estimates from bin counts: the target rank
+    q·n falls in the first bin whose cumulative count reaches it;
+    interpolate uniform-within-bin. Every step is plain arithmetic
+    over the (group × ≤HIST_BINS)-row frame — identical on the
+    replaying engine."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(HIST_BINS))
+    rows = (
+        bins.join(F.broadcast(stats), group_cols)
+        .withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("prev", F.col("cum") - F.col("cnt"))
+    )
+    aggs = []
+    for name, q in qs.items():
+        target = F.lit(q) * F.col("n")
+        est = F.when(
+            F.col("mx") == F.col("mn"), F.col("mn")
+        ).otherwise(
+            F.col("mn")
+            + (F.col("bin") + (target - F.col("prev")) / F.col("cnt")) * width
+        )
+        hit = F.when((F.col("prev") < target) & (F.col("cum") >= target), est)
+        aggs.append(F.round(F.min(hit), 4).alias(name))
+    return rows.groupBy(*group_cols).agg(
+        *aggs, F.max("n").cast("long").alias("n_events"))
+
+
+def hist_quantile(df: DataFrame, value: Column, group_cols: list[str],
+                  qs: dict[str, float]) -> DataFrame:
+    """Two-pass portable histogram quantiles of ``value`` per group."""
+    stats = hist_stats(df, value, group_cols)
+    bins = hist_bins(df, value, group_cols, stats)
+    return hist_quantiles(bins, stats, group_cols, qs)

@@ -509,6 +509,80 @@ ORDER BY {group_alias}
 EVENTS_HLL_REPLAY_SQL = _hll_sql("event_type", "event_type")
 
 
+def events_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUANTILE half of the sketch story made replayable:
+    ``events_sketches``' p95 uses percentile_approx, a positional
+    summary no second engine reproduces — this twin estimates
+    p50/p95/p99 of ``value`` per event type with a portable
+    equi-width-histogram sketch (operators/sketches.py): exact
+    per-group (min, max, count) fixes the bin edges, a second
+    partial-aggregatable pass counts HIST_BINS bins per group,
+    quantiles interpolate uniform-within-bin. Per-group state is
+    m-bounded and the bin counts sum-merge across epochs against
+    fixed edges (merge exactness + the one-bin-width error bound vs
+    the discrete value-at-rank percentile are locked in
+    tests/test_hist_quantile.py).
+    Every arithmetic step replays in the DuckDB gate."""
+    from last_minute_legends_spark.operators.sketches import hist_quantile
+
+    ev = Catalog(spark, sf_dir).events
+    return hist_quantile(
+        ev, F.col("value"), ["event_type"],
+        qs={"p50": 0.5, "p95": 0.95, "p99": 0.99},
+    ).orderBy("event_type")
+
+
+def _hist_quantile_sql() -> str:
+    """From-scratch DuckDB replay of the histogram-quantile pipeline.
+    Numeric literals are forced to DOUBLE (DuckDB parses bare decimal
+    literals as DECIMAL, whose arithmetic would diverge from Spark's
+    doubles)."""
+    from last_minute_legends_spark.operators.sketches import HIST_BINS
+
+    nb = f"({float(HIST_BINS)!r}::DOUBLE)"
+    picks = []
+    for name, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+        t = f"({q!r}::DOUBLE) * n"
+        picks.append(
+            f"""round(min(CASE WHEN prev < {t} AND cum >= {t} THEN
+                 CASE WHEN mx = mn THEN mn
+                      ELSE mn + (bin + ({t} - prev) / cnt) * ((mx - mn) / {nb})
+                 END END), 4) AS {name}"""
+        )
+    pick_sql = ",\n       ".join(picks)
+    return f"""
+WITH v AS (
+    SELECT event_type, value FROM events WHERE value IS NOT NULL
+), st AS (
+    SELECT event_type, min(value) AS mn, max(value) AS mx, count(*) AS n
+    FROM v GROUP BY 1
+), b AS (
+    SELECT v.event_type,
+           CASE WHEN mx = mn THEN 0
+                ELSE least({HIST_BINS - 1},
+                           CAST(floor((value - mn) / (mx - mn) * {nb}) AS INT))
+           END AS bin,
+           count(*) AS cnt
+    FROM v JOIN st USING (event_type) GROUP BY 1, 2
+), r AS (
+    SELECT b.event_type, bin, cnt, mn, mx, n,
+           sum(cnt) OVER (PARTITION BY b.event_type ORDER BY bin) AS cum
+    FROM b JOIN st USING (event_type)
+), rr AS (
+    SELECT *, cum - cnt AS prev FROM r
+)
+SELECT event_type,
+       {pick_sql},
+       CAST(max(n) AS BIGINT) AS n_events
+FROM rr
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+EVENTS_HIST_QUANTILE_SQL = _hist_quantile_sql()
+
+
 # --- rollup_timeseries: multi-resolution continuous aggregate -------------
 
 def rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,6 +1178,7 @@ SPARK = {
     "moving_avg": moving_avg,
     "events_sketches": events_sketches,
     "events_hll_replay": events_hll_replay,
+    "events_hist_quantile": events_hist_quantile,
     "rollup_timeseries": rollup_timeseries,
     "latest_by_user": latest_by_user,
     "skew_join": skew_join,
@@ -1163,6 +1238,9 @@ SQL = {
     # error-bound test; its portable twin below carries the family's
     # driver-side value check
     "events_hll_replay": EVENTS_HLL_REPLAY_SQL,
+    # r13: portable histogram-quantile twin — the percentile_approx
+    # black box gets the same replayable stand-in HLL++ got above
+    "events_hist_quantile": EVENTS_HIST_QUANTILE_SQL,
     # r13: incrementally-maintained HLL distinct — the oracle is the
     # single-shot replay over the base table, so the epoch fold must
     # reproduce it exactly

@@ -1,0 +1,76 @@
+"""Portable histogram-quantile sketch: error bound vs exact
+percentiles, merge exactness, and degenerate-group handling. The
+registry entry's DuckDB value compare runs via tests/test_oracle.py
+and the driver gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from last_minute_legends_spark.operators.sketches import (
+    HIST_BINS,
+    hist_bins,
+    hist_merge,
+    hist_quantile,
+    hist_quantiles,
+    hist_stats,
+)
+from last_minute_legends_spark.plans.events_analytics import (
+    events_hist_quantile,
+)
+from last_minute_legends_spark.sources.tables import Catalog
+
+QS = {"p50": 0.5, "p95": 0.95, "p99": 0.99}
+
+
+def test_hist_error_bound(spark, sf_dir):
+    """The estimate lands in the same bin as the DISCRETE percentile
+    (the data value at rank ⌈q·n⌉), so their distance is bounded by
+    one bin width. (The bound is stated against the discrete
+    percentile deliberately: an INTERPOLATED percentile in a sparse
+    tail sits between data values that can be many empty bins apart,
+    which no histogram estimator can bound.)"""
+    import math
+
+    ev = Catalog(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    est = {r["event_type"]: r for r in
+           events_hist_quantile(spark, sf_dir).collect()}
+    vals: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    assert set(est) == set(vals)
+    for t, vs in vals.items():
+        vs.sort()
+        width = (vs[-1] - vs[0]) / HIST_BINS
+        for name, q in QS.items():
+            discrete = vs[math.ceil(q * len(vs)) - 1]
+            assert abs(est[t][name] - discrete) <= width + 1e-6, (
+                t, name, est[t][name], discrete, width)
+
+
+def test_hist_merge(spark):
+    """Bin frames built on disjoint halves against SHARED stats merge
+    into exactly the single-shot sketch — the epoch-maintenance
+    property (fixed edges are what make the counts sum-mergeable)."""
+    whole = spark.range(1000).select(
+        F.lit("g").alias("g"), (F.col("id") % 97 * 1.5).alias("v"))
+    a = whole.filter(F.col("id") < 400)
+    b = whole.filter(F.col("id") >= 400)
+    stats = hist_stats(whole, F.col("v"), ["g"])
+    merged = hist_quantiles(
+        hist_merge(
+            hist_bins(a, F.col("v"), ["g"], stats).unionByName(
+                hist_bins(b, F.col("v"), ["g"], stats)), ["g"]),
+        stats, ["g"], QS).collect()
+    single = hist_quantile(whole, F.col("v"), ["g"], QS).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in single]
+
+
+def test_hist_degenerate_group(spark):
+    """A single-valued group (mx == mn) reports that value for every
+    quantile instead of dividing by a zero-width bin."""
+    df = spark.range(10).select(
+        F.lit("g").alias("g"), F.lit(7.5).alias("v"))
+    row = hist_quantile(df, F.col("v"), ["g"], QS).collect()[0]
+    assert (row["p50"], row["p95"], row["p99"]) == (7.5, 7.5, 7.5)
+    assert row["n_events"] == 10

@@ -189,6 +189,8 @@ CELLS = [
     "events_sketches",
     "events_hll_replay",  # r13: portable-HLL twin — same two-shuffle
     # register shape as the native sketch, md5 instead of xxhash64
+    "events_hist_quantile",  # r13: portable histogram-quantile twin —
+    # two partial-aggregatable passes, 64-bin state per group
     "stream_json_parse",
     "events_avro_roundtrip",
     # r12: the core-OLAP family ladders too — gen_tpch scales the
