@@ -81,6 +81,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_ITERS = 3
 IVF_N_PROBE = 2
+# frozen-centroid ingest delta (ann_ivf_append_probe): every
+# APPEND_MOD-th embedding, first-dimension-perturbed and re-keyed past
+# max(vec_id) — deterministic, identically derived in the oracle
+APPEND_MOD = 10
+APPEND_EPS = 0.05
 
 
 def ann_ivf_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,8 +115,8 @@ _IVF_DH = "('0x' || substr(md5(id::VARCHAR), 1, 15))::UBIGINT::BIGINT"
 _IVF_COS = "list_dot_product({a}.v, {b}.cv) / ({a}.nrm * {b}.cn)"
 
 
-def _ivf_assign_cte(name: str, cent: str) -> str:
-    """Argmax-cosine bucket per candidate against centroid set
+def _ivf_assign_cte(name: str, cent: str, src: str = "cand") -> str:
+    """Argmax-cosine bucket per ``src`` vector against centroid set
     ``cent`` — row_number on (cos DESC, cent_id ASC) matches the
     Spark fold's strict-> earliest-wins tiebreak."""
     cos = _IVF_COS.format(a="c", b="ct")
@@ -121,12 +126,12 @@ def _ivf_assign_cte(name: str, cent: str) -> str:
                row_number() OVER (
                    PARTITION BY c.id
                    ORDER BY {cos} DESC, ct.cent_id) AS rn
-        FROM cand c CROSS JOIN {cent} ct
+        FROM {src} c CROSS JOIN {cent} ct
     ) WHERE rn = 1
 )"""
 
 
-def _ivf_replay_sql() -> str:
+def _ivf_replay_sql(with_append_delta: bool = False) -> str:
     """From-scratch DuckDB unroll of the full IVF derivation (the
     BPE-oracle pattern): id-stripe seed selection → IVF_ITERS Lloyd
     iterations of (argmax-cosine assignment → 8-dp per-dimension
@@ -164,6 +169,26 @@ cent0 AS MATERIALIZED (
     FROM cent{i - 1} ct LEFT JOIN means{i} m ON m.bucket = ct.cent_id
 )""")
     parts.append(_ivf_assign_cte("bucketed", f"cent{IVF_ITERS}"))
+    search_side = "bucketed"
+    if with_append_delta:
+        # frozen-centroid ingest: re-keyed perturbed vectors assigned
+        # against the FINAL trained centroids (never re-entering the
+        # Lloyd loop — exactly what append_ivf_index does), unioned
+        # into the searched set
+        parts.append(f"""dn AS MATERIALIZED (
+    SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS id,
+           list_concat([v0[1] + {APPEND_EPS}], v0[2:]) AS v
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings
+          WHERE vec_id % {APPEND_MOD} = 0)
+), delta AS MATERIALIZED (
+    SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM dn
+)""")
+        parts.append(_ivf_assign_cte("delta_assigned", f"cent{IVF_ITERS}",
+                                     src="delta"))
+        parts.append("""all_bucketed AS MATERIALIZED (
+    SELECT * FROM bucketed UNION ALL SELECT * FROM delta_assigned
+)""")
+        search_side = "all_bucketed"
     qcos = _IVF_COS.format(a="q", b="ct")
     parts.append(f"""probes AS MATERIALIZED (
     SELECT q_id, bucket FROM (
@@ -179,7 +204,7 @@ scored AS (
     SELECT p.q_id, b.id AS c_id,
            list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
     FROM probes p
-    JOIN bucketed b ON b.bucket = p.bucket
+    JOIN {search_side} b ON b.bucket = p.bucket
     JOIN qry q ON q.id = p.q_id
 ), ranked AS (
     SELECT q_id, c_id, cos,
@@ -290,6 +315,90 @@ def ann_ivf_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                       n_probe=IVF_N_PROBE).orderBy("q_id", "rn")
 
 
+ANN_IVF_APPEND_SQL = _ivf_replay_sql(with_append_delta=True)
+
+IVF_APPEND_VERSION = "v1"
+
+
+def _append_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ingest batch: every APPEND_MOD-th embedding,
+    first dimension + APPEND_EPS, id re-keyed past max(vec_id) (the
+    _plant_offset pattern — scale-safe disjoint ids). Near-dups of
+    existing vectors, so appended rows actually displace top-k
+    results and a probe that missed the appended files would
+    value-mismatch."""
+    emb = Catalog(spark, sf_dir).embeddings
+    off = F.broadcast(
+        emb.agg((F.max("vec_id") + F.lit(1)).alias("_off")))
+    delta_raw = (
+        emb.filter(F.col("vec_id") % APPEND_MOD == 0)
+        .crossJoin(off)
+        .select(
+            (F.col("vec_id") + F.col("_off")).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("embedding", 1) + F.lit(APPEND_EPS)),
+                F.expr("slice(embedding, 2, size(embedding) - 1)"),
+            ).alias("embedding"),
+        )
+    )
+    return with_unit_vectors(delta_raw)
+
+
+def ensure_appended_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Private layout (never shared with ensure_ivf_index's cache —
+    the appended rows must not leak into ann_ivf_probe_indexed):
+    train on the BASE candidates, write the index, then absorb the
+    delta through the frozen-centroid append path. Cached per corpus
+    fingerprint like every derived layout."""
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.sources import layout_cache
+    from last_minute_legends_spark.sources.ivf_index import (
+        append_ivf_index, write_ivf_index,
+    )
+
+    idx = layout_cache.layout_dir(
+        "llm_spark_ivf_append", os.path.join(sf_dir, "embeddings.parquet"),
+        IVF_APPEND_VERSION)
+    if layout_cache.is_built(idx):
+        return idx
+    vecs = _vectors(spark, sf_dir, spread=True)
+    candidates = vecs.filter(F.col("id") >= N_QUERIES)
+    n = candidates.count()
+    k = max(N_CENTROIDS, n // TARGET_BUCKET_ROWS)
+    sample_mod = (-(-n // TRAIN_SAMPLE_MAX)
+                  if n > TRAIN_SAMPLE_MAX else None)
+    centroids = train_centroids(candidates, k=k, iters=IVF_ITERS,
+                                sample_mod=sample_mod, id_hash=md5_id_hash)
+    write_ivf_index(candidates, centroids, idx)
+    append_ivf_index(spark, _append_delta(spark, sf_dir), idx)
+    with open(os.path.join(idx, _IVF_PARAMS), "w") as fh:
+        json.dump({"n": n, "k": k, "sample_mod": sample_mod}, fh)
+    layout_cache.mark_built(idx)
+    return idx
+
+
+def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the APPENDED index: the written IVF layout after
+    absorbing an ingest batch through the frozen-centroid append path
+    (sources/ivf_index.py::append_ivf_index — no retrain, only the
+    touched bucket directories gain files, tested byte-level in
+    tests/test_ivf_append.py). The registered oracle extends the
+    unrolled-Lloyd replay with the same frozen-centroid delta
+    assignment, so the driver gate value-checks that appended vectors
+    are assigned, stored, probed and ranked EXACTLY like a fresh
+    same-centroid build over base ∪ delta — the index-ingest
+    lifecycle's first driver-side value check. The oracle-regime
+    guard is shared with ann_ivf_probe_indexed (valid while k ==
+    N_CENTROIDS and training is unsampled; loud failure past that)."""
+    from last_minute_legends_spark.sources.ivf_index import probe_topk
+
+    idx = ensure_appended_ivf_index(spark, sf_dir)
+    _check_probe_oracle_regime(idx)
+    queries = _vectors(spark, sf_dir).filter(F.col("id") < N_QUERIES)
+    return probe_topk(spark, idx, queries, k=TOP_K,
+                      n_probe=IVF_N_PROBE).orderBy("q_id", "rn")
+
+
 def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k over int8-quantized candidates: queries stay
     full-precision (they're tiny); the 100 TB candidate side is the
@@ -340,6 +449,7 @@ SPARK = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_topk_replay": ann_ivf_topk_replay,
     "ann_ivf_probe_indexed": ann_ivf_probe_indexed,
+    "ann_ivf_append_probe": ann_ivf_append_probe,
     "ann_quantized_topk": ann_quantized_topk,
 }
 
@@ -356,6 +466,9 @@ SQL = {
     # the same unrolled-Lloyd oracle value-checks the index write +
     # partition-pruned probe path end-to-end
     "ann_ivf_probe_indexed": ANN_IVF_REPLAY_SQL,
+    # r13: the replay extended with the frozen-centroid delta — the
+    # index-ingest (append) lifecycle's driver-side value check
+    "ann_ivf_append_probe": ANN_IVF_APPEND_SQL,
 }
 
 LOCAL_SQL = {

@@ -52,6 +52,33 @@ def write_ivf_index(candidates: DataFrame, centroids: DataFrame,
      .parquet(os.path.join(path, _CENTROIDS)))
 
 
+def append_ivf_index(spark: SparkSession, new_vectors: DataFrame,
+                     path: str) -> None:
+    """Absorb new vectors into a WRITTEN index without retraining:
+    assignment against the frozen centroid model (the same narrow
+    broadcast-literal map as the initial write) and a
+    ``mode("append")`` partitioned write — only the buckets the new
+    vectors land in gain files; existing files are never rewritten or
+    even listed. This is the index's ingest path at 100 TB: per-batch
+    cost ∝ batch size, and probes see the new vectors immediately
+    (probe_topk reads bucket directories, which now include the
+    appended files — parity with a fresh same-centroid build over
+    base ∪ delta is locked by tests/test_ivf_append.py).
+
+    Recall caveat, stated plainly: frozen centroids drift from the
+    true cluster structure as the appended fraction grows — the
+    assignment stays CORRECT (argmax over the same model the probe
+    uses, so probe semantics are exact within probed buckets), but
+    bucket sizes skew and the n_probe recall slowly degrades. Like
+    compact_small_files for streamed landings, a scheduled retrain
+    (write_ivf_index with fresh train_centroids) is the maintenance
+    pass; the append keeps ingest off the retrain's critical path."""
+    cent = spark.read.parquet(os.path.join(path, _CENTROIDS))
+    assigned = assign_buckets(new_vectors, cent)
+    (assigned.write.partitionBy("bucket").mode("append")
+     .parquet(os.path.join(path, _DATA)))
+
+
 # Above this many queries the probe falls back to the distributed
 # bucket-join: the static IN-literal needs a driver collect that
 # scales with query count, and at batch-ANN query volumes (e.g.

@@ -106,6 +106,8 @@ CELLS = [
     "dedup_substring_clean",  # r11: its keep-first repair pass
     "ann_ivf_topk",
     "ann_ivf_probe_indexed",  # r12: flat probe — index built once/corpus
+    "ann_ivf_append_probe",  # r13: probe after frozen-centroid ingest —
+    # build+append cached per corpus, converges on probe-only cost
     "ann_quantized_topk",
     "curated_training_set",
     # event-analytics cells (scaled events: user count grows with the
