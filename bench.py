@@ -179,6 +179,15 @@ HEADLINE = [
     "compact_small_files",
     # round-13: z-order clustering (Morton rewrite + 2-D selective agg)
     "zorder_events",
+    # round-13 cont.: portable sketch twins (HLL distinct + histogram
+    # quantiles), fuzzy decontamination (asymmetric broadcast LSH with
+    # the replayable md5 hash — the deliberate oracle-apparatus cost,
+    # like the *_replay twins), and the frozen-centroid IVF ingest
+    # probe (cached build, converges on probe-only cost)
+    "events_hll_replay",
+    "events_hist_quantile",
+    "decontaminate_fuzzy",
+    "ann_ivf_append_probe",
 ]
 
 STREAMING = (

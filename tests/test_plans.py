@@ -136,6 +136,22 @@ def test_oracle_entries_fit_driver_window():
     assert not dangling, f"oracle SQL without a query: {dangling}"
 
 
+def test_every_query_has_a_bench_cell():
+    """bench.py's HEADLINE/STREAMING lists are manual; this locks the
+    'every queries() key has a bench cell' property they claim — the
+    r13 sketch entries shipped and were silently absent from the
+    bench until this drift check existed."""
+    import bench
+
+    from last_minute_legends_spark.plans.queries import QUERIES
+
+    covered = set(bench.HEADLINE) | set(bench.STREAMING)
+    missing = set(QUERIES) - covered
+    assert not missing, f"registry entries with no bench cell: {missing}"
+    dangling = covered - set(QUERIES)
+    assert not dangling, f"bench cells without a registry entry: {dangling}"
+
+
 def _oracle_keys():
     from last_minute_legends_spark.plans.queries import ORACLE_SQL
 
