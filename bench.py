@@ -207,6 +207,7 @@ STREAMING = (
     # HLL-register sibling for the non-sum-mergeable distinct count
     "incremental_rollup",
     "incremental_distinct",
+    "incremental_quantile",
 )
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK")

@@ -532,13 +532,19 @@ def events_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-def _hist_quantile_sql() -> str:
-    """From-scratch DuckDB replay of the histogram-quantile pipeline.
-    Numeric literals are forced to DOUBLE (DuckDB parses bare decimal
-    literals as DECIMAL, whose arithmetic would diverge from Spark's
-    doubles)."""
+def _hist_quantile_sql(group_expr: str = "event_type",
+                       group_alias: str = "event_type",
+                       where: str = "") -> str:
+    """From-scratch DuckDB replay of the histogram-quantile pipeline
+    over ``events`` grouped by ``group_expr``. Numeric literals are
+    forced to DOUBLE (DuckDB parses bare decimal literals as DECIMAL,
+    whose arithmetic would diverge from Spark's doubles). Shared by
+    the single-shot twin and the epoch-maintained variant — the
+    latter's oracle being the single-shot derivation is what makes a
+    broken fold a value mismatch."""
     from last_minute_legends_spark.operators.sketches import HIST_BINS
 
+    where = (where + " AND " if where else "WHERE ") + "value IS NOT NULL"
     nb = f"({float(HIST_BINS)!r}::DOUBLE)"
     picks = []
     for name, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
@@ -552,31 +558,31 @@ def _hist_quantile_sql() -> str:
     pick_sql = ",\n       ".join(picks)
     return f"""
 WITH v AS (
-    SELECT event_type, value FROM events WHERE value IS NOT NULL
+    SELECT {group_expr} AS {group_alias}, value FROM events {where}
 ), st AS (
-    SELECT event_type, min(value) AS mn, max(value) AS mx, count(*) AS n
+    SELECT {group_alias}, min(value) AS mn, max(value) AS mx, count(*) AS n
     FROM v GROUP BY 1
 ), b AS (
-    SELECT v.event_type,
+    SELECT v.{group_alias},
            CASE WHEN mx = mn THEN 0
                 ELSE least({HIST_BINS - 1},
                            CAST(floor((value - mn) / (mx - mn) * {nb}) AS INT))
            END AS bin,
            count(*) AS cnt
-    FROM v JOIN st USING (event_type) GROUP BY 1, 2
+    FROM v JOIN st USING ({group_alias}) GROUP BY 1, 2
 ), r AS (
-    SELECT b.event_type, bin, cnt, mn, mx, n,
-           sum(cnt) OVER (PARTITION BY b.event_type ORDER BY bin) AS cum
-    FROM b JOIN st USING (event_type)
+    SELECT b.{group_alias}, bin, cnt, mn, mx, n,
+           sum(cnt) OVER (PARTITION BY b.{group_alias} ORDER BY bin) AS cum
+    FROM b JOIN st USING ({group_alias})
 ), rr AS (
     SELECT *, cum - cnt AS prev FROM r
 )
-SELECT event_type,
+SELECT {group_alias},
        {pick_sql},
        CAST(max(n) AS BIGINT) AS n_events
 FROM rr
-GROUP BY event_type
-ORDER BY event_type
+GROUP BY {group_alias}
+ORDER BY {group_alias}
 """
 
 
@@ -1162,6 +1168,71 @@ INCREMENTAL_DISTINCT_SQL = _hll_sql(
     where="WHERE ts IS NOT NULL")
 
 
+def incremental_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-at-a-time maintenance of per-day QUANTILES — completing
+    the maintained-aggregate trio (sums: incremental_rollup, distinct:
+    incremental_distinct, quantiles: here). Exact quantiles are not
+    mergeable at all; fixed-edge histogram bins are — but the edges
+    need global (min, max), so the refresh is TWO epoch-wise sweeps,
+    each reading only one epoch's partitions per pass: sweep 1 folds
+    the exact per-day (min, max, count) — min/max/sum-mergeable — to
+    fix the bin edges; sweep 2 folds per-epoch bin counts against
+    those frozen edges (operators/sketches.py::hist_merge). State is
+    days × (3 + HIST_BINS) rows throughout; only the final state is
+    interpolated. Both merge laws are exact (tested), so the
+    registered oracle is the SINGLE-SHOT histogram derivation over
+    the base table — a missed epoch in either sweep, a double-fold,
+    or drifted edges all value-mismatch."""
+    import os
+
+    from last_minute_legends_spark.operators.sketches import (
+        hist_bins, hist_merge, hist_quantiles,
+    )
+    from last_minute_legends_spark.streaming.pipeline import (
+        land_events_partitioned,
+    )
+
+    landed_path = land_events_partitioned(spark, sf_dir)
+    epochs = sorted({
+        int(e.split("=", 1)[1])
+        for d in os.listdir(landed_path) if d.startswith("event_day_us=")
+        for e in os.listdir(os.path.join(landed_path, d))
+        if e.startswith("epoch=")})
+    landed = spark.read.parquet(landed_path)
+
+    def epoch_rows(ep):
+        return (landed.filter(F.col("epoch") == ep)
+                .filter(F.col("event_day_us").isNotNull())
+                .filter(F.col("value").isNotNull()))
+
+    stats = None
+    for ep in epochs:
+        delta = epoch_rows(ep).groupBy("event_day_us").agg(
+            F.min("value").alias("mn"), F.max("value").alias("mx"),
+            F.count(F.lit(1)).alias("n"))
+        stats = delta if stats is None else (
+            stats.unionByName(delta).groupBy("event_day_us").agg(
+                F.min("mn").alias("mn"), F.max("mx").alias("mx"),
+                F.sum("n").alias("n")))
+        stats = stats.localCheckpoint(eager=True)
+    bins = None
+    for ep in epochs:
+        delta = hist_bins(epoch_rows(ep), F.col("value"),
+                          ["event_day_us"], stats)
+        bins = delta if bins is None else hist_merge(
+            bins.unionByName(delta), ["event_day_us"])
+        bins = bins.localCheckpoint(eager=True)
+    return hist_quantiles(
+        bins, stats, ["event_day_us"],
+        qs={"p50": 0.5, "p95": 0.95, "p99": 0.99},
+    ).orderBy("event_day_us")
+
+
+INCREMENTAL_QUANTILE_SQL = _hist_quantile_sql(
+    "epoch_us(date_trunc('day', ts))", "event_day_us",
+    where="WHERE ts IS NOT NULL")
+
+
 SPARK = {
     "events_by_type": events_by_type,
     "events_windowed": events_windowed,
@@ -1189,6 +1260,7 @@ SPARK = {
     "zorder_events": zorder_events,
     "incremental_rollup": incremental_rollup,
     "incremental_distinct": incremental_distinct,
+    "incremental_quantile": incremental_quantile,
 }
 
 # r11 rotation: the four r10 lenders (events_by_type / funnel /
@@ -1245,6 +1317,9 @@ SQL = {
     # single-shot replay over the base table, so the epoch fold must
     # reproduce it exactly
     "incremental_distinct": INCREMENTAL_DISTINCT_SQL,
+    # r13: two-sweep maintained quantiles — same single-shot-oracle
+    # principle
+    "incremental_quantile": INCREMENTAL_QUANTILE_SQL,
     "rollup_timeseries": ROLLUP_TIMESERIES_SQL,
     "latest_by_user": LATEST_BY_USER_SQL,
 }

@@ -66,6 +66,29 @@ def test_hist_merge(spark):
     assert [tuple(r) for r in merged] == [tuple(r) for r in single]
 
 
+def test_incremental_quantile_equals_single_shot(spark, sf_dir):
+    """The two-sweep epoch refresh (fold stats to fix edges, then
+    fold bins) must estimate EXACTLY like one single-shot build over
+    the same landed table — Spark-vs-Spark, so a landing/fold bug is
+    distinguishable from an oracle bug (the registered oracle checks
+    the same equality vs DuckDB on the base table)."""
+    from last_minute_legends_spark.plans.events_analytics import (
+        incremental_quantile,
+    )
+    from last_minute_legends_spark.streaming.pipeline import (
+        land_events_partitioned,
+    )
+
+    maintained = incremental_quantile(spark, sf_dir).collect()
+    landed = (spark.read.parquet(land_events_partitioned(spark, sf_dir))
+              .filter(F.col("event_day_us").isNotNull()))
+    single = hist_quantile(
+        landed, F.col("value"), ["event_day_us"],
+        {"p50": 0.5, "p95": 0.95, "p99": 0.99},
+    ).orderBy("event_day_us").collect()
+    assert [tuple(r) for r in maintained] == [tuple(r) for r in single]
+
+
 def test_hist_degenerate_group(spark):
     """A single-valued group (mx == mn) reports that value for every
     quantile instead of dividing by a zero-width bin."""

@@ -184,6 +184,8 @@ CELLS = [
     "incremental_rollup",
     "incremental_distinct",  # r13: HLL-register MV maintenance — per-epoch
     # cost ∝ epoch size, state ∝ days × m
+    "incremental_quantile",  # r13: two-sweep histogram-bin maintenance —
+    # edges from folded exact stats, then bin folds against frozen edges
     # events wire-format cells (events-only readers; new_records /
     # price_extraction / skew_join / catalog_text_etl /
     # events_typed_parse stay excluded — they read the TPC-H tables
