@@ -347,8 +347,12 @@ def minhash_lsh_cross(corpus: DataFrame, reference: DataFrame,
     shb = F.broadcast(
         sh_r.select(F.col("doc_id").alias("ref_doc_id"), F.col("s").alias("sb"))
     )
+    # cand is bounded by near-matches of the small reference set —
+    # broadcast it too, or the verify join would sort-merge on doc_id
+    # and shuffle the full corpus shingle frame (the text), the exact
+    # cost this operator exists to avoid
     inter = (
-        cand.join(sha, "doc_id").join(shb, "ref_doc_id")
+        F.broadcast(cand).join(sha, "doc_id").join(shb, "ref_doc_id")
         .filter(F.col("sa") == F.col("sb"))
         .groupBy("doc_id", "ref_doc_id", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -243,17 +243,18 @@ def _index_dir(sf_dir: str) -> str:
         IVF_INDEX_VERSION)
 
 
-def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per corpus fingerprint — sources/layout_cache.py)
-    the partitionBy(bucket) parquet index for a corpus's candidate
-    vectors; return its path. Subsequent calls on an unchanged corpus
-    reuse it — the write-once/probe-many economics the index exists
-    for (sources/ivf_index.py)."""
+def _build_ivf_layout(spark: SparkSession, sf_dir: str, idx: str,
+                      post_write=None) -> str:
+    """Shared build body for the probe entries' cached index layouts:
+    scale-aware k and training-sample policy (ONE home for both
+    formulas — the probe-indexed and append twins must measure the
+    same index geometry), train, write, params dump, mark built.
+    ``post_write(centroids_path_dir)`` runs between the write and the
+    params dump — the append twin ingests its delta there."""
     from last_minute_legends_spark.functions.portable_hash import md5_id_hash
     from last_minute_legends_spark.sources import layout_cache
     from last_minute_legends_spark.sources.ivf_index import write_ivf_index
 
-    idx = _index_dir(sf_dir)
     if layout_cache.is_built(idx):
         return idx
     vecs = _vectors(spark, sf_dir, spread=True)
@@ -265,10 +266,21 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     centroids = train_centroids(candidates, k=k, iters=IVF_ITERS,
                                 sample_mod=sample_mod, id_hash=md5_id_hash)
     write_ivf_index(candidates, centroids, idx)
+    if post_write is not None:
+        post_write(idx)
     with open(os.path.join(idx, _IVF_PARAMS), "w") as fh:
         json.dump({"n": n, "k": k, "sample_mod": sample_mod}, fh)
     layout_cache.mark_built(idx)
     return idx
+
+
+def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus fingerprint — sources/layout_cache.py)
+    the partitionBy(bucket) parquet index for a corpus's candidate
+    vectors; return its path. Subsequent calls on an unchanged corpus
+    reuse it — the write-once/probe-many economics the index exists
+    for (sources/ivf_index.py)."""
+    return _build_ivf_layout(spark, sf_dir, _index_dir(sf_dir))
 
 
 # The shared ANN_IVF_REPLAY_SQL oracle is valid ONLY while the index
@@ -282,7 +294,9 @@ IVF_SCALE_OK_ENV = "SPARK_GRAFT_IVF_SCALE_OK"
 _IVF_PARAMS = "_IVF_PARAMS.json"
 
 
-def _check_probe_oracle_regime(idx: str) -> None:
+def _check_probe_oracle_regime(idx: str,
+                               entry: str = "ann_ivf_probe_indexed",
+                               oracle: str = "ANN_IVF_REPLAY_SQL") -> None:
     params_path = os.path.join(idx, _IVF_PARAMS)
     if os.environ.get(IVF_SCALE_OK_ENV) or not os.path.exists(params_path):
         return
@@ -290,10 +304,10 @@ def _check_probe_oracle_regime(idx: str) -> None:
         p = json.load(fh)
     if p["k"] != N_CENTROIDS or p["sample_mod"] is not None:
         raise RuntimeError(
-            f"ann_ivf_probe_indexed: oracle not applicable at this scale "
+            f"{entry}: oracle not applicable at this scale "
             f"(corpus n={p['n']} built k={p['k']} != {N_CENTROIDS} or "
             f"sampled training mod={p['sample_mod']}) — the registered "
-            f"ANN_IVF_REPLAY_SQL would silently diverge and report a "
+            f"{oracle} would silently diverge and report a "
             f"false red; set {IVF_SCALE_OK_ENV}=1 for non-oracle scale "
             f"runs")
 
@@ -347,34 +361,20 @@ def _append_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ensure_appended_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     """Private layout (never shared with ensure_ivf_index's cache —
     the appended rows must not leak into ann_ivf_probe_indexed):
-    train on the BASE candidates, write the index, then absorb the
-    delta through the frozen-centroid append path. Cached per corpus
-    fingerprint like every derived layout."""
-    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    the SAME build body (_build_ivf_layout — one home for the k /
+    sampling policy), plus the frozen-centroid delta ingest between
+    write and params dump. Cached per corpus fingerprint like every
+    derived layout."""
     from last_minute_legends_spark.sources import layout_cache
-    from last_minute_legends_spark.sources.ivf_index import (
-        append_ivf_index, write_ivf_index,
-    )
+    from last_minute_legends_spark.sources.ivf_index import append_ivf_index
 
     idx = layout_cache.layout_dir(
         "llm_spark_ivf_append", os.path.join(sf_dir, "embeddings.parquet"),
         IVF_APPEND_VERSION)
-    if layout_cache.is_built(idx):
-        return idx
-    vecs = _vectors(spark, sf_dir, spread=True)
-    candidates = vecs.filter(F.col("id") >= N_QUERIES)
-    n = candidates.count()
-    k = max(N_CENTROIDS, n // TARGET_BUCKET_ROWS)
-    sample_mod = (-(-n // TRAIN_SAMPLE_MAX)
-                  if n > TRAIN_SAMPLE_MAX else None)
-    centroids = train_centroids(candidates, k=k, iters=IVF_ITERS,
-                                sample_mod=sample_mod, id_hash=md5_id_hash)
-    write_ivf_index(candidates, centroids, idx)
-    append_ivf_index(spark, _append_delta(spark, sf_dir), idx)
-    with open(os.path.join(idx, _IVF_PARAMS), "w") as fh:
-        json.dump({"n": n, "k": k, "sample_mod": sample_mod}, fh)
-    layout_cache.mark_built(idx)
-    return idx
+    return _build_ivf_layout(
+        spark, sf_dir, idx,
+        post_write=lambda p: append_ivf_index(
+            spark, _append_delta(spark, sf_dir), p))
 
 
 def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,7 +393,8 @@ def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from last_minute_legends_spark.sources.ivf_index import probe_topk
 
     idx = ensure_appended_ivf_index(spark, sf_dir)
-    _check_probe_oracle_regime(idx)
+    _check_probe_oracle_regime(idx, entry="ann_ivf_append_probe",
+                               oracle="ANN_IVF_APPEND_SQL")
     queries = _vectors(spark, sf_dir).filter(F.col("id") < N_QUERIES)
     return probe_topk(spark, idx, queries, k=TOP_K,
                       n_probe=IVF_N_PROBE).orderBy("q_id", "rn")

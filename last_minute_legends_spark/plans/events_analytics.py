@@ -1051,6 +1051,34 @@ ORDER BY event_type
 """
 
 
+def _landed_epochs(landed_path: str) -> list[int]:
+    """Epoch ids present in the day-partitioned landing, from the
+    directory LISTING (the metastore analogue the partition-pruned
+    reads also use) — the single home of the layout walk all three
+    incremental-maintenance entries share."""
+    import os
+
+    return sorted({
+        int(e.split("=", 1)[1])
+        for d in os.listdir(landed_path) if d.startswith("event_day_us=")
+        for e in os.listdir(os.path.join(landed_path, d))
+        if e.startswith("epoch=")})
+
+
+def _fold_epochs(epochs, delta_of, merge) -> DataFrame:
+    """None-seeded epoch fold: state = merge(state, delta_of(epoch))
+    per epoch, each step materialized with an eager localCheckpoint —
+    the stored state is aggregate-sized like a real refresh's, and
+    the checkpoint keeps the fold from re-reading every prior epoch
+    through lineage."""
+    state = None
+    for ep in epochs:
+        delta = delta_of(ep)
+        state = delta if state is None else merge(state, delta)
+        state = state.localCheckpoint(eager=True)
+    return state
+
+
 def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-rollup maintenance over the streamed
     landing: events land in epochs (streaming/pipeline.py
@@ -1065,36 +1093,28 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup must equal the single-shot aggregate of the base table —
     that equality IS the registered value oracle, so a missed epoch,
     a double-fold, or a non-mergeable measure all value-mismatch."""
-    import os
-
     from last_minute_legends_spark.operators.incremental import fold_rollup
     from last_minute_legends_spark.streaming.pipeline import (
         land_events_partitioned,
     )
 
     landed_path = land_events_partitioned(spark, sf_dir)
-    epochs = sorted({
-        int(e.split("=", 1)[1])
-        for d in os.listdir(landed_path) if d.startswith("event_day_us=")
-        for e in os.listdir(os.path.join(landed_path, d))
-        if e.startswith("epoch=")})
     landed = spark.read.parquet(landed_path)
-    rollup = None
-    for ep in epochs:
-        delta = (
+
+    def delta_of(ep):
+        return (
             landed.filter(F.col("epoch") == ep)
             .filter(F.col("event_day_us").isNotNull())
             .groupBy("event_day_us", "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum("value").alias("raw_sum"))
         )
-        rollup = fold_rollup(rollup, delta,
-                             keys=["event_day_us", "event_type"],
-                             sums=["n_events", "raw_sum"])
-        # materialize each maintenance step like a real refresh would
-        # (the stored state is aggregate-sized); localCheckpoint keeps
-        # the fold from re-reading every prior epoch through lineage
-        rollup = rollup.localCheckpoint(eager=True)
+
+    rollup = _fold_epochs(
+        _landed_epochs(landed_path), delta_of,
+        lambda state, delta: fold_rollup(
+            state, delta, keys=["event_day_us", "event_type"],
+            sums=["n_events", "raw_sum"]))
     return (rollup
             .select("event_day_us", "event_type", "n_events",
                     F.round("raw_sum", 2).alias("sum_value"))
@@ -1130,8 +1150,6 @@ def incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     base table — a missed epoch, a double-fold, or a broken merge
     value-mismatches. This is the 100 TB daily-active-users pattern:
     per-epoch cost ∝ epoch size, state ∝ days × m."""
-    import os
-
     from last_minute_legends_spark.operators.sketches import (
         hll_estimate, hll_merge, hll_registers,
     )
@@ -1140,26 +1158,15 @@ def incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     landed_path = land_events_partitioned(spark, sf_dir)
-    epochs = sorted({
-        int(e.split("=", 1)[1])
-        for d in os.listdir(landed_path) if d.startswith("event_day_us=")
-        for e in os.listdir(os.path.join(landed_path, d))
-        if e.startswith("epoch=")})
     landed = spark.read.parquet(landed_path)
-    regs = None
-    for ep in epochs:
-        delta = hll_registers(
+    regs = _fold_epochs(
+        _landed_epochs(landed_path),
+        lambda ep: hll_registers(
             landed.filter(F.col("epoch") == ep)
             .filter(F.col("event_day_us").isNotNull()),
-            F.col("user_id"), ["event_day_us"],
-        )
-        regs = delta if regs is None else hll_merge(
-            regs.unionByName(delta), ["event_day_us"])
-        # materialize each maintenance step like a real refresh would
-        # (stored state is register-sized: days × m rows);
-        # localCheckpoint keeps the fold from re-reading every prior
-        # epoch through lineage
-        regs = regs.localCheckpoint(eager=True)
+            F.col("user_id"), ["event_day_us"]),
+        lambda state, delta: hll_merge(
+            state.unionByName(delta), ["event_day_us"]))
     return hll_estimate(regs, ["event_day_us"]).orderBy("event_day_us")
 
 
@@ -1183,8 +1190,6 @@ def incremental_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered oracle is the SINGLE-SHOT histogram derivation over
     the base table — a missed epoch in either sweep, a double-fold,
     or drifted edges all value-mismatch."""
-    import os
-
     from last_minute_legends_spark.operators.sketches import (
         hist_bins, hist_merge, hist_quantiles,
     )
@@ -1193,11 +1198,7 @@ def incremental_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     landed_path = land_events_partitioned(spark, sf_dir)
-    epochs = sorted({
-        int(e.split("=", 1)[1])
-        for d in os.listdir(landed_path) if d.startswith("event_day_us=")
-        for e in os.listdir(os.path.join(landed_path, d))
-        if e.startswith("epoch=")})
+    epochs = _landed_epochs(landed_path)
     landed = spark.read.parquet(landed_path)
 
     def epoch_rows(ep):
@@ -1205,23 +1206,21 @@ def incremental_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("event_day_us").isNotNull())
                 .filter(F.col("value").isNotNull()))
 
-    stats = None
-    for ep in epochs:
-        delta = epoch_rows(ep).groupBy("event_day_us").agg(
+    stats = _fold_epochs(
+        epochs,
+        lambda ep: epoch_rows(ep).groupBy("event_day_us").agg(
             F.min("value").alias("mn"), F.max("value").alias("mx"),
-            F.count(F.lit(1)).alias("n"))
-        stats = delta if stats is None else (
-            stats.unionByName(delta).groupBy("event_day_us").agg(
-                F.min("mn").alias("mn"), F.max("mx").alias("mx"),
-                F.sum("n").alias("n")))
-        stats = stats.localCheckpoint(eager=True)
-    bins = None
-    for ep in epochs:
-        delta = hist_bins(epoch_rows(ep), F.col("value"),
-                          ["event_day_us"], stats)
-        bins = delta if bins is None else hist_merge(
-            bins.unionByName(delta), ["event_day_us"])
-        bins = bins.localCheckpoint(eager=True)
+            F.count(F.lit(1)).alias("n")),
+        lambda state, delta: state.unionByName(delta)
+        .groupBy("event_day_us").agg(
+            F.min("mn").alias("mn"), F.max("mx").alias("mx"),
+            F.sum("n").alias("n")))
+    bins = _fold_epochs(
+        epochs,
+        lambda ep: hist_bins(epoch_rows(ep), F.col("value"),
+                             ["event_day_us"], stats),
+        lambda state, delta: hist_merge(
+            state.unionByName(delta), ["event_day_us"]))
     return hist_quantiles(
         bins, stats, ["event_day_us"],
         qs={"p50": 0.5, "p95": 0.95, "p99": 0.99},

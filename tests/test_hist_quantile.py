@@ -44,7 +44,10 @@ def test_hist_error_bound(spark, sf_dir):
         width = (vs[-1] - vs[0]) / HIST_BINS
         for name, q in QS.items():
             discrete = vs[math.ceil(q * len(vs)) - 1]
-            assert abs(est[t][name] - discrete) <= width + 1e-6, (
+            # slack = half-ULP of the estimate's round(4) (5e-5), which
+            # dominates FP noise; 1e-6 alone would spuriously fail a
+            # group whose bin width is under ~5e-5
+            assert abs(est[t][name] - discrete) <= width + 5e-5, (
                 t, name, est[t][name], discrete, width)
 
 

@@ -275,13 +275,16 @@ def test_decontaminate_fuzzy_broadcasts_eval_side(spark, sf_dir):
     from last_minute_legends_spark.plans.curation_q import decontaminate_fuzzy
 
     plan = _plan(decontaminate_fuzzy(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 2, (
-        "eval band rows and eval shingles must both broadcast"
+    assert plan.count("BroadcastHashJoin") >= 3, (
+        "eval band rows, eval shingles AND the bounded candidate set "
+        "must all broadcast"
     )
-    assert "SortMergeJoin [band#" not in plan and \
-        "SortMergeJoin [bv#" not in plan, (
-            "train band rows shuffled into the candidate join"
-        )
+    # no join in this pipeline may sort-merge: band/bv would shuffle
+    # the corpus band stream, doc_id would shuffle the corpus SHINGLE
+    # stream (the text) into the verify join
+    assert "SortMergeJoin" not in plan, (
+        "a corpus-side frame shuffled into a join"
+    )
 
 
 def test_ivf_assignment_is_narrow(spark, sf_dir):
