@@ -249,8 +249,10 @@ def _build_ivf_layout(spark: SparkSession, sf_dir: str, idx: str,
     scale-aware k and training-sample policy (ONE home for both
     formulas — the probe-indexed and append twins must measure the
     same index geometry), train, write, params dump, mark built.
-    ``post_write(centroids_path_dir)`` runs between the write and the
-    params dump — the append twin ingests its delta there."""
+    ``post_write(index_root_dir)`` runs between the write and the
+    params dump (it receives the same path write_ivf_index wrote —
+    the layout ROOT holding data/ and centroids/); the append twin
+    ingests its delta there."""
     from last_minute_legends_spark.functions.portable_hash import md5_id_hash
     from last_minute_legends_spark.sources import layout_cache
     from last_minute_legends_spark.sources.ivf_index import write_ivf_index

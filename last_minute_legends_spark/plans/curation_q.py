@@ -206,7 +206,12 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from last_minute_legends_spark.operators.dedup import minhash_lsh_cross
 
-    docs = _docs_spread(spark, sf_dir)
+    # plain scan, NOT _docs_spread: minhash_lsh_cross's _shingle_sets
+    # does its own by-id spread, and a round-robin exchange in front of
+    # it would shuffle the raw corpus text twice back-to-back (the
+    # dedup_minhash_lsh entries pass the plain scan for the same
+    # reason)
+    docs = Catalog(spark, sf_dir).documents
     train = docs.filter(F.col("doc_id") % 7 != 0)
     eval_set = docs.filter(F.col("doc_id") % 7 == 0)
     return minhash_lsh_cross(
@@ -216,64 +221,20 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fuzzy_decont_sql() -> str:
-    """From-scratch DuckDB replay of the asymmetric pipeline: shared
-    shingle/signature/band CTEs over the whole corpus, the candidate
-    join restricted to train×eval by the %7 split (signatures depend
-    only on a doc's own shingles, so splitting before or after
-    signing is equivalent), then the exact-Jaccard verify."""
-    from last_minute_legends_spark.functions.portable_hash import duck_hash60
-    from last_minute_legends_spark.operators.dedup import (
-        N_BANDS, N_PERM, ROWS_PER_BAND,
+    """The asymmetric pipeline's oracle IS the shared banded-LSH
+    replay (plans/dedup_q.py::banded_lsh_replay_sql — one home for
+    the shingle/signature/band generators, so the symmetric and
+    asymmetric oracles cannot drift) with the candidate join
+    restricted to train×eval by the %7 split: signatures depend only
+    on a doc's own shingles, so splitting before or after signing is
+    equivalent."""
+    from last_minute_legends_spark.plans.dedup_q import (
+        banded_lsh_replay_sql,
     )
 
-    t = FUZZY_DECONT_THRESHOLD
-    mins = ", ".join(
-        "min({h}) AS h{i}".format(h=duck_hash60("s || ':{}'".format(i)), i=i)
-        for i in range(N_PERM)
-    )
-    band_selects = "\n    UNION ALL ".join(
-        "SELECT doc_id, n_sh, {b} AS band, {bv} AS bv FROM sig".format(
-            b=b,
-            bv=" || '|' || ".join(
-                f"h{b * ROWS_PER_BAND + r}::VARCHAR"
-                for r in range(ROWS_PER_BAND)
-            ),
-        )
-        for b in range(N_BANDS)
-    )
-    return rf"""
-WITH tok AS (
-    SELECT doc_id,
-           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
-    FROM documents
-), sh AS (
-    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-    FROM tok, UNNEST(generate_series(1, len(w) - 2)) t(i)
-), sig AS (
-    SELECT doc_id, count(*) AS n_sh, {mins}
-    FROM sh GROUP BY doc_id
-), bands AS (
-    {band_selects}
-), cand AS (
-    SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS ref_doc_id,
-           a.n_sh AS na, b.n_sh AS nb
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bv = b.bv
-     AND a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
-     AND least(a.n_sh, b.n_sh) >= {t} * greatest(a.n_sh, b.n_sh) - 1e-9
-), inter AS (
-    SELECT cand.doc_id, ref_doc_id, na, nb, count(*) AS inter
-    FROM cand
-    JOIN sh sa ON sa.doc_id = cand.doc_id
-    JOIN sh sb ON sb.doc_id = cand.ref_doc_id AND sa.s = sb.s
-    GROUP BY 1, 2, 3, 4
-)
-SELECT doc_id, ref_doc_id,
-       round(inter / (na + nb - inter), 4) AS jaccard
-FROM inter
-WHERE inter / (na + nb - inter) >= {t}
-ORDER BY doc_id, ref_doc_id
-"""
+    return banded_lsh_replay_sql(
+        "a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0",
+        "doc_id", "ref_doc_id", FUZZY_DECONT_THRESHOLD)
 
 
 DECONTAMINATE_FUZZY_SQL = _fuzzy_decont_sql()

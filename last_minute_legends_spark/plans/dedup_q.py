@@ -297,12 +297,21 @@ tok AS (
 )"""
 
 
-def _minhash_replay_sql() -> str:
+def banded_lsh_replay_sql(pair_pred: str, a_name: str, b_name: str,
+                          threshold: float) -> str:
     """From-scratch DuckDB replay of the banded-LSH pipeline with the
     portable hash: shingles → per-permutation min-hashes → band keys
     → length-filtered candidate join → exact-Jaccard verify. Every
     intermediate (signature words, band values, the candidate set)
-    must agree with Spark's for the final frame to value-match."""
+    must agree with Spark's for the final frame to value-match.
+
+    ONE home for the shingle/signature/band CTE generators —
+    parameterized by the candidate-pair predicate and output names so
+    the symmetric all-pairs oracle (``a.doc_id < b.doc_id`` →
+    doc_a/doc_b) and the asymmetric fuzzy-decontamination oracle
+    (train×eval split → doc_id/ref_doc_id,
+    plans/curation_q.py::_fuzzy_decont_sql) cannot drift apart — the
+    SQL mirror of the Spark-side ``_signature_bands`` sharing."""
     from last_minute_legends_spark.functions.portable_hash import duck_hash60
     from last_minute_legends_spark.operators.dedup import (
         N_BANDS, N_PERM, ROWS_PER_BAND,
@@ -330,24 +339,29 @@ sig AS (
 ), bands AS (
     {band_selects}
 ), cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    SELECT DISTINCT a.doc_id AS {a_name}, b.doc_id AS {b_name},
            a.n_sh AS na, b.n_sh AS nb
     FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-     AND least(a.n_sh, b.n_sh) >= {JACCARD_THRESHOLD} * greatest(a.n_sh, b.n_sh) - 1e-9
+      ON a.band = b.band AND a.bv = b.bv AND {pair_pred}
+     AND least(a.n_sh, b.n_sh) >= {threshold} * greatest(a.n_sh, b.n_sh) - 1e-9
 ), inter AS (
-    SELECT doc_a, doc_b, na, nb, count(*) AS inter
+    SELECT cand.{a_name}, {b_name}, na, nb, count(*) AS inter
     FROM cand
-    JOIN sh sa ON sa.doc_id = cand.doc_a
-    JOIN sh sb ON sb.doc_id = cand.doc_b AND sa.s = sb.s
+    JOIN sh sa ON sa.doc_id = cand.{a_name}
+    JOIN sh sb ON sb.doc_id = cand.{b_name} AND sa.s = sb.s
     GROUP BY 1, 2, 3, 4
 )
-SELECT doc_a, doc_b,
+SELECT {a_name}, {b_name},
        round(inter / (na + nb - inter), 4) AS jaccard
 FROM inter
-WHERE inter / (na + nb - inter) >= {JACCARD_THRESHOLD}
-ORDER BY doc_a, doc_b
+WHERE inter / (na + nb - inter) >= {threshold}
+ORDER BY {a_name}, {b_name}
 """
+
+
+def _minhash_replay_sql() -> str:
+    return banded_lsh_replay_sql(
+        "a.doc_id < b.doc_id", "doc_a", "doc_b", JACCARD_THRESHOLD)
 
 
 DEDUP_MINHASH_REPLAY_SQL = _minhash_replay_sql()
