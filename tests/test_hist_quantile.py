@@ -92,6 +92,50 @@ def test_incremental_quantile_equals_single_shot(spark, sf_dir):
     assert [tuple(r) for r in maintained] == [tuple(r) for r in single]
 
 
+def test_hist_properties(spark):
+    """Property lock on hypothesis-random value multisets: (a) the
+    merge law — bin frames from ANY two batches against shared stats
+    fold into exactly the single-shot sketch; (b) the error bound —
+    every estimated quantile is within one bin width (+ round(4)
+    quantization) of the discrete value-at-rank percentile."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vals = st.lists(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=150)
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(a=vals, b=vals)
+    def check(a, b):
+        fa = spark.createDataFrame([(v,) for v in a], "v double").select(
+            F.lit("g").alias("g"), "v")
+        fb = spark.createDataFrame([(v,) for v in b], "v double").select(
+            F.lit("g").alias("g"), "v")
+        whole = fa.unionAll(fb)
+        stats = hist_stats(whole, F.col("v"), ["g"])
+        merged = hist_quantiles(
+            hist_merge(
+                hist_bins(fa, F.col("v"), ["g"], stats).unionByName(
+                    hist_bins(fb, F.col("v"), ["g"], stats)), ["g"]),
+            stats, ["g"], QS).collect()
+        single = hist_quantile(whole, F.col("v"), ["g"], QS).collect()
+        assert [tuple(r) for r in merged] == [tuple(r) for r in single]
+
+        vs = sorted(a + b)
+        width = (vs[-1] - vs[0]) / HIST_BINS
+        for name, q in QS.items():
+            discrete = vs[math.ceil(q * len(vs)) - 1]
+            assert abs(single[0][name] - discrete) <= width + 5e-5 + \
+                abs(width) * 1e-6, (name, single[0][name], discrete, width)
+
+    check()
+
+
 def test_hist_degenerate_group(spark):
     """A single-valued group (mx == mn) reports that value for every
     quantile instead of dividing by a zero-width bin."""

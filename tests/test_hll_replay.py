@@ -116,6 +116,39 @@ def test_incremental_distinct_equals_single_shot(spark, sf_dir):
     assert [tuple(r) for r in maintained] == [tuple(r) for r in single]
 
 
+def test_hll_merge_property(spark):
+    """Property lock for the merge law on hypothesis-random key
+    multisets: for ANY two batches (overlapping, duplicated, empty-B
+    allowed), folding their register frames estimates exactly like
+    one pass over the union — the algebra incremental_distinct's
+    epoch fold rests on, checked beyond the single crafted case."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys = st.lists(st.integers(min_value=0, max_value=10**9),
+                    min_size=0, max_size=200)
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(a=keys.filter(lambda x: len(x) > 0), b=keys)
+    def check(a, b):
+        fa = spark.createDataFrame([(k,) for k in a], "k long").select(
+            F.lit("g").alias("g"), "k")
+        rows_b = [(k,) for k in b]
+        fb = spark.createDataFrame(rows_b or [(0,)], "k long").select(
+            F.lit("g").alias("g"), "k")
+        if not rows_b:
+            fb = fb.filter(F.lit(False))
+        whole = hll_distinct(fa.unionAll(fb), F.col("k"), ["g"]).collect()
+        merged = hll_estimate(
+            hll_merge(hll_registers(fa, F.col("k"), ["g"]).unionAll(
+                hll_registers(fb, F.col("k"), ["g"])), ["g"]),
+            ["g"]).collect()
+        assert [tuple(r) for r in whole] == [tuple(r) for r in merged]
+
+    check()
+
+
 def test_hll_vs_native(spark, sf_dir):
     """The portable estimator agrees with Spark's native HLL++ to
     within the sum of their error budgets — ties the replay twin to
