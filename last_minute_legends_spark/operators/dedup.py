@@ -301,7 +301,8 @@ def _signature_bands(sh: DataFrame, perm_hash, band_hash) -> DataFrame:
 def minhash_lsh_cross(corpus: DataFrame, reference: DataFrame,
                       threshold: float = 0.8, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
-                      perm_hash=None, band_hash=None) -> DataFrame:
+                      perm_hash=None, band_hash=None,
+                      max_broadcast_candidates: int = 2_000_000) -> DataFrame:
     """Asymmetric MinHash-LSH: near-matches of a big ``corpus``
     against a SMALL ``reference`` set (fuzzy decontamination — train
     corpus vs eval benchmarks — or any corpus-vs-allowlist/blocklist
@@ -320,6 +321,24 @@ def minhash_lsh_cross(corpus: DataFrame, reference: DataFrame,
     self-joins. The reference side must fit in a broadcast (~eval
     suites do); for reference sets beyond that, fall back to
     minhash_lsh_pairs on the union, which co-shuffles both sides.
+
+    The CANDIDATE set is bounded only by how contaminated the corpus
+    is: a heavily contaminated corpus (this operator's own use case)
+    can make it corpus-scale. So the candidate broadcast is
+    size-gated: candidates are persisted and counted (the count
+    materializes the signature pass once — the verify join then reads
+    it from cache, so the gate costs no extra corpus pass); at or
+    under ``max_broadcast_candidates`` (default 2M ids+sizes ≈
+    tens of MB) they broadcast into the verify join so corpus
+    shingles never shuffle, above it the verify join falls back to a
+    shuffled join on doc_id — slower (the matched corpus docs'
+    shingles cross the wire) but never a driver/broadcast OOM.
+
+    The two persisted shingle frames stay cached for the caller's
+    materialization of the returned (lazy) DataFrame and are then
+    reclaimed by Spark's LRU block eviction — same lifecycle as
+    minhash_lsh_pairs; an explicit unpersist here would fire before
+    the caller's action and just silently drop the cache benefit.
 
     ``perm_hash`` / ``band_hash`` are injectable exactly as in
     minhash_lsh_pairs (the portable md5 forms make the whole pipeline
@@ -347,12 +366,16 @@ def minhash_lsh_cross(corpus: DataFrame, reference: DataFrame,
     shb = F.broadcast(
         sh_r.select(F.col("doc_id").alias("ref_doc_id"), F.col("s").alias("sb"))
     )
-    # cand is bounded by near-matches of the small reference set —
-    # broadcast it too, or the verify join would sort-merge on doc_id
-    # and shuffle the full corpus shingle frame (the text), the exact
-    # cost this operator exists to avoid
+    # broadcast cand when small (the usual case — the verify join then
+    # never shuffles the corpus shingle frame, the exact cost this
+    # operator exists to avoid); a heavily contaminated corpus makes
+    # cand corpus-scale, so gate on its actual count rather than risk
+    # a driver/broadcast OOM
+    cand = cand.persist()
+    cand_side = (F.broadcast(cand)
+                 if cand.count() <= max_broadcast_candidates else cand)
     inter = (
-        F.broadcast(cand).join(sha, "doc_id").join(shb, "ref_doc_id")
+        cand_side.join(sha, "doc_id").join(shb, "ref_doc_id")
         .filter(F.col("sa") == F.col("sb"))
         .groupBy("doc_id", "ref_doc_id", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))

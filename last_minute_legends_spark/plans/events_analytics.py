@@ -495,10 +495,10 @@ WITH h AS (
     FROM regs GROUP BY 1
 )
 SELECT {group_alias},
-       round(CASE WHEN {_EST_NUMER!r} / (s_scaled + ({HLL_M} - nreg) * {scale}) <= {_SMALL_RANGE!r}
+       round(CASE WHEN ({_EST_NUMER!r}::DOUBLE) / (s_scaled + ({HLL_M} - nreg) * {scale}) <= ({_SMALL_RANGE!r}::DOUBLE)
                    AND nreg < {HLL_M}
-              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - nreg))
-              ELSE {_EST_NUMER!r} / (s_scaled + ({HLL_M} - nreg) * {scale}) END,
+              THEN ({float(HLL_M)!r}::DOUBLE) * ln(({float(HLL_M)!r}::DOUBLE) / ({HLL_M} - nreg))
+              ELSE ({_EST_NUMER!r}::DOUBLE) / (s_scaled + ({HLL_M} - nreg) * {scale}) END,
              4) AS approx_users,
        CAST(n_events AS BIGINT) AS n_events
 FROM pt
