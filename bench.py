@@ -200,6 +200,9 @@ STREAMING = (
     # user within 2h) and day-partitioned parquet landing with
     # per-epoch dynamic-overwrite idempotence
     "stream_stream_join",
+    # r14: the left-outer form — eviction-time null emission for
+    # never-converted views (3 drained sentinel batches)
+    "stream_outer_join",
     "stream_partitioned_landing",
     # r13: incremental MV maintenance over the epoch landing (lands,
     # then folds one epoch at a time — timed end-to-end like the

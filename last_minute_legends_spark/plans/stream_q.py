@@ -417,6 +417,44 @@ ORDER BY view_id, purchase_id
 """
 
 
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT-OUTER join (every view ->
+    purchases within 2 hours, null-purchase row for views that never
+    converted), run to completion on the file-stream harness
+    (streaming/pipeline.py run_stream_outer_join_pipeline). The
+    semantics under test: unmatched views emit ONLY on
+    watermark-driven state eviction (sentinel-advanced), matches emit
+    eagerly, late views are dropped rather than resurrected. Output
+    is deterministic on the bounded corpus, so this carries a FULL
+    value oracle (STREAM_OUTER_JOIN_SQL); batch parity vs
+    batch_outer_join_twin and the forced-late-view case are locked in
+    tests."""
+    from last_minute_legends_spark.streaming.pipeline import (
+        run_stream_outer_join_pipeline,
+    )
+
+    return run_stream_outer_join_pipeline(spark, sf_dir)
+
+
+# The purchase-side predicates live in the JOIN condition; filtering
+# c.event_type in WHERE would silently turn the outer join inner.
+STREAM_OUTER_JOIN_SQL = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS purchase_id,
+       epoch_us(v.ts) AS view_us,
+       epoch_us(c.ts) AS purchase_us,
+       epoch_us(c.ts) - epoch_us(v.ts) AS wait_us
+FROM events v
+LEFT JOIN events c
+  ON v.user_id = c.user_id
+ AND c.event_type = 'purchase'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+WHERE v.event_type = 'view'
+ORDER BY view_id, purchase_id
+"""
+
+
 def stream_partitioned_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming landing into the day-partitioned parquet layout with
     per-epoch dynamic-partition-overwrite idempotence
@@ -459,6 +497,7 @@ SPARK = {
     "simulate_stream": simulate_stream,
     "stream_warehouse": stream_warehouse,
     "stream_stream_join": stream_stream_join,
+    "stream_outer_join": stream_outer_join,
     "stream_partitioned_landing": stream_partitioned_landing,
 }
 
@@ -500,6 +539,10 @@ SQL = {
     # DETERMINISTIC row-level/rollup outputs, so they carry full value
     # oracles — the first streaming entries the driver can hash-check
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
+    # r14-new: the left-outer form — deterministic row-level output
+    # (eviction-time nulls included), so a full value oracle; never
+    # observed, so the mechanical rotation windows it this round
+    "stream_outer_join": STREAM_OUTER_JOIN_SQL,
     "stream_partitioned_landing": STREAM_PARTITIONED_LANDING_SQL,
 }
 

@@ -482,6 +482,135 @@ def run_stream_join_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def run_stream_outer_join_pipeline(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM **left-outer** join, run to
+    completion: every item view joined to its purchases within the
+    2-hour event-time bound, PLUS a null-purchase row for every view
+    with NO purchase inside the bound — the other half of the
+    reference's item_view / added_to_cart cart story
+    (reference/UserEvents.py): the views that did NOT convert.
+
+    The semantics the inner join cannot express: matches emit eagerly
+    (same as inner), but an unmatched view row emits ONLY when the
+    watermark passes ``view_ts + bound`` and the engine EVICTS the
+    view from join state — that is the moment \"no match can ever
+    arrive\" becomes provable, so outer-null emission is
+    watermark-driven state eviction, not a query-end flush. Two
+    structural consequences, both load-bearing here:
+
+    - the watermark must keep advancing after the last real event or
+      the final views' nulls never emit. Placing ``withWatermark``
+      before the per-side event-type filter is NOT enough: Catalyst
+      pushes the deterministic filter below the EventTimeWatermark
+      operator into the scan (measured — the watermark froze at
+      max-view-ts − delay and the last ~3 h of views never got their
+      verdict), so sentinel rows must PASS each side's filter
+      (``event_type IN (side, 'sentinel')``) to advance both
+      watermarks. Sentinels carry ``user_id = -1`` and can therefore
+      only ever join OTHER sentinels; their rows are dropped on the
+      batch read-back of the sink (outside the streaming plan, where
+      a filter can't be pushed under the watermark);
+    - a batch emits against the watermark computed at the end of the
+      PREVIOUS batch, and eviction needs watermark STRICTLY past
+      ``max_ts + bound``, so THREE drained sentinel batches
+      (+3h/+6h/+9h) guarantee even the max-ts view's verdict: batch 1
+      advances the watermark to max_ts+2h (borderline for the last
+      view), batch 2 runs against it and advances to max_ts+5h,
+      batch 3 evicts and emits whatever remained.
+
+    At scale this is the same user_id-co-partitioned state-store hash
+    join as the inner form with state still O(rate × horizon) — left
+    rows are held exactly ``bound + watermark delay`` past their
+    event time, then either matched or emitted null. Late views
+    (behind the watermark on arrival) are dropped, never resurrected
+    as outer rows — tests/test_streaming.py forces that case. The
+    bounded corpus makes the row-level output deterministic, so the
+    entry carries a FULL DuckDB value oracle
+    (STREAM_OUTER_JOIN_SQL, plans/stream_q.py) plus batch parity vs
+    batch_outer_join_twin."""
+    staging, max_ts = stage_events_json(spark, sf_dir)
+    n_files = staged_file_count(staging)
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            parse_event_json(
+                file_json_stream(spark, f"{staging}/in",
+                                 max_files_per_trigger=n_files))
+            .withWatermark("ts", "1 hour")
+            .filter(F.col("event_type").isin(event_type, SENTINEL_TYPE))
+            .select(F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("user_id").alias(f"{prefix}_user"),
+                    F.col("ts").alias(f"{prefix}_ts"))
+        )
+
+    views = side("view", "view")
+    purchases = side("purchase", "purchase")
+    joined = (
+        views.join(
+            purchases,
+            F.expr(f"""view_user = purchase_user
+                       AND purchase_ts >= view_ts
+                       AND purchase_ts <= view_ts
+                           + interval {JOIN_BOUND_HOURS} hours"""),
+            "leftOuter")
+        .select(F.col("view_user").alias("user_id"), "view_id",
+                "purchase_id",
+                F.unix_micros("view_ts").alias("view_us"),
+                F.unix_micros("purchase_ts").alias("purchase_us"),
+                (F.unix_micros("purchase_ts")
+                 - F.unix_micros("view_ts")).alias("wait_us"))
+    )
+    with sentinel_paced(spark):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", f"{staging}/out")
+            .option("checkpointLocation", f"{staging}/ckpt")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        append_sentinels(spark, staging, max_ts, hours=(3, 6, 9), query=q)
+        q.stop()
+
+    out = (spark.read.schema(JOIN_SCHEMA).parquet(f"{staging}/out")
+           .filter(F.col("user_id") >= 0))
+    shutil.rmtree(f"{staging}/in", ignore_errors=True)
+    shutil.rmtree(f"{staging}/ckpt", ignore_errors=True)
+    return out
+
+
+def batch_outer_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same left-outer view->purchase join as a batch plan — the
+    parity oracle for run_stream_outer_join_pipeline. The purchase
+    predicates live in the JOIN condition (not a post-filter, which
+    would turn the outer join back into an inner one); the view
+    filter is a plain left-side pre-filter."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"), F.col("ts").alias("view_ts"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"))
+    return (
+        views.join(
+            purchases,
+            F.expr(f"""view_user = purchase_user
+                       AND purchase_ts >= view_ts
+                       AND purchase_ts <= view_ts
+                           + interval {JOIN_BOUND_HOURS} hours"""),
+            "left_outer")
+        .select(F.col("view_user").alias("user_id"), "view_id",
+                "purchase_id",
+                F.unix_micros("view_ts").alias("view_us"),
+                F.unix_micros("purchase_ts").alias("purchase_us"),
+                (F.unix_micros("purchase_ts")
+                 - F.unix_micros("view_ts")).alias("wait_us"))
+    )
+
+
 def batch_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same view->purchase join as a batch plan — the parity
     oracle for run_stream_join_pipeline (and what this query IS on a

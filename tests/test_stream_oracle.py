@@ -128,3 +128,26 @@ def test_stream_stream_join_batch_parity(spark, sf_dir):
     got = {tuple(r) for r in run_stream_join_pipeline(spark, sf_dir).collect()}
     exp = {tuple(r) for r in batch_join_twin(spark, sf_dir).collect()}
     assert got == exp and len(exp) > 0
+
+
+def test_stream_outer_join_batch_parity(spark, sf_dir):
+    """The LEFT-OUTER stream-stream join must emit exactly the batch
+    left-outer join's rows: every matched pair (eager emission) PLUS
+    one null-purchase row per never-converted view, emitted only at
+    watermark-driven state eviction (sentinel-advanced past
+    max_ts + bound). Parity therefore proves the eviction actually
+    fired for EVERY unmatched view — a frozen watermark (the
+    filter-below-watermark pushdown trap, see
+    run_stream_outer_join_pipeline) shows up as missing tail nulls,
+    not an error. The DuckDB value oracle for the same entry runs via
+    test_oracle.py (STREAM_OUTER_JOIN_SQL)."""
+    from last_minute_legends_spark.streaming.pipeline import (
+        batch_outer_join_twin, run_stream_outer_join_pipeline,
+    )
+
+    got = {tuple(r)
+           for r in run_stream_outer_join_pipeline(spark, sf_dir).collect()}
+    exp = {tuple(r) for r in batch_outer_join_twin(spark, sf_dir).collect()}
+    assert got == exp and len(exp) > 0
+    # the outer join is only exercised if some views never converted
+    assert any(r[2] is None for r in exp)

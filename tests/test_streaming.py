@@ -1119,3 +1119,187 @@ def test_day_partition_sink_idempotent(spark, tmp_path):
     assert scans and all("PartitionFilters: [" in ln and
                          "event_day_us#" in ln.split("PartitionFilters:", 1)[1]
                          for ln in scans), plan
+
+
+def test_outer_join_late_view_dropped_not_resurrected(spark):
+    """A view arriving BEHIND the watermark must be dropped outright —
+    it may emit NEITHER a match NOR an eviction-time null row. The
+    topic is hand-staged in three drained micro-batches:
+
+    batch 1: V1+P1 (a converting pair), V0 (never converts), and a
+             sentinel at t0+10h that advances the watermark far past
+             both views;
+    batch 2: V_LATE at t0+1min — hours behind the now-advanced
+             watermark — plus a sentinel at t0+13h;
+    batch 3/4: further sentinels so every surviving view's state is
+             evicted and its verdict (match or null) is final.
+
+    Expected output: exactly {V1 matched to P1, V0 with nulls}. A
+    V_LATE row in any form means late input leaked into join state; a
+    missing V0 row means eviction-time null emission regressed."""
+    import datetime as dt
+    import shutil as _sh
+    import tempfile
+
+    from last_minute_legends_spark.sources.streams import (
+        events_as_json, file_json_stream, parse_event_json,
+    )
+    from last_minute_legends_spark.streaming.pipeline import (
+        JOIN_BOUND_HOURS, JOIN_SCHEMA, SENTINEL_TYPE, sentinel_paced,
+    )
+
+    root = tempfile.mkdtemp(prefix="late_view_")
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    def stage(rows, mode):
+        (events_as_json(spark.createDataFrame(rows, schema))
+         .coalesce(1).write.mode(mode).text(f"{root}/in"))
+
+    try:
+        stage([(1, t0, 1, "view", 1.0, "{}"),                      # V1
+               (2, t0 + dt.timedelta(minutes=30), 1,
+                "purchase", 2.0, "{}"),                            # P1
+               (3, t0, 4, "view", 1.0, "{}"),                      # V0
+               (-1, t0 + dt.timedelta(hours=10), -1,
+                SENTINEL_TYPE, 0.0, "{}")], "overwrite")
+
+        def side(event_type, prefix):
+            return (
+                parse_event_json(
+                    file_json_stream(spark, f"{root}/in",
+                                     max_files_per_trigger=64))
+                .withWatermark("ts", "1 hour")
+                .filter(F.col("event_type").isin(event_type, SENTINEL_TYPE))
+                .select(F.col("event_id").alias(f"{prefix}_id"),
+                        F.col("user_id").alias(f"{prefix}_user"),
+                        F.col("ts").alias(f"{prefix}_ts"))
+            )
+
+        joined = (
+            side("view", "view").join(
+                side("purchase", "purchase"),
+                F.expr(f"""view_user = purchase_user
+                           AND purchase_ts >= view_ts
+                           AND purchase_ts <= view_ts
+                               + interval {JOIN_BOUND_HOURS} hours"""),
+                "leftOuter")
+            .select(F.col("view_user").alias("user_id"), "view_id",
+                    "purchase_id",
+                    F.unix_micros("view_ts").alias("view_us"),
+                    F.unix_micros("purchase_ts").alias("purchase_us"),
+                    (F.unix_micros("purchase_ts")
+                     - F.unix_micros("view_ts")).alias("wait_us"))
+        )
+        with sentinel_paced(spark):
+            q = (joined.writeStream.format("parquet")
+                 .option("path", f"{root}/out")
+                 .option("checkpointLocation", f"{root}/ckpt")
+                 .outputMode("append").start())
+            q.processAllAvailable()
+            # batch 2: the late view (watermark is already t0+9h) + a
+            # sentinel; then two more sentinel batches to evict all
+            # surviving view state
+            stage([(9, t0 + dt.timedelta(minutes=1), 9, "view", 1.0, "{}"),
+                   (-2, t0 + dt.timedelta(hours=13), -1,
+                    SENTINEL_TYPE, 0.0, "{}")], "append")
+            q.processAllAvailable()
+            for i, h in enumerate((16, 19)):
+                stage([(-3 - i, t0 + dt.timedelta(hours=h), -1,
+                        SENTINEL_TYPE, 0.0, "{}")], "append")
+                q.processAllAvailable()
+            q.stop()
+
+        out = (spark.read.schema(JOIN_SCHEMA).parquet(f"{root}/out")
+               .filter(F.col("user_id") >= 0))
+        got = {(r.view_id, r.purchase_id) for r in out.collect()}
+        assert got == {(1, 2), (3, None)}, got
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+def test_partitioned_landing_kill_restart_recovery(spark, sf_dir):
+    """KILL-and-restart recovery through the epoch-REPLACE sink — the
+    failure mode day_partition_epoch_sink exists for, exercised
+    through a real query death, not in-process forced redelivery:
+
+    phase 1 runs the landing stream with a sink that CRASHES after
+    its 3rd batch's files have landed but BEFORE Structured Streaming
+    commits the batch — exactly a sink-side executor/driver death
+    with effects already on disk. Phase 2 restarts a NEW query from
+    the SAME checkpoint: the offsets log has batch 2 written but the
+    commit log doesn't, so the engine re-delivers it with the SAME
+    epoch id, and the sink's strict per-epoch REPLACE (drop
+    epoch=N dirs, dynamic overwrite) absorbs the half-landed epoch.
+
+    The landed table must be IDENTICAL — every row including its
+    (event_day_us, epoch) assignment — to an uninterrupted run with
+    its own fresh checkpoint: nothing lost, nothing duplicated, and
+    the file→epoch slicing reproduced from the checkpoint, not
+    re-derived."""
+    import shutil as _sh
+    import tempfile
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from last_minute_legends_spark.sources.partitioned_events import (
+        day_partition_epoch_sink,
+    )
+    from last_minute_legends_spark.sources.tables import load_table
+    from last_minute_legends_spark.streaming.pipeline import EVENT_SCHEMA
+
+    root = tempfile.mkdtemp(prefix="kill_restart_")
+    try:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props")
+        events.repartition(6).write.mode("overwrite").parquet(f"{root}/in")
+
+        def stream():
+            return (spark.readStream.schema(EVENT_SCHEMA)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(f"{root}/in"))
+
+        # phase 1: crash AFTER the 3rd batch's sink effects landed,
+        # BEFORE its checkpoint commit
+        inner = day_partition_epoch_sink(f"{root}/landed")
+        seen = {"n": 0}
+
+        def crashing_sink(batch_df, epoch_id):
+            inner(batch_df, epoch_id)
+            seen["n"] += 1
+            if seen["n"] == 3:
+                raise RuntimeError("injected sink death after write")
+
+        q1 = (stream().writeStream.foreachBatch(crashing_sink)
+              .option("checkpointLocation", f"{root}/ckpt")
+              .trigger(availableNow=True).start())
+        with pytest.raises(StreamingQueryException):
+            q1.awaitTermination()
+        assert seen["n"] == 3  # it really died mid-topic
+
+        # phase 2: restart from the SAME checkpoint with the plain sink
+        q2 = (stream().writeStream
+              .foreachBatch(day_partition_epoch_sink(f"{root}/landed"))
+              .option("checkpointLocation", f"{root}/ckpt")
+              .trigger(availableNow=True).start())
+        q2.awaitTermination()
+
+        # uninterrupted twin: fresh checkpoint, same topic
+        q3 = (stream().writeStream
+              .foreachBatch(day_partition_epoch_sink(f"{root}/landed_ref"))
+              .option("checkpointLocation", f"{root}/ckpt_ref")
+              .trigger(availableNow=True).start())
+        q3.awaitTermination()
+
+        got = {tuple(r) for r in
+               spark.read.parquet(f"{root}/landed").collect()}
+        want = {tuple(r) for r in
+                spark.read.parquet(f"{root}/landed_ref").collect()}
+        assert len(want) == events.count()
+        assert got == want, (
+            f"recovered landing diverged: lost={len(want - got)} "
+            f"extra={len(got - want)}")
+    finally:
+        _sh.rmtree(root, ignore_errors=True)

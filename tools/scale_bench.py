@@ -177,6 +177,8 @@ CELLS = [
     # merge — the BUILD dominates and scales with the corpus; the
     # merge itself touches only the partitions the change-set names)
     "stream_stream_join",
+    "stream_outer_join",  # r14: left-outer form — same state bound, plus
+    # eviction-time null emission for never-converted views
     "stream_partitioned_landing",
     "cdc_merge_upsert",
     "compact_small_files",
