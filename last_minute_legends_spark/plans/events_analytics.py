@@ -277,6 +277,15 @@ FROM part ORDER BY p_partkey
 # --- asof_join: purchase → most recent prior view -----------------------
 
 def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER as-of: every purchase gets the latest prior view's
+    timestamp, and purchases with NO prior view survive with a null
+    ``last_view_us`` — the union-sort formulation (operators/asof.py)
+    is structurally outer (an anchor row is never filtered; its
+    carried-forward value is simply null when no right row precedes
+    it), and the registered oracle is the corresponding LEFT JOIN, so
+    the null rows are value-checked at the gate (155 of 1981 rows at
+    sf0.01). Misses-included is what real funnel analyses need;
+    tests/test_operators.py locks that unmatched anchors survive."""
     ev = Catalog(spark, sf_dir).events
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"

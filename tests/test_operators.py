@@ -513,6 +513,30 @@ def test_asof_same_ts_matches(spark):
     assert out[0].view_ts_asof == t0   # equal-ts right row IS eligible (<=)
 
 
+def test_asof_is_left_outer(spark):
+    """Unmatched anchors SURVIVE with a null value — the union-sort
+    as-of is structurally left-outer: an anchor with no prior right
+    row (later right rows only, a key absent from the right side
+    entirely) carries null, it is never filtered. Real funnel
+    analyses need the misses."""
+    from last_minute_legends_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    hour = dt.timedelta(hours=1)
+    left = spark.createDataFrame(
+        [(1, 10, t0),            # right row exists but only LATER
+         (2, 11, t0),            # key has no right rows at all
+         (3, 12, t0 + 2 * hour)  # a real match
+         ], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, t0 + hour, t0 + hour), (12, t0 + hour, t0 + hour)],
+        "user_id long, ts timestamp, view_ts timestamp")
+    out = {r.event_id: r.view_ts_asof
+           for r in asof_join(left, right, on="user_id", left_ts="ts",
+                              right_ts="ts", value_cols=["view_ts"]).collect()}
+    assert out == {1: None, 2: None, 3: t0 + hour}
+
+
 def test_ann_ivf_recall_clustered(spark):
     """IVF with Lloyd-trained centroids must reach recall@10 >= 0.9 on
     clustered data (the regime IVF exists for). The synthetic sf tables
