@@ -187,6 +187,7 @@ HEADLINE = [
     "events_hll_replay",
     "events_hist_quantile",
     "decontaminate_fuzzy",
+    "decontaminate_fuzzy_replay",
     "ann_ivf_append_probe",
 ]
 

@@ -196,14 +196,16 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows and shingles broadcast, the train corpus crosses the wire
     once as signature partials and never self-joins — the shape that
     survives a 100 TB train corpus against a few-thousand-doc eval
-    suite. Registered with the portable md5 hash (the
-    dedup_minhash_lsh_replay pattern), so the driver gate
-    value-checks signatures → band keys → candidates → exact-Jaccard
-    verify; production xxhash64 parity is locked in
-    tests/test_fuzzy_decont.py."""
-    from last_minute_legends_spark.functions.portable_hash import (
-        concat_band_key, md5_perm_hash,
-    )
+    suite.
+
+    This is the PRODUCTION form (JVM xxhash64, whole-stage codegen —
+    measured 1.5-1.6× faster than the md5 replay at sf0.1, A/B'd in
+    BASELINE_LOCAL r14), following the dedup_minhash_lsh split: the
+    headline/bench cell times the hot path, while
+    ``decontaminate_fuzzy_replay`` runs the identical pipeline with
+    the portable md5 hash under a full DuckDB value oracle, and
+    tests/test_fuzzy_decont.py locks output parity between the two,
+    so the gate's value check covers this form transitively."""
     from last_minute_legends_spark.operators.dedup import minhash_lsh_cross
 
     # plain scan, NOT _docs_spread: minhash_lsh_cross's _shingle_sets
@@ -211,6 +213,27 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it would shuffle the raw corpus text twice back-to-back (the
     # dedup_minhash_lsh entries pass the plain scan for the same
     # reason)
+    docs = Catalog(spark, sf_dir).documents
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 7 == 0)
+    return minhash_lsh_cross(
+        train, eval_set, threshold=FUZZY_DECONT_THRESHOLD,
+    ).orderBy("doc_id", "ref_doc_id")
+
+
+def decontaminate_fuzzy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``decontaminate_fuzzy`` with the portable md5-prefix hash
+    injected — bit-identical signatures → band keys → candidates →
+    exact-Jaccard verify in Spark AND DuckDB, so the driver gate
+    value-checks the entire asymmetric LSH arithmetic
+    (DECONTAMINATE_FUZZY_SQL). The dedup_minhash_lsh_replay pattern:
+    this twin carries the oracle, the production entry carries the
+    hot path, and tests/test_fuzzy_decont.py locks their parity."""
+    from last_minute_legends_spark.functions.portable_hash import (
+        concat_band_key, md5_perm_hash,
+    )
+    from last_minute_legends_spark.operators.dedup import minhash_lsh_cross
+
     docs = Catalog(spark, sf_dir).documents
     train = docs.filter(F.col("doc_id") % 7 != 0)
     eval_set = docs.filter(F.col("doc_id") % 7 == 0)
@@ -671,6 +694,7 @@ SPARK = {
     "dedup_paragraph": dedup_paragraph,
     "decontaminate": decontaminate_train,
     "decontaminate_fuzzy": decontaminate_fuzzy,
+    "decontaminate_fuzzy_replay": decontaminate_fuzzy_replay,
     "curated_training_set": curated_training_set,
     "pack_shards": pack_training_shards,
     "mixture_sample": mixture_sample_weighted,
@@ -692,7 +716,12 @@ SQL = {
     "text_repetition": TEXT_REPETITION_SQL,
     "dedup_paragraph": DEDUP_PARAGRAPH_SQL,
     "decontaminate": DECONTAMINATE_SQL,
-    "decontaminate_fuzzy": DECONTAMINATE_FUZZY_SQL,
+    # r14 split (the dedup_minhash_lsh pattern): the production
+    # xxhash64 form is rows-only at the gate (xxhash64 exists in no
+    # second engine); the md5 twin carries the full value oracle and
+    # tests/test_fuzzy_decont.py locks their output parity
+    "decontaminate_fuzzy": None,
+    "decontaminate_fuzzy_replay": DECONTAMINATE_FUZZY_SQL,
     "curated_training_set": CURATED_TRAINING_SET_SQL,
     "pack_shards": PACK_SHARDS_SQL,
     "mixture_sample": MIXTURE_SAMPLE_SQL,

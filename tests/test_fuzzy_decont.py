@@ -20,6 +20,7 @@ from last_minute_legends_spark.operators.dedup import (
 from last_minute_legends_spark.plans.curation_q import (
     FUZZY_DECONT_THRESHOLD,
     decontaminate_fuzzy,
+    decontaminate_fuzzy_replay,
 )
 from last_minute_legends_spark.sources.tables import Catalog
 
@@ -48,22 +49,22 @@ def test_cross_equals_union_pairs_cross_subset(spark, sf_dir):
             tr, ev = (r["doc_b"], r["doc_a"]) if a_eval else (r["doc_a"], r["doc_b"])
             expect.add((tr, ev, r["jaccard"]))
     got = {(r["doc_id"], r["ref_doc_id"], r["jaccard"])
-           for r in decontaminate_fuzzy(spark, sf_dir).collect()}
+           for r in decontaminate_fuzzy_replay(spark, sf_dir).collect()}
     assert got == expect
     assert got, "fixture corpus must contain cross-split near-dups"
 
 
 def test_production_hash_parity(spark, sf_dir):
-    """xxhash64 (production) and md5 (replay/oracle) band the same
-    docs together at fixture scale — the injected hash changes no
-    semantics, mirroring test_hash_replay's parity lock for the
-    symmetric pipeline."""
-    train, ev = _split(spark, sf_dir)
+    """The production entry (xxhash64) and its replay twin (md5) band
+    the same docs together at fixture scale — the injected hash
+    changes no semantics, so the replay twin's driver value oracle
+    covers the production form transitively (the r14 split's load-
+    bearing assumption), mirroring test_hash_replay's parity lock for
+    the symmetric pipeline."""
     prod = {(r["doc_id"], r["ref_doc_id"], r["jaccard"])
-            for r in minhash_lsh_cross(
-                train, ev, threshold=FUZZY_DECONT_THRESHOLD).collect()}
+            for r in decontaminate_fuzzy(spark, sf_dir).collect()}
     replay = {(r["doc_id"], r["ref_doc_id"], r["jaccard"])
-              for r in decontaminate_fuzzy(spark, sf_dir).collect()}
+              for r in decontaminate_fuzzy_replay(spark, sf_dir).collect()}
     assert prod == replay
 
 
