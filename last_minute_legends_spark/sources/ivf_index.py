@@ -35,6 +35,18 @@ from last_minute_legends_spark.operators.similarity import assign_buckets
 
 _DATA = "data"
 _CENTROIDS = "centroids"
+_META = "meta"
+
+# index_health trigger thresholds, calibrated on the clustered-regime
+# drift experiment (BASELINE_LOCAL r14): retrain when more than half
+# the index is post-train mass (even distribution-stationary appends
+# then double every probed bucket's read cost), or when the
+# most-grown bucket outgrows what uniform append explains by >25% —
+# the disproportion statistic separates stationary (≈1.0 at every
+# appended fraction) from drifted ingest (1.15 at 10% drifted
+# appends, 1.9 at 100%) long before recall visibly degrades.
+APPEND_RETRAIN_FRAC = 0.5
+SKEW_RETRAIN_RATIO = 1.25
 
 
 def write_ivf_index(candidates: DataFrame, centroids: DataFrame,
@@ -44,12 +56,22 @@ def write_ivf_index(candidates: DataFrame, centroids: DataFrame,
     the k-row centroid model the probe side needs. Assignment is a
     narrow map (broadcast centroid model, operators/similarity.py);
     the write's partitionBy is the single exchange — the one shuffle
-    this index ever costs."""
+    this index ever costs.
+
+    Also writes a ``meta`` manifest of per-bucket TRAINED row counts
+    (k rows, computed from parquet footer counts of the just-written
+    layout — no data read), the baseline ``index_health`` compares
+    appended growth against."""
     assigned = assign_buckets(candidates, centroids)
     (assigned.write.partitionBy("bucket").mode("overwrite")
      .parquet(os.path.join(path, _DATA)))
     (centroids.write.mode("overwrite")
      .parquet(os.path.join(path, _CENTROIDS)))
+    spark = candidates.sparkSession
+    (spark.read.parquet(os.path.join(path, _DATA))
+     .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_trained"))
+     .coalesce(1)
+     .write.mode("overwrite").parquet(os.path.join(path, _META)))
 
 
 def append_ivf_index(spark: SparkSession, new_vectors: DataFrame,
@@ -77,6 +99,54 @@ def append_ivf_index(spark: SparkSession, new_vectors: DataFrame,
     assigned = assign_buckets(new_vectors, cent)
     (assigned.write.partitionBy("bucket").mode("append")
      .parquet(os.path.join(path, _DATA)))
+
+
+def index_health(spark: SparkSession, path: str) -> dict:
+    """Cheap retrain trigger for an appended index — parquet footer
+    counts only, no vector reads, no recall measurement:
+
+    - ``appended_frac``: post-train mass relative to the trained
+      manifest. Past APPEND_RETRAIN_FRAC even distribution-stationary
+      appends have inflated every probed bucket's read cost enough
+      that a retrain (which also re-levels bucket sizes) pays for
+      itself.
+    - ``disproportion``: max over buckets of current/trained growth,
+      normalized by (1 + appended_frac) — what uniform append would
+      explain. Stationary ingest holds ≈1.0 at ANY appended fraction;
+      drifted ingest (new regions crowding into their nearest frozen
+      buckets) reads 1.15 at 10% drifted appends and climbs
+      (measured, BASELINE_LOCAL r14), so SKEW_RETRAIN_RATIO = 1.25
+      fires on sustained drift before recall visibly degrades.
+
+    ``retrain_recommended`` is the OR of the two. Raises
+    FileNotFoundError for a pre-manifest index (rewrite with
+    write_ivf_index to enable health tracking)."""
+    meta_path = os.path.join(path, _META)
+    if not os.path.isdir(meta_path):
+        raise FileNotFoundError(
+            f"no train manifest at {meta_path} — index predates health "
+            "tracking; rewrite with write_ivf_index to enable it")
+    trained = {int(r.bucket): int(r.n_trained)
+               for r in spark.read.parquet(meta_path).collect()}
+    current = {int(r.bucket): int(r.n)
+               for r in spark.read.parquet(os.path.join(path, _DATA))
+               .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+    n_trained = sum(trained.values())
+    n_current = sum(current.values())
+    appended_frac = (n_current - n_trained) / n_trained
+    max_growth = max(
+        current.get(b, 0) / trained[b] for b in trained)
+    disproportion = max_growth / (1.0 + appended_frac)
+    return {
+        "n_trained": n_trained,
+        "n_current": n_current,
+        "appended_frac": round(appended_frac, 4),
+        "max_bucket_growth": round(max_growth, 4),
+        "disproportion": round(disproportion, 4),
+        "retrain_recommended": (appended_frac > APPEND_RETRAIN_FRAC
+                                or disproportion > SKEW_RETRAIN_RATIO),
+    }
 
 
 # Above this many queries the probe falls back to the distributed

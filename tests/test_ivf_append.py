@@ -100,3 +100,91 @@ def test_appended_vectors_probed(spark, sf_dir):
         F.max("vec_id")).collect()[0][0]
     got = ann_ivf_append_probe(spark, sf_dir).collect()
     assert any(r["c_id"] > max_base for r in got)
+
+
+def _clustered(spark, tag_prefix, groups, per, dim=32, jitter=0.15,
+               id_base=0):
+    """Deterministic clustered vectors: `groups` cluster tags, `per`
+    points each, sha256-derived — the regime IVF exists for."""
+    import hashlib as _h
+
+    def detvec(tag, scale):
+        return [((int.from_bytes(
+            _h.sha256(f"{tag}:{d}".encode()).digest()[:8], "big")
+            / 2.0**64) * 2 - 1) * scale for d in range(dim)]
+
+    rows = []
+    for gi, g in enumerate(groups):
+        c = detvec(f"cent{g}", 1.0)
+        for i in range(per):
+            jit = detvec(f"{tag_prefix}:{g}:{i}", jitter)
+            rows.append((id_base + gi * per + i,
+                         [c[d] + jit[d] for d in range(dim)]))
+    from last_minute_legends_spark.operators.similarity import (
+        with_unit_vectors,
+    )
+    return with_unit_vectors(spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"))
+
+
+def test_index_health_retrain_trigger(spark, tmp_path):
+    """The retrain trigger must separate the two append regimes the
+    drift experiment measured (BASELINE_LOCAL r14):
+
+    - stationary appends (same clusters, new points) keep recall at
+      1.0 at ANY fraction — health must stay quiet at 30% appended
+      (disproportion ≈ 1.0) and fire only past APPEND_RETRAIN_FRAC
+      on sheer appended mass;
+    - drifted appends (clusters the frozen model never saw) crowd
+      into their nearest old buckets — the disproportion statistic
+      must fire at 30% drifted appends even though appended_frac is
+      nowhere near the mass threshold."""
+    from last_minute_legends_spark.operators.similarity import (
+        train_centroids,
+    )
+    from last_minute_legends_spark.sources.ivf_index import (
+        append_ivf_index, index_health, write_ivf_index,
+    )
+
+    base = _clustered(spark, "b", groups=list(range(8)), per=100)
+    cent = train_centroids(base, k=8, iters=5)
+
+    # fresh index: healthy
+    root = str(tmp_path / "ivf_stationary")
+    write_ivf_index(base, cent, root)
+    h0 = index_health(spark, root)
+    assert h0["appended_frac"] == 0.0
+    assert not h0["retrain_recommended"], h0
+
+    # 30% stationary append: growth is uniform, stays quiet
+    append_ivf_index(spark, _clustered(
+        spark, "s", groups=list(range(8)), per=30, id_base=100_000), root)
+    hs = index_health(spark, root)
+    assert 0.25 < hs["appended_frac"] < 0.35
+    assert not hs["retrain_recommended"], hs
+
+    # pile on past the mass threshold: fires on appended_frac alone
+    append_ivf_index(spark, _clustered(
+        spark, "s2", groups=list(range(8)), per=40, id_base=200_000), root)
+    hm = index_health(spark, root)
+    assert hm["appended_frac"] > 0.5 and hm["retrain_recommended"], hm
+
+    # 30% DRIFTED append (4 unseen clusters): fires on disproportion
+    root2 = str(tmp_path / "ivf_drifted")
+    write_ivf_index(base, cent, root2)
+    append_ivf_index(spark, _clustered(
+        spark, "d", groups=[100, 101, 102, 103], per=60,
+        id_base=300_000), root2)
+    hd = index_health(spark, root2)
+    assert hd["appended_frac"] < 0.5, hd
+    assert hd["disproportion"] > 1.25 and hd["retrain_recommended"], hd
+
+
+def test_index_health_requires_manifest(spark, tmp_path):
+    """A pre-manifest layout gets a clear error, not a silent guess."""
+    import pytest as _pytest
+
+    from last_minute_legends_spark.sources.ivf_index import index_health
+
+    with _pytest.raises(FileNotFoundError, match="train manifest"):
+        index_health(spark, str(tmp_path / "nonexistent_ivf"))
