@@ -293,10 +293,21 @@ def gen_embeddings(spark, n_vecs: int, out_path: str) -> None:
     emb.write.mode("overwrite").parquet(out_path)
 
 
-def gen_events(spark, n_events: int, n_users: int, out_path: str) -> None:
+def gen_events(spark, n_events: int, n_users: int, out_path: str,
+               zipf: bool = False) -> None:
     """sf0.1-shaped events at any size: ids are the clock (~0.4-0.8 s
     hash-jittered gaps, so the time range grows with the corpus while
-    per-user density stays constant — user count scales with mult)."""
+    per-user density stays constant — user count scales with mult).
+
+    ``zipf=True`` swaps the uniform user draw for a rank-frequency
+    Zipf(s=1) one via the closed-form inverse CDF ``rank =
+    ⌊N^u⌋`` (u uniform on [0,1): P(rank ≤ r) = ln r / ln N, so
+    frequency ∝ 1/rank) — the skewed-key regime the salted join /
+    AQE skew handling exists for. The head is BRUTAL by design:
+    user 0 owns ln2/lnN of ALL events (≈9.5% at x1, still ≈6.4%
+    at x30 — an absolute hot-key row count that grows linearly with
+    the corpus), which is exactly what a uniform ladder never
+    exercises."""
     from pyspark.sql import functions as F
 
     ids = spark.range(n_events)
@@ -307,10 +318,15 @@ def gen_events(spark, n_events: int, n_users: int, out_path: str) -> None:
     start_us = 1_704_067_200_000_000  # 2024-01-01 UTC
     ts_us = (F.lit(start_us) + F.col("id") * F.lit(400_000)
              + F.pmod(h(1), F.lit(400_000)))
+    if zipf:
+        u = (F.pmod(h(2), F.lit(1 << 20)) + F.lit(0.5)) / F.lit(1 << 20)
+        user = (F.floor(F.pow(F.lit(float(n_users)), u)) - 1).cast("long")
+    else:
+        user = F.pmod(h(2), F.lit(n_users))
     ev = ids.select(
         F.col("id").alias("event_id"),
         F.timestamp_micros(ts_us).alias("ts"),
-        F.pmod(h(2), F.lit(n_users)).alias("user_id"),
+        user.alias("user_id"),
         F.element_at(
             F.array(*[F.lit(t) for t in
                       ("view", "click", "purchase", "signup", "error")]),
@@ -479,19 +495,24 @@ def ensure_tpch(spark, mult: int, root: str) -> str:
 
 
 def ensure_corpus(spark, mult: int, root: str,
-                  vocab: int = VOCAB) -> str:
-    suffix = "" if vocab == VOCAB else f"v{vocab}"
+                  vocab: int = VOCAB, zipf: bool = False) -> str:
+    suffix = ("" if vocab == VOCAB else f"v{vocab}") + ("z" if zipf else "")
     d = os.path.join(root, f"x{mult}{suffix}")
     marker = os.path.join(d, "_GENERATED_v2")  # v2: + events.parquet
     if not os.path.exists(marker):
         t0 = time.perf_counter()
-        gen_documents(spark, BASE_DOCS * mult,
-                      os.path.join(d, "documents.parquet"), vocab=vocab)
-        gen_embeddings(spark, BASE_VECS * mult, os.path.join(d, "embeddings.parquet"))
+        if not zipf:
+            # zipf corpora serve the events-keyed skew cells only —
+            # documents/embeddings would be byte-identical to the
+            # uniform corpus's and are not regenerated
+            gen_documents(spark, BASE_DOCS * mult,
+                          os.path.join(d, "documents.parquet"), vocab=vocab)
+            gen_embeddings(spark, BASE_VECS * mult,
+                           os.path.join(d, "embeddings.parquet"))
         gen_events(spark, BASE_EVENTS * mult, BASE_USERS * mult,
-                   os.path.join(d, "events.parquet"))
+                   os.path.join(d, "events.parquet"), zipf=zipf)
         with open(marker, "w") as f:
-            f.write(json.dumps({"mult": mult, "vocab": vocab,
+            f.write(json.dumps({"mult": mult, "vocab": vocab, "zipf": zipf,
                                 "docs": BASE_DOCS * mult,
                                 "vecs": BASE_VECS * mult,
                                 "events": BASE_EVENTS * mult,
@@ -542,6 +563,12 @@ def main() -> None:
     # measured with beta != 0 are recorded under "<cell>@vb<beta>"
     # so the two regimes never mix in the minima merge.
     ap.add_argument("--vocab-beta", type=float, default=0.0)
+    # Zipf(s=1)-keyed events corpora (user 0 owns ~ln2/lnN of all
+    # events): the skewed regime the salted join / AQE skew handling
+    # is FOR. Cells measured with --zipf record under "<cell>@zipf"
+    # keys so the regimes never mix in the minima merge; only
+    # events-keyed cells are valid against these corpora.
+    ap.add_argument("--zipf", action="store_true")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
@@ -559,14 +586,29 @@ def main() -> None:
 
     need_doc = any(c not in TPCH_CELLS for c in args.cells)
     need_tpch = any(c in TPCH_CELLS for c in args.cells)
-    dirs = {m: ensure_corpus(spark, m, args.out, vocab=vocab_for(m))
+    if args.zipf:
+        _ZIPF_OK = {"skew_join", "sessionization", "cohort_retention",
+                    "events_by_type", "events_windowed", "latest_by_user",
+                    "moving_avg", "events_quantiles", "rollup_timeseries",
+                    "funnel", "user_segmentation", "json_props",
+                    "events_sketches", "events_hll_replay",
+                    "events_hist_quantile"}
+        bad = [c for c in args.cells if c not in _ZIPF_OK]
+        if bad:
+            ap.error(f"--zipf corpora carry only events (+ copied dims); "
+                     f"not events-keyed: {bad}")
+    dirs = {m: ensure_corpus(spark, m, args.out, vocab=vocab_for(m),
+                             zipf=args.zipf)
             for m in args.mults} if need_doc else {}
     tpch_dirs = {m: ensure_tpch(spark, m, args.out)
                  for m in args.mults} if need_tpch else {}
 
     # warmup (JVM + codegen + python daemon fleet)
-    warm = ("dedup_exact", dirs) if need_doc else ("q1_pricing_summary",
-                                                   tpch_dirs)
+    if args.zipf:
+        warm = ("events_by_type", dirs)
+    else:
+        warm = (("dedup_exact", dirs) if need_doc
+                else ("q1_pricing_summary", tpch_dirs))
     QUERIES[warm[0]](spark, warm[1][args.mults[0]]).write.mode(
         "overwrite").format("noop").save()
 
@@ -596,6 +638,8 @@ def main() -> None:
             spark.catalog.clearCache()
         key = (name if not args.vocab_beta
                else f"{name}@vb{args.vocab_beta:g}")
+        if args.zipf:
+            key = f"{name}@zipf"
         results[key] = {"sec": per_mult, "rows": rows,
                         "loadavg_1m": round(os.getloadavg()[0], 2)}
         print(f"{name:24s} " +
