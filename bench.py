@@ -135,6 +135,10 @@ HEADLINE = [
     "text_unigram_logprob",
     # round-8: previously unbenched registry entries
     "skew_join",
+    # r14: runtime Bloom-filter semi-join reduction (selective dim,
+    # shuffle-join regime): might_contain kills non-matching fact rows
+    # below the exchange
+    "bloom_semi_join",
     "train_bpe",
     "bpe_tokenize",
     # round-8 cont.: the last uncovered registry entries — every

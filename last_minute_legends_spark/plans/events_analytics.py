@@ -715,6 +715,49 @@ ORDER BY e.event_id
 """
 
 
+def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter semi-join reduction
+    (operators/runtime_filter.py): events ⋈ a SELECTIVELY-filtered
+    customer dim (one nation) in the shuffle-join regime — the dim's
+    join keys build a ``bloom_filter_agg`` and a ``might_contain``
+    predicate lands on the fact side BELOW its exchange, so
+    non-matching events die before they are hashed or shuffled
+    (plan-asserted in tests/test_plans.py). The 100 TB selective-dim
+    join when the dim can't broadcast: fact-shuffle bytes ∝ matching
+    rows, not table size. Values are untouched by construction (Bloom
+    admits false positives only; every admitted row still passes the
+    real join), so the oracle is the PLAIN join."""
+    from last_minute_legends_spark.operators.runtime_filter import (
+        bloom_filtered_join,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select("event_id", "user_id", "event_type", "value")
+    dim = cat.customer.filter(F.col("c_nationkey") == 3).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    # the aggregate goes through `finish` so the WHOLE query plans
+    # inside the operator's scoped confs — stacking it on top of the
+    # returned frame would replan outside them and lose the filter
+    return bloom_filtered_join(
+        ev, dim, ev.user_id == dim.user_id,
+        finish=lambda j: (
+            j.groupBy("c_mktsegment", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .orderBy("c_mktsegment", "event_type")))
+
+
+BLOOM_SEMI_JOIN_SQL = """
+SELECT c.c_mktsegment, e.event_type,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE c.c_nationkey = 3
+GROUP BY c.c_mktsegment, e.event_type
+ORDER BY c.c_mktsegment, e.event_type
+"""
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix over the events stream: users are
     cohorted by their FIRST active day, and each (cohort, day-offset)
@@ -1261,6 +1304,7 @@ SPARK = {
     "rollup_timeseries": rollup_timeseries,
     "latest_by_user": latest_by_user,
     "skew_join": skew_join,
+    "bloom_semi_join": bloom_semi_join,
     "events_partition_pruned": events_partition_pruned,
     "cohort_retention": cohort_retention,
     "cdc_merge_upsert": cdc_merge_upsert,
@@ -1278,6 +1322,9 @@ SPARK = {
 # value-level compare locally (tests/test_oracle.py).
 LOCAL_SQL = {
     "skew_join": SKEW_JOIN_SQL,
+    # r14: runtime Bloom-filter semi-join reduction — never observed,
+    # so the mechanical rotation windows it this round
+    "bloom_semi_join": BLOOM_SEMI_JOIN_SQL,
     # r12: new day-partitioned recency rollup — the 50-slot window is
     # full, so its full value compare runs locally
     # (tests/test_oracle.py::test_local_oracle_match); the pruning

@@ -407,3 +407,37 @@ def test_events_partition_pruned_scan(spark, sf_dir):
             "day range is not a static >= prune:\n" + ln)
         assert "DataFilters: []" in ln, (
             "day pruning leaked into a data-side filter:\n" + ln)
+
+
+def test_bloom_semi_join_plan_and_conf_hygiene(spark, sf_dir):
+    """The bloom_semi_join entry must carry the runtime Bloom filter
+    in its PHYSICAL plan — bloom_filter_agg over the filtered dim's
+    keys AND a might_contain predicate on the fact side (the
+    semi-join reduction that keeps non-matching fact rows out of the
+    shuffle) — and must restore every session conf it scoped for
+    planning (the shared session must not inherit the disabled
+    broadcast threshold)."""
+    from last_minute_legends_spark.operators.runtime_filter import (
+        _PLANNING_CONFS,
+    )
+    from last_minute_legends_spark.plans.events_analytics import (
+        bloom_semi_join,
+    )
+
+    before = {}
+    for k in _PLANNING_CONFS:
+        try:
+            before[k] = spark.conf.get(k)
+        except Exception:
+            before[k] = None
+
+    plan = _plan(bloom_semi_join(spark, sf_dir))
+    assert "bloom_filter_agg" in plan, plan
+    assert "might_contain" in plan, plan
+
+    for k, v in before.items():
+        try:
+            after = spark.conf.get(k)
+        except Exception:
+            after = None
+        assert after == v, f"conf {k} leaked: {v!r} -> {after!r}"

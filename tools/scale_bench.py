@@ -129,6 +129,15 @@ CELLS = [
     # that the whole corpus is inside the range and cost tracks it
     "events_partition_pruned",
     "cohort_retention",  # r12: retention matrix over scaled events
+    "skew_join",  # r14: salted events x customer join — dim copied
+    # fixed-size into the corpus (the stream_enrich pattern); matched
+    # fraction shrinks past x10 (15k custkeys vs 1500*m users), so the
+    # exponent reads the shuffle/probe cost story, not output growth.
+    # The Zipf twin (@zipf) is the hot-key regime measurement.
+    "bloom_semi_join",  # r14: runtime Bloom semi-join reduction — the
+    # nation-3 dim matches ~40% of events at x1 and ~1.3% at x30, so
+    # the cell measures exactly what the filter is for: fact rows
+    # killed below the exchange, cost converging on the scan
     # r10: text / curation / BPE / multimodal family — every
     # documents-reading registry entry gets a measured exponent
     # (skew_join and catalog_text_etl are excluded: they read the
@@ -587,7 +596,7 @@ def main() -> None:
     need_doc = any(c not in TPCH_CELLS for c in args.cells)
     need_tpch = any(c in TPCH_CELLS for c in args.cells)
     if args.zipf:
-        _ZIPF_OK = {"skew_join", "sessionization", "cohort_retention",
+        _ZIPF_OK = {"skew_join", "bloom_semi_join", "sessionization", "cohort_retention",
                     "events_by_type", "events_windowed", "latest_by_user",
                     "moving_avg", "events_quantiles", "rollup_timeseries",
                     "funnel", "user_segmentation", "json_props",
