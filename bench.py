@@ -119,6 +119,8 @@ HEADLINE = [
     "stream_json_parse",
     "events_typed_parse",
     "events_avro_roundtrip",
+    "events_csv_roundtrip",  # r14: text wire lane (micros/quoting/null fidelity)
+    "events_orc_roundtrip",  # r14: ORC columnar interchange lane
     "sql_surface",
     # round-6 corpus-curation + packing + quantized-ANN entries
     "text_pii_redact",

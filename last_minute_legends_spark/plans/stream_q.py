@@ -18,7 +18,11 @@ from last_minute_legends_spark.sources.streams import (
     parse_event_json,
     parse_typed_events,
 )
-from last_minute_legends_spark.sources.tables import Catalog, spread_cpu_scan
+from last_minute_legends_spark.sources.tables import (
+    Catalog,
+    load_table,
+    spread_cpu_scan,
+)
 from last_minute_legends_spark.sources.text_catalog import (
     compose_item_lines,
     parse_item_blocks,
@@ -401,6 +405,102 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_join_pipeline(spark, sf_dir)
 
 
+CSV_OPTS = {
+    "header": "true",
+    # Spark's default CSV timestamp format carries MILLIS only — the
+    # micros the events table actually holds would silently truncate
+    # and the oracle's min(epoch_us(ts)) would value-mismatch
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    # props is JSON: embedded quotes/commas need RFC-4180 quote
+    # doubling (escape == quote), not backslash escaping
+    "quote": '"',
+    "escape": '"',
+    # distinguish NULL from empty string on the way back
+    "nullValue": "\\N",
+}
+
+EVENTS_CSV_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                     "event_type string, value double, props string")
+
+
+def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → CSV files → declared-schema read-back → aggregate:
+    the text interchange format every external warehouse/export story
+    still speaks. The fidelity traps are real and each is handled
+    explicitly (CSV_OPTS): micros-precision timestamps (default
+    format truncates to millis), JSON props with embedded
+    quotes/commas (RFC-4180 quote doubling), NULL-vs-empty-string.
+    The oracle computes the same aggregate from the BASE table, so
+    any encode/parse infidelity value-mismatches; row-level
+    losslessness over the full table is locked in
+    tests/test_streaming.py. At scale: CSV scans carry no footer
+    stats or column pruning — this entry is the EXPORT/import lane,
+    not a storage recommendation (parquet layouts remain the scan
+    path)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="llm_spark_csv_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.write.mode("overwrite").options(**CSV_OPTS).csv(d)
+    back = spark.read.schema(EVENTS_CSV_SCHEMA).options(**CSV_OPTS).csv(d)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"),
+             F.min(F.unix_micros("ts")).alias("first_us"))
+        .orderBy("event_type")
+    )
+
+
+def events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC files → read-back → aggregate: the second
+    columnar storage lane (Hive-ecosystem interchange). Same oracle
+    shape as the CSV/Avro round-trips — the aggregate recomputed from
+    the base table value-mismatches on any type/precision
+    infidelity; row-level losslessness locked in tests. ORC keeps
+    footer stats + column pruning, so unlike CSV it IS a valid scan
+    format; parquet stays the repo's layout default for its
+    ecosystem (partition discovery, the epoch sinks, Z-order
+    layouts)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="llm_spark_orc_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.write.mode("overwrite").orc(d)
+    back = spark.read.orc(d)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"),
+             F.min(F.unix_micros("ts")).alias("first_us"))
+        .orderBy("event_type")
+    )
+
+
+# same aggregate-from-base shape as EVENTS_AVRO_ROUNDTRIP_SQL: any
+# wire infidelity (truncated micros, broken quoting, null/empty
+# confusion, a lost row) value-mismatches
+EVENTS_CSV_ROUNDTRIP_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       min(epoch_us(ts)) AS first_us
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+EVENTS_ORC_ROUNDTRIP_SQL = EVENTS_CSV_ROUNDTRIP_SQL
+
+
 STREAM_STREAM_JOIN_SQL = """
 SELECT v.user_id,
        v.event_id AS view_id,
@@ -487,6 +587,8 @@ SPARK = {
     "events_typed_parse": events_typed_parse,
     "catalog_text_etl": catalog_text_etl,
     "events_avro_roundtrip": events_avro_roundtrip,
+    "events_csv_roundtrip": events_csv_roundtrip,
+    "events_orc_roundtrip": events_orc_roundtrip,
     "events_avro_evolution": events_avro_evolution,
     "stream_pipeline": stream_pipeline,
     "stream_sessionize": stream_sessionize,
@@ -522,6 +624,11 @@ SQL = {
     # r12-new: mixed writer-schema-version consumption through reader
     # resolution, in the gate window for its first external observation
     "events_avro_evolution": EVENTS_AVRO_EVOLUTION_SQL,
+    # r14-new wire formats: CSV (micros timestampFormat, RFC-4180
+    # quote doubling, explicit nullValue) and ORC round-trips —
+    # never observed, so the mechanical rotation windows them
+    "events_csv_roundtrip": EVENTS_CSV_ROUNDTRIP_SQL,
+    "events_orc_roundtrip": EVENTS_ORC_ROUNDTRIP_SQL,
     # The streaming/simulator runs below are genuinely
     # non-SQL-expressible at the gate (each drives a Structured
     # Streaming pipeline); all were rotated through the window for a

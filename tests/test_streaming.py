@@ -1303,3 +1303,54 @@ def test_partitioned_landing_kill_restart_recovery(spark, sf_dir):
             f"extra={len(got - want)}")
     finally:
         _sh.rmtree(root, ignore_errors=True)
+
+
+def test_csv_roundtrip_lossless_row_level(spark, sf_dir):
+    """The CSV wire (CSV_OPTS) must round-trip the FULL events table
+    row-for-row: micros timestamps (the default format truncates to
+    millis), JSON props with embedded quotes (RFC-4180 doubling),
+    null/empty distinction."""
+    import shutil as _sh
+    import tempfile
+
+    from last_minute_legends_spark.plans.stream_q import (
+        CSV_OPTS, EVENTS_CSV_SCHEMA,
+    )
+    from last_minute_legends_spark.sources.tables import load_table
+
+    d = tempfile.mkdtemp(prefix="csv_rt_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props")
+        ev.write.mode("overwrite").options(**CSV_OPTS).csv(d)
+        back = spark.read.schema(EVENTS_CSV_SCHEMA).options(**CSV_OPTS).csv(d)
+        cols = ["event_id", F.unix_micros("ts").alias("us"),
+                "user_id", "event_type", "value", "props"]
+        a, b = ev.select(*cols), back.select(*cols)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        assert back.count() == ev.count() > 0
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
+
+
+def test_orc_roundtrip_lossless_row_level(spark, sf_dir):
+    import shutil as _sh
+    import tempfile
+
+    from last_minute_legends_spark.sources.tables import load_table
+
+    d = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props")
+        ev.write.mode("overwrite").orc(d)
+        back = spark.read.orc(d)
+        cols = ["event_id", F.unix_micros("ts").alias("us"),
+                "user_id", "event_type", "value", "props"]
+        a, b = ev.select(*cols), back.select(*cols)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        assert back.count() == ev.count() > 0
+    finally:
+        _sh.rmtree(d, ignore_errors=True)

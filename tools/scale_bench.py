@@ -208,6 +208,8 @@ CELLS = [
     # two partial-aggregatable passes, 64-bin state per group
     "stream_json_parse",
     "events_avro_roundtrip",
+    "events_csv_roundtrip",
+    "events_orc_roundtrip",
     # r12: the core-OLAP family ladders too — gen_tpch scales the
     # whole star schema together (customers/suppliers/parts/orders/
     # lineitem ∝ mult, fixed region/nation catalogs) on separate
