@@ -524,11 +524,12 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/pipeline.py run_stream_outer_join_pipeline). The
     semantics under test: unmatched views emit ONLY on
     watermark-driven state eviction (sentinel-advanced), matches emit
-    eagerly, late views are dropped rather than resurrected. Output
-    is deterministic on the bounded corpus, so this carries a FULL
-    value oracle (STREAM_OUTER_JOIN_SQL); batch parity vs
-    batch_outer_join_twin and the forced-late-view case are locked in
-    tests."""
+    eagerly; late input is best-effort (measured — see
+    run_stream_outer_join_pipeline), so the harness delivers all real
+    rows on time. Output is deterministic on the bounded corpus, so
+    this carries a FULL value oracle (STREAM_OUTER_JOIN_SQL); batch
+    parity vs batch_outer_join_twin and the late-view contract are
+    locked in tests."""
     from last_minute_legends_spark.streaming.pipeline import (
         run_stream_outer_join_pipeline,
     )
