@@ -162,6 +162,151 @@ def run_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drive(spark, staging, sessions, max_ts)
 
 
+class _SessionProcessorV2:
+    """transformWithStateInPandas StatefulProcessor for gap
+    sessionization — the Spark 4 v2 arbitrary-state API sibling of
+    ``_sessionize_group``: the same (start, last, n) triple, but held
+    in a NAMED ValueState variable and flushed by an explicit
+    event-time TIMER instead of the v1 GroupStateTimeout channel.
+    The v2 surface is what new custom stateful operators should
+    target: typed state variables (value/list/map), multiple timers
+    per key, state TTL, composability — v1's single opaque tuple and
+    one-timeout-per-key are the compatibility path.
+
+    Timer discipline: a key holds at most ONE live timer — each input
+    batch deletes the previous deadline before registering the new
+    one (listTimers/deleteTimer); stale timers would otherwise fire
+    on an already-extended session and emit it early. The registered
+    expiry is ``max(last + gap, watermark + 1)`` — the v1 formulation's
+    rule: never set a deadline the watermark has already passed, or
+    the flush never fires (EventTime timers expire only on watermark
+    ADVANCE past the expiry)."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("session", STATE_SCHEMA)
+        self._handle = handle
+
+    def close(self) -> None:
+        pass
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        ts_us: list[int] = []
+        for pdf in rows:
+            ts_us.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
+        ts_us.sort()
+
+        cur = self._state.get() if self._state.exists() else None
+        start, last, n = cur if cur is not None else (None, None, 0)
+        closed: list[tuple[int, int, int, int]] = []
+        for t in ts_us:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > _GAP_US:
+                closed.append((user_id, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if start is not None:
+            self._state.update((start, last, n))
+            for old in list(self._handle.listTimers()):
+                self._handle.deleteTimer(old)
+            deadline_ms = last // 1000 + GAP_MINUTES * 60 * 1000
+            self._handle.registerTimer(
+                max(deadline_ms, timerValues.getCurrentWatermarkInMs() + 1))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start_us",
+                         "session_end_us", "n_events"],
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (user_id,) = key
+        cur = self._state.get() if self._state.exists() else None
+        if cur is None:
+            return
+        start, last, n = cur
+        self._state.clear()
+        yield pd.DataFrame(
+            [(user_id, start, last, n)],
+            columns=["user_id", "session_start_us",
+                     "session_end_us", "n_events"],
+        )
+
+
+def tws_available() -> bool:
+    """Whether transformWithStateInPandas can actually RUN here: the
+    v2 state API's Python↔JVM state protocol is protobuf-based
+    (pyspark/sql/streaming/proto/StateMessage_pb2), so it needs the
+    ``google.protobuf`` package — absent from this container (the v1
+    applyInPandasWithState channel is Arrow-only and unaffected).
+    Same gating discipline as kafka_available / jdbc_driver_available:
+    probe, never crash with a deep worker stack."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def run_stream_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transformWithStateInPandas (v2 state API, Spark 4) variant:
+    named ValueState + explicit event-time timers
+    (_SessionProcessorV2). Requires the RocksDB state store provider —
+    scoped around query START (the conf is read there), restored
+    after, so the session's default provider is untouched. Same
+    sources, sink, and gap rule as the native path and the v1
+    applyInPandasWithState variant (parity gated-tested in
+    tests/test_streaming.py). GATED on google.protobuf
+    (tws_available): without it the v2 driver worker crashes at init
+    (measured — StateMessage_pb2 import), so this raises the
+    documented RuntimeError instead; on a cluster with protobuf
+    installed the path runs unchanged."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs the google.protobuf "
+            "package (the v2 state protocol is protobuf-based); install "
+            "protobuf or use run_stream_sessionize_python_state (v1) / "
+            "run_stream_sessionize (native session_window)")
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass declared at call time so the module imports even if a
+    # future build drops the v2 API (the ABC is the only dependency)
+    proc_cls = type("SessionProcessorV2", (StatefulProcessor,),
+                    dict(_SessionProcessorV2.__dict__))
+
+    staging, max_ts = stage_events_json(spark, sf_dir)
+    stream = parse_event_json(
+        file_json_stream(spark, f"{staging}/in",
+                         max_files_per_trigger=staged_file_count(staging)))
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=proc_cls(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    try:
+        return _drive(spark, staging, sessions, max_ts)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def run_stream_sessionize_python_state(spark: SparkSession,
                                        sf_dir: str) -> DataFrame:
     """The applyInPandasWithState variant: per-user Python state with

@@ -1372,3 +1372,23 @@ def test_orc_roundtrip_lossless_row_level(spark, sf_dir):
         assert back.count() == ev.count() > 0
     finally:
         _sh.rmtree(d, ignore_errors=True)
+
+
+def test_tws_sessionize_gated_parity(spark, sf_dir):
+    """The transformWithStateInPandas (v2) sessionizer either runs and
+    matches the native session_window result exactly, or (this
+    container: no google.protobuf, the v2 state protocol's transport)
+    raises the documented RuntimeError — never the raw
+    driver-worker-crashed stack the unguarded call produces."""
+    from last_minute_legends_spark.streaming.sessionize import (
+        run_stream_sessionize, run_stream_sessionize_tws, tws_available,
+    )
+
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="google.protobuf"):
+            run_stream_sessionize_tws(spark, sf_dir)
+        return
+    got = {tuple(r)
+           for r in run_stream_sessionize_tws(spark, sf_dir).collect()}
+    want = {tuple(r) for r in run_stream_sessionize(spark, sf_dir).collect()}
+    assert got == want and len(want) > 0
