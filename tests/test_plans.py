@@ -441,3 +441,62 @@ def test_bloom_semi_join_plan_and_conf_hygiene(spark, sf_dir):
         except Exception:
             after = None
         assert after == v, f"conf {k} leaked: {v!r} -> {after!r}"
+
+
+def test_aqe_skew_join_fires_on_zipf_keys(spark):
+    """The repo's skew story has two layers: explicit salting
+    (operators/skew.py, value-oracled via the skew_join entry) and
+    AQE's runtime skew-join split. This pins the SECOND layer on data
+    shaped like the Zipf ladder corpora (rank = ⌊N^u⌋, user 0 owning
+    ~ln2/lnN of all rows): after execution, the adaptive plan must
+    show SortMergeJoin(skew=true) with an AQEShuffleRead that
+    coalesced AND split skewed partitions — and the skew-split result
+    must equal the broadcast-join truth row-for-row (splitting a hot
+    partition duplicates the build side per split; a wrong merge
+    would duplicate output rows). Thresholds are lowered (and
+    restored) because the defaults are sized for real executors, not
+    a 200k-row fixture."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        n_ev, n_u = 400_000, 2_000
+        u = (F.pmod(F.xxhash64("id", F.lit(9), F.lit(2)),
+                    F.lit(1 << 20)) + F.lit(0.5)) / F.lit(1 << 20)
+        ev = spark.range(n_ev).select(
+            F.col("id").alias("event_id"),
+            (F.floor(F.pow(F.lit(float(n_u)), u)) - 1)
+            .cast("long").alias("user_id"))
+        dim = spark.range(n_u).select(
+            F.col("id").alias("user_id"), (F.col("id") % 25).alias("nk"))
+
+        j = ev.join(dim, "user_id").groupBy("nk").agg(
+            F.count(F.lit(1)).alias("n"))
+        got = {(r.nk, r.n) for r in j.collect()}
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead coalesced and skewed" in plan, plan
+
+        truth = {(r.nk, r.n) for r in
+                 ev.join(F.broadcast(dim), "user_id").groupBy("nk")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert got == truth
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
