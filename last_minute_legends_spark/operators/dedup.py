@@ -868,10 +868,17 @@ def embedding_signatures_np(emb: DataFrame, planes: DataFrame,
     MEASURED at sf0.1 / local[32] (r5): 1.06 s warm vs 0.64 s for
     the higher-order-function path — Arrow transfer of the float
     vectors outweighs the interpreted expression eval at 64-dim
-    embeddings, so the SQL path stays the default. This path is the
-    candidate when dim and n_planes grow (the matmul scales as BLAS,
-    the HOF fold as interpreted per-element ops) — re-measure there,
-    don't guess."""
+    embeddings, so the SQL path stays the default. r14 re-measured
+    the wide-geometry hypothesis (20k vectors, min-of-2 warm): HOF
+    0.68 s vs numpy 1.46 s at 256-dim × 128 planes, 0.76 vs 1.45 at
+    256 × 256 — the numpy path's cost is a FLAT Arrow floor
+    (serializing n × dim doubles, ~1.45 s here, plane-count
+    invariant) while the HOF fold grew only 0.08 s doubling the
+    planes, so the crossover sits far beyond any geometry this
+    operator family uses (extrapolated ≳2k planes). The SQL path
+    stays the default at every measured geometry; reach for this
+    sibling only when the vectors are already Python-side or the
+    plane count is extreme (BASELINE_LOCAL r14)."""
     import numpy as np
     import pandas as pd
 
@@ -948,11 +955,14 @@ def embedding_band_values_np(emb: DataFrame, planes: DataFrame,
                              id_col: str = "id",
                              vec_col: str = "v") -> DataFrame:
     """Arrow/BLAS sibling of ``embedding_band_values``: one
-    ``V @ W.T`` matmul per batch, then per-band bit packing — the
-    measured-faster path once the adaptive geometry pushes the plane
-    count past ~64 (the interpreted zip_with/aggregate fold pays per
-    element; BLAS pays per flop). Bit-for-bit identical output
-    (parity-tested)."""
+    ``V @ W.T`` matmul per batch, then per-band bit packing.
+    HYPOTHESIZED faster past ~64 planes; r14 MEASURED the opposite at
+    every tried geometry (HOF 0.76 s vs numpy 1.45 s even at 256-dim
+    × 256 planes, 20k vectors — the Arrow vector transfer is a flat
+    floor the interpreted fold never reaches; BASELINE_LOCAL r14), so
+    the HOF path stays the default and this sibling exists for
+    Python-side-vector or extreme-plane-count regimes. Bit-for-bit
+    identical output (parity-tested)."""
     import numpy as np
     import pandas as pd
 
