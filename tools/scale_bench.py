@@ -157,6 +157,10 @@ CELLS = [
     "mixture_sample",
     "decontaminate",
     "decontaminate_fuzzy",  # r13: asymmetric broadcast LSH — the %7 eval
+    # (r14: this key now means the PRODUCTION xxhash64 form; the
+    # pre-split md5 minima in scale_local.json are upper bounds the
+    # faster production re-runs overwrite via the minima merge)
+    "decontaminate_fuzzy_replay",  # r14: md5 oracle twin, own lineage
     # split scales with the corpus here (worst case for the broadcast);
     # a production eval suite is fixed-size, so the measured exponent is
     # an upper bound on the real deployment's
