@@ -513,11 +513,15 @@ def run_stream_outer_join_pipeline(spark: SparkSession,
       a filter can't be pushed under the watermark);
     - a batch emits against the watermark computed at the end of the
       PREVIOUS batch, and eviction needs watermark STRICTLY past
-      ``max_ts + bound``, so THREE drained sentinel batches
-      (+3h/+6h/+9h) guarantee even the max-ts view's verdict: batch 1
-      advances the watermark to max_ts+2h (borderline for the last
-      view), batch 2 runs against it and advances to max_ts+5h,
-      batch 3 evicts and emits whatever remained.
+      ``max_ts + bound``, so TWO drained sentinel batches at +4h/+8h
+      guarantee even the max-ts view's verdict: the +4h batch
+      advances the watermark to max_ts+3h (strictly past every
+      view's max_ts+2h deadline), and the +8h batch runs against it,
+      evicting and emitting every remaining view. (The first
+      formulation used +3h/+6h/+9h — three drains — because
+      +3h − 1h delay lands EXACTLY on the max-ts view's boundary;
+      shifting the first sentinel to +4h clears it strictly and
+      saves one full state-round batch, ~20% of the cell.)
 
     At scale this is the same user_id-co-partitioned state-store hash
     join as the inner form with state still O(rate × horizon) — left
@@ -581,7 +585,7 @@ def run_stream_outer_join_pipeline(spark: SparkSession,
             .start()
         )
         q.processAllAvailable()
-        append_sentinels(spark, staging, max_ts, hours=(3, 6, 9), query=q)
+        append_sentinels(spark, staging, max_ts, hours=(4, 8), query=q)
         q.stop()
 
     out = (spark.read.schema(JOIN_SCHEMA).parquet(f"{staging}/out")
