@@ -74,14 +74,46 @@ def stage_events_json(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
     The sink dir must outlive the call (the returned DataFrame scans
     it), so the root can't be removed eagerly; it is registered for
     removal at interpreter exit instead — repeated bench/test runs in
-    one process reuse nothing but also leak nothing."""
+    one process reuse nothing but also leak nothing.
+
+    The RENDER is cached per corpus fingerprint (sources/layout_cache
+    — the write-once derived-layout discipline the partitioned/
+    bucketed/IVF layouts use): every run-to-completion streaming cell
+    re-stages the same topic, and the JSON render + max_ts scan are
+    two Spark jobs each time where a production topic simply EXISTS.
+    Each caller still gets its own private staging dir — the staged
+    part files are HARDLINKED out of the cache (content-identical,
+    ~free), which is safe because nothing ever modifies a staged file
+    in place: sentinels append NEW files, and the atexit cleanup just
+    unlinks the links."""
     staging = tempfile.mkdtemp(prefix="llm_spark_stream_")
     atexit.register(shutil.rmtree, staging, ignore_errors=True)
-    events = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
-    max_ts = events.agg(F.max("ts").alias("m")).collect()[0].m
     n = staged_files(spark)
-    (events_as_json(events).repartition(n)
-     .write.mode("overwrite").text(f"{staging}/in"))
+
+    from last_minute_legends_spark.sources.layout_cache import (
+        is_built, layout_dir, mark_built,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    cache = layout_dir("staged_topic", src, version=f"v1-n{n}")
+    if not is_built(cache):
+        events = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+        max_ts = events.agg(F.max("ts").alias("m")).collect()[0].m
+        (events_as_json(events).repartition(n)
+         .write.mode("overwrite").text(os.path.join(cache, "in")))
+        with open(os.path.join(cache, "max_ts.txt"), "w") as fh:
+            fh.write(max_ts.isoformat())
+        mark_built(cache)
+    with open(os.path.join(cache, "max_ts.txt")) as fh:
+        max_ts = datetime.datetime.fromisoformat(fh.read().strip())
+
+    os.makedirs(f"{staging}/in")
+    for f in sorted(glob.glob(os.path.join(cache, "in", "part-*"))):
+        dst = os.path.join(f"{staging}/in", os.path.basename(f))
+        try:
+            os.link(f, dst)
+        except OSError:  # cross-device cache root: fall back to a copy
+            shutil.copy2(f, dst)
     return staging, max_ts
 
 
