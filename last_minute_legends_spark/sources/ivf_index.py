@@ -149,6 +149,44 @@ def index_health(spark: SparkSession, path: str) -> dict:
     }
 
 
+def rebuild_ivf_index(spark: SparkSession, path: str,
+                      k: int | None = None, iters: int = 3) -> None:
+    """The maintenance pass ``index_health`` recommends: read every
+    vector out of the index (base + all appended files), train FRESH
+    centroids over the full current population, write the re-leveled
+    index to a staging directory, then swap it in with directory
+    renames — the old layout serves probes until the instant of the
+    swap, and a crash before the final rename leaves the original
+    intact (the merge_day_partitioned stage-then-swap discipline).
+
+    ``k`` defaults to the existing model's centroid count; pass the
+    adaptive k ≈ n/TARGET_BUCKET_ROWS when the index has grown enough
+    that bucket sizes — not just centroid placement — need
+    re-leveling. Closes the drift loop measured in BASELINE_LOCAL
+    r14: drifted appends skew bucket growth and dent recall; after a
+    rebuild the health stats return to baseline and recall to the
+    fresh-index level (tested)."""
+    import shutil
+
+    from last_minute_legends_spark.operators.similarity import (
+        train_centroids,
+    )
+
+    data = spark.read.parquet(os.path.join(path, _DATA)).select(
+        "id", "v", "nrm")
+    if k is None:
+        k = spark.read.parquet(os.path.join(path, _CENTROIDS)).count()
+    centroids = train_centroids(data, k=k, iters=iters)
+    staging = f"{path}__rebuild"
+    shutil.rmtree(staging, ignore_errors=True)
+    write_ivf_index(data, centroids, staging)
+    old = f"{path}__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 # Above this many queries the probe falls back to the distributed
 # bucket-join: the static IN-literal needs a driver collect that
 # scales with query count, and at batch-ANN query volumes (e.g.

@@ -188,3 +188,50 @@ def test_index_health_requires_manifest(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="train manifest"):
         index_health(spark, str(tmp_path / "nonexistent_ivf"))
+
+
+def test_rebuild_recovers_drifted_index(spark, tmp_path):
+    """The full drift loop: a 30% drifted append fires
+    index_health's disproportion trigger AND dents probed recall vs
+    brute force; rebuild_ivf_index (read → fresh Lloyd over the
+    current population → staged write → atomic swap) must return
+    health to quiet and recall to the fresh-index level. k is bumped
+    to cover the 4 new clusters — the adaptive-k path a real
+    maintenance job takes as the population grows."""
+    from last_minute_legends_spark.operators.similarity import (
+        brute_topk, train_centroids,
+    )
+    from last_minute_legends_spark.sources.ivf_index import (
+        append_ivf_index, index_health, probe_topk, rebuild_ivf_index,
+        write_ivf_index,
+    )
+
+    base = _clustered(spark, "b", groups=list(range(8)), per=100)
+    cent = train_centroids(base, k=8, iters=5)
+    root = str(tmp_path / "ivf")
+    write_ivf_index(base, cent, root)
+    delta = _clustered(spark, "d", groups=[100, 101, 102, 103], per=60,
+                       id_base=300_000)
+    append_ivf_index(spark, delta, root)
+    assert index_health(spark, root)["retrain_recommended"]
+
+    # queries from the DRIFTED clusters — the regime the frozen model
+    # serves worst
+    queries = _clustered(spark, "q", groups=[100, 101, 102, 103], per=6,
+                         id_base=500_000)
+    allv = base.unionByName(delta)
+    truth = {(r.q_id, r.c_id)
+             for r in brute_topk(queries, allv, k=10).collect()}
+
+    def recall(df):
+        got = {(r.q_id, r.c_id) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    r_before = recall(probe_topk(spark, root, queries, k=10, n_probe=2))
+
+    rebuild_ivf_index(spark, root, k=12, iters=5)
+    h = index_health(spark, root)
+    assert h["appended_frac"] == 0.0 and not h["retrain_recommended"], h
+    r_after = recall(probe_topk(spark, root, queries, k=10, n_probe=2))
+    assert r_after >= r_before
+    assert r_after >= 0.95, (r_before, r_after)
