@@ -1863,3 +1863,58 @@ def test_incremental_rollup_epoch_pruning(spark, tmp_path):
           .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")))
     folded = fold_rollup(r0, delta, keys=["event_day_us"], sums=["n", "s"])
     assert {(r.event_day_us, r.n, r.s) for r in folded.collect()} == full
+
+
+def test_asof_property_matches_naive(spark):
+    """Property lock on hypothesis-random event sets: the union-sort
+    as-of must equal the naive per-anchor rule — the value of the
+    LATEST right row with right_ts <= anchor_ts and the same key,
+    null when none exists (left-outer). Randomizes key collisions,
+    equal timestamps (right-at-equal-ts IS eligible), and keys
+    missing from either side — the regimes a window/union formulation
+    could silently get wrong."""
+    import datetime as _dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from last_minute_legends_spark.operators.asof import asof_join
+
+    t0 = _dt.datetime(2024, 1, 1)
+    # small key/time domains force collisions and equal-ts cases
+    key = st.integers(min_value=0, max_value=4)
+    sec = st.integers(min_value=0, max_value=30)
+    lefts = st.lists(st.tuples(key, sec), min_size=1, max_size=25)
+    rights = st.lists(st.tuples(key, sec), min_size=0, max_size=25)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(ls=lefts, rs=rights)
+    def check(ls, rs):
+        left = spark.createDataFrame(
+            [(i, k, t0 + _dt.timedelta(seconds=s))
+             for i, (k, s) in enumerate(ls)],
+            "event_id long, user_id long, ts timestamp")
+        # one right row per (key, ts): the operator's documented
+        # determinism precondition (ties on (key, ts) are tie-broken
+        # only up to the union sort)
+        rs = sorted({(k, s) for (k, s) in rs})
+        right = spark.createDataFrame(
+            [(k, t0 + _dt.timedelta(seconds=s),
+              t0 + _dt.timedelta(seconds=s)) for (k, s) in rs]
+            or [(99, t0, t0)],  # createDataFrame needs >= 1 row
+            "user_id long, ts timestamp, view_ts timestamp")
+        got = {r.event_id: r.view_ts_asof
+               for r in asof_join(left, right, on="user_id",
+                                  left_ts="ts", right_ts="ts",
+                                  value_cols=["view_ts"]).collect()}
+        for i, (k, s) in enumerate(ls):
+            eligible = [rv for (rk, rv) in rs if rk == k and rv <= s]
+            want = (t0 + _dt.timedelta(seconds=max(eligible))
+                    if eligible else None)
+            if not rs:
+                want = None
+            assert got[i] == want, (i, k, s, got[i], want)
+        assert len(got) == len(ls)  # every anchor survives (left-outer)
+
+    check()
