@@ -602,6 +602,17 @@ def main() -> None:
     need_doc = any(c not in TPCH_CELLS for c in args.cells)
     need_tpch = any(c in TPCH_CELLS for c in args.cells)
     if args.zipf:
+        # The stream-stream joins are deliberately NOT zipf-ladderable:
+        # the run-to-completion harness delivers the whole corpus in ONE
+        # micro-batch (staged_file_count's correctness contract), so
+        # watermark state eviction never runs mid-batch and a Zipf hot
+        # key's probes grow QUADRATICALLY in its full corpus share
+        # (~29e9 same-key pair evaluations at x30 — measured as a wedged
+        # cell, r14). That is an artifact of one-batch staging, not of
+        # the state-store join: a production deployment's continuous
+        # batches keep per-key state at rate x horizon, making hot-key
+        # probe cost linear in rate. The batch-side skew cells carry the
+        # measured Zipf story.
         _ZIPF_OK = {"skew_join", "bloom_semi_join", "sessionization", "cohort_retention",
                     "events_by_type", "events_windowed", "latest_by_user",
                     "moving_avg", "events_quantiles", "rollup_timeseries",
