@@ -208,7 +208,7 @@ STREAMING = (
     # per-epoch dynamic-overwrite idempotence
     "stream_stream_join",
     # r14: the left-outer form — eviction-time null emission for
-    # never-converted views (3 drained sentinel batches)
+    # never-converted views (two drained sentinel batches at +4h/+8h)
     "stream_outer_join",
     "stream_partitioned_landing",
     # r13: incremental MV maintenance over the epoch landing (lands,

@@ -259,21 +259,26 @@ def _build_ivf_layout(spark: SparkSession, sf_dir: str, idx: str,
 
     if layout_cache.is_built(idx):
         return idx
-    vecs = _vectors(spark, sf_dir, spread=True)
-    candidates = vecs.filter(F.col("id") >= N_QUERIES)
-    n = candidates.count()
-    k = max(N_CENTROIDS, n // TARGET_BUCKET_ROWS)
-    sample_mod = (-(-n // TRAIN_SAMPLE_MAX)
-                  if n > TRAIN_SAMPLE_MAX else None)
-    centroids = train_centroids(candidates, k=k, iters=IVF_ITERS,
-                                sample_mod=sample_mod, id_hash=md5_id_hash)
-    write_ivf_index(candidates, centroids, idx)
-    if post_write is not None:
-        post_write(idx)
-    with open(os.path.join(idx, _IVF_PARAMS), "w") as fh:
-        json.dump({"n": n, "k": k, "sample_mod": sample_mod}, fh)
-    layout_cache.mark_built(idx)
-    return idx
+
+    def _build(tmp: str) -> None:
+        vecs = _vectors(spark, sf_dir, spread=True)
+        candidates = vecs.filter(F.col("id") >= N_QUERIES)
+        n = candidates.count()
+        k = max(N_CENTROIDS, n // TARGET_BUCKET_ROWS)
+        sample_mod = (-(-n // TRAIN_SAMPLE_MAX)
+                      if n > TRAIN_SAMPLE_MAX else None)
+        centroids = train_centroids(candidates, k=k, iters=IVF_ITERS,
+                                    sample_mod=sample_mod,
+                                    id_hash=md5_id_hash)
+        write_ivf_index(candidates, centroids, tmp)
+        if post_write is not None:
+            post_write(tmp)
+        with open(os.path.join(tmp, _IVF_PARAMS), "w") as fh:
+            json.dump({"n": n, "k": k, "sample_mod": sample_mod}, fh)
+
+    # concurrency-safe rename-into-place (ADVICE r14 staged-topic
+    # race — same fix everywhere the write-once cache is built)
+    return layout_cache.build_once(idx, _build)
 
 
 def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:

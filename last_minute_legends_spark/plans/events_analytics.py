@@ -849,10 +849,9 @@ def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     path = layout_cache.layout_dir(
         "llm_spark_events_by_day",
         os.path.join(sf_dir, "events.parquet"), EVENTS_LAYOUT_VERSION)
-    if not layout_cache.is_built(path):
-        write_day_partitioned(Catalog(spark, sf_dir).events, path)
-        layout_cache.mark_built(path)
-    return path
+    return layout_cache.build_once(
+        path,
+        lambda tmp: write_day_partitioned(Catalog(spark, sf_dir).events, tmp))
 
 
 def events_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:

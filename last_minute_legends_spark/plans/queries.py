@@ -86,7 +86,13 @@ except (OSError, ValueError):  # pragma: no cover - missing obs file
 LAST_HASH_GREEN: dict[str, int] = _obs.get("hash_green", {})
 LAST_ROWS_OBSERVED: dict[str, int] = _obs.get("rows_observed", {})
 
-ROWS_ONLY_SLOTS = 3
+# r15: 3 → 5 (VERDICT r14 #2). Five rows-only keys (stream_enrich,
+# stream_dedup, stream_curate, simulate_events, simulate_stream) were
+# last driver-observed in r10 — a 3-slot reservation cycles the
+# 11-key rows-only pool on a ~4-round cadence, too slow. 5 slots
+# still leaves 45 oracle slots for the ~97-key oracle pool
+# (≤3-round value-check cadence, unchanged guarantee).
+ROWS_ONLY_SLOTS = 5
 
 _reg_order = {k: i for i, k in enumerate(QUERIES)}
 _sql_ranked = sorted(

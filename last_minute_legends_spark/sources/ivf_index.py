@@ -135,8 +135,15 @@ def index_health(spark: SparkSession, path: str) -> dict:
     n_trained = sum(trained.values())
     n_current = sum(current.values())
     appended_frac = (n_current - n_trained) / n_trained
+    # A bucket can legitimately be EMPTY at train time (Lloyd on
+    # small/clustered data) yet receive appends later; iterating only
+    # trained buckets would make that crowding invisible. Growth for
+    # such a bucket is computed against a 1-row floor, so any append
+    # into a train-empty bucket registers as n-fold growth and trips
+    # the disproportion trigger instead of hiding (ADVICE r14).
     max_growth = max(
-        current.get(b, 0) / trained[b] for b in trained)
+        current.get(b, 0) / max(trained.get(b, 0), 1)
+        for b in set(trained) | set(current))
     disproportion = max_growth / (1.0 + appended_frac)
     return {
         "n_trained": n_trained,
@@ -149,15 +156,44 @@ def index_health(spark: SparkSession, path: str) -> dict:
     }
 
 
+def recover_interrupted_rebuild(path: str) -> bool:
+    """Crash recovery for ``rebuild_ivf_index``'s two-rename swap.
+
+    os.rename pairs cannot swap two directories atomically, so there
+    is an unavoidable window (after ``rename(path, path__old)``,
+    before ``rename(staging, path)``) where nothing serves at
+    ``path``; a crash there strands the fully-intact original at
+    ``path__old``. This restores it: when ``path`` is missing but
+    ``path__old`` exists, rename it back and return True. A no-op
+    (False) when ``path`` exists — a leftover ``__old`` beside a
+    live index means the swap COMPLETED and the stale copy just
+    wasn't deleted yet, so it must not be restored over the rebuilt
+    index. ``rebuild_ivf_index`` and ``probe_topk`` both call this,
+    so an interrupted rebuild self-heals on the next maintenance or
+    probe touch (ADVICE r14)."""
+    old = f"{path}__old"
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def rebuild_ivf_index(spark: SparkSession, path: str,
                       k: int | None = None, iters: int = 3) -> None:
     """The maintenance pass ``index_health`` recommends: read every
     vector out of the index (base + all appended files), train FRESH
     centroids over the full current population, write the re-leveled
     index to a staging directory, then swap it in with directory
-    renames — the old layout serves probes until the instant of the
-    swap, and a crash before the final rename leaves the original
-    intact (the merge_day_partitioned stage-then-swap discipline).
+    renames — the old layout serves probes until the final rename
+    pair (the merge_day_partitioned stage-then-swap discipline).
+
+    Crash-safety, stated precisely: a crash before ``rename(path,
+    path__old)`` leaves the original serving and only staging litter
+    behind; a crash between the two renames leaves the original
+    INTACT BUT NOT SERVING, at ``path__old`` (os.rename pairs cannot
+    swap directories atomically — probes in that window fail).
+    ``recover_interrupted_rebuild`` — run here first, and by
+    ``probe_topk`` on a missing index — restores it mechanically.
 
     ``k`` defaults to the existing model's centroid count; pass the
     adaptive k ≈ n/TARGET_BUCKET_ROWS when the index has grown enough
@@ -172,6 +208,7 @@ def rebuild_ivf_index(spark: SparkSession, path: str,
         train_centroids,
     )
 
+    recover_interrupted_rebuild(path)
     data = spark.read.parquet(os.path.join(path, _DATA)).select(
         "id", "v", "nrm")
     if k is None:
@@ -220,6 +257,7 @@ def probe_topk(spark: SparkSession, path: str, queries: DataFrame,
     ordinary distributed join. At that query volume most buckets are
     probed anyway, so the lost pruning is worth ~nothing and the
     driver stays out of the data path entirely."""
+    recover_interrupted_rebuild(path)
     cent = spark.read.parquet(os.path.join(path, _CENTROIDS)).select(
         F.col("id").alias("cent_id"), F.col("v").alias("cv"),
         F.col("nrm").alias("cn"))

@@ -81,3 +81,40 @@ def is_built(path: str) -> bool:
 
 def mark_built(path: str) -> None:
     open(os.path.join(path, _DONE), "w").close()
+
+
+def build_once(path: str, build) -> str:
+    """Concurrency-safe write-once build: ``build(tmp_dir)`` writes
+    the layout into a PROCESS-UNIQUE staging directory (sibling of
+    ``path``, same filesystem), which is then atomically renamed to
+    ``path``.
+
+    The bare is_built/mark_built pair this replaces at call sites had
+    a race (ADVICE r14): two processes (e.g. pytest and bench) both
+    observing an unbuilt fingerprint would both write
+    ``mode("overwrite")`` into the SAME directory while the other was
+    already hardlinking files out of it — a partial layout for one of
+    them. With rename-into-place, concurrent builders each produce a
+    complete private layout and exactly one rename wins; the loser
+    sees the winner's ``_LAYOUT_DONE`` and discards its own copy.
+    Readers never observe a directory that exists-but-is-partial,
+    because ``path`` only comes into existence complete."""
+    import shutil
+    import uuid
+
+    if is_built(path):
+        return path
+    tmp = f"{path}__build_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        build(tmp)
+        mark_built(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # lost the race: a complete layout is already serving
+            if not is_built(path):
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path

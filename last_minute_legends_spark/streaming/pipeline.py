@@ -91,19 +91,24 @@ def stage_events_json(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
     n = staged_files(spark)
 
     from last_minute_legends_spark.sources.layout_cache import (
-        is_built, layout_dir, mark_built,
+        build_once, layout_dir,
     )
 
     src = os.path.join(sf_dir, "events.parquet")
     cache = layout_dir("staged_topic", src, version=f"v1-n{n}")
-    if not is_built(cache):
+
+    def _build(tmp: str) -> None:
         events = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
         max_ts = events.agg(F.max("ts").alias("m")).collect()[0].m
         (events_as_json(events).repartition(n)
-         .write.mode("overwrite").text(os.path.join(cache, "in")))
-        with open(os.path.join(cache, "max_ts.txt"), "w") as fh:
+         .write.mode("overwrite").text(os.path.join(tmp, "in")))
+        with open(os.path.join(tmp, "max_ts.txt"), "w") as fh:
             fh.write(max_ts.isoformat())
-        mark_built(cache)
+
+    # atomic rename-into-place (layout_cache.build_once): a pytest and
+    # a bench process racing on an unbuilt fingerprint used to both
+    # overwrite cache/in while the other hardlinked from it
+    build_once(cache, _build)
     with open(os.path.join(cache, "max_ts.txt")) as fh:
         max_ts = datetime.datetime.fromisoformat(fh.read().strip())
 
@@ -712,16 +717,18 @@ def land_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
     # itself (the thing the callers measure) still runs per call.
     # Hardlinks are safe: the file source only READS the topic files.
     from last_minute_legends_spark.sources.layout_cache import (
-        is_built, layout_dir, mark_built,
+        build_once, layout_dir,
     )
 
     src = os.path.join(sf_dir, "events.parquet")
     cache = layout_dir("staged_topic_parquet", src, version=f"v1-n{n_files}")
-    if not is_built(cache):
+
+    def _build(tmp: str) -> None:
         events = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
         (events.repartition(n_files)
-         .write.mode("overwrite").parquet(os.path.join(cache, "in")))
-        mark_built(cache)
+         .write.mode("overwrite").parquet(os.path.join(tmp, "in")))
+
+    build_once(cache, _build)
     os.makedirs(f"{staging}/in")
     for f in sorted(glob.glob(os.path.join(cache, "in", "part-*"))):
         dst = os.path.join(f"{staging}/in", os.path.basename(f))

@@ -235,3 +235,82 @@ def test_rebuild_recovers_drifted_index(spark, tmp_path):
     r_after = recall(probe_topk(spark, root, queries, k=10, n_probe=2))
     assert r_after >= r_before
     assert r_after >= 0.95, (r_before, r_after)
+
+
+def test_index_health_sees_train_empty_bucket_crowding(spark, tmp_path):
+    """A bucket EMPTY at train time (possible with Lloyd on
+    small/clustered data: a centroid that attracts no candidates
+    writes no files, so it never appears in the meta manifest) must
+    not be a blind spot: appends crowding into it have to register in
+    max_bucket_growth and fire the disproportion trigger (ADVICE
+    r14 — the old statistic iterated only trained buckets)."""
+    from last_minute_legends_spark.operators.similarity import (
+        with_unit_vectors,
+    )
+    from last_minute_legends_spark.sources.ivf_index import index_health
+
+    base = _clustered(spark, "b", groups=list(range(8)), per=100)
+    cent = train_centroids(base, k=8, iters=5)
+    # graft a far-away centroid the base population never reaches:
+    # bucket exists in the MODEL but is empty in the written layout
+    far = with_unit_vectors(spark.createDataFrame(
+        [(99, [1000.0] + [0.0] * 7)],
+        "vec_id long, embedding array<double>"))
+    cent = cent.select("id", "v", "nrm").unionByName(
+        far.select(F.lit(999).alias("id"), "v", "nrm"))
+
+    root = str(tmp_path / "ivf_empty_bucket")
+    write_ivf_index(base, cent, root)
+    meta = spark.read.parquet(os.path.join(root, "meta"))
+    assert meta.filter(F.col("bucket") == 999).count() == 0, \
+        "precondition: bucket 999 must be train-empty"
+
+    h0 = index_health(spark, root)
+    assert not h0["retrain_recommended"], h0
+
+    # 40 appends land squarely in the train-empty bucket: invisible
+    # to the trained-buckets-only statistic, 40x growth to the fixed
+    # one — must recommend a retrain on disproportion alone
+    drift = with_unit_vectors(spark.createDataFrame(
+        [(10_000 + i, [1000.0 + i * 0.001] + [0.0] * 7)
+         for i in range(40)],
+        "vec_id long, embedding array<double>"))
+    append_ivf_index(spark, drift, root)
+    h1 = index_health(spark, root)
+    assert h1["max_bucket_growth"] >= 40.0, h1
+    assert h1["retrain_recommended"], h1
+    assert h1["appended_frac"] < 0.5, h1  # fired on skew, not mass
+
+
+def test_rebuild_crash_window_recovery(spark, tmp_path):
+    """rebuild_ivf_index's two-rename swap has an unavoidable window
+    where nothing serves at ``path`` (os.rename pairs cannot swap
+    directories atomically); a crash there strands the intact index
+    at ``path__old``. recover_interrupted_rebuild must restore it —
+    and must NOT clobber a live index with a stale ``__old`` left
+    behind by a swap that completed."""
+    from last_minute_legends_spark.sources.ivf_index import (
+        recover_interrupted_rebuild,
+    )
+
+    base = _clustered(spark, "b", groups=list(range(4)), per=50)
+    cent = train_centroids(base, k=4, iters=3)
+    root = str(tmp_path / "ivf_crash")
+    write_ivf_index(base, cent, root)
+    before = _file_hashes(root)
+
+    # simulate the crash window: first rename done, second never ran
+    os.rename(root, f"{root}__old")
+    assert not os.path.exists(root)
+    assert recover_interrupted_rebuild(root) is True
+    assert _file_hashes(root) == before  # intact and serving again
+    assert not os.path.exists(f"{root}__old")
+    # probes self-heal through the same hook
+    os.rename(root, f"{root}__old")
+    q = _clustered(spark, "b", groups=[0], per=1)
+    assert probe_topk(spark, root, q, k=3, n_probe=2).count() == 3
+
+    # completed swap + leftover __old: recovery must be a no-op
+    os.makedirs(f"{root}__old")
+    assert recover_interrupted_rebuild(root) is False
+    assert _file_hashes(root) == before

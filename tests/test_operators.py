@@ -1918,3 +1918,67 @@ def test_asof_property_matches_naive(spark):
         assert len(got) == len(ls)  # every anchor survives (left-outer)
 
     check()
+
+
+def test_layout_cache_build_once_atomic_and_race_safe(tmp_path,
+                                                      monkeypatch):
+    """build_once must (a) build exactly once — a second call with a
+    poisoned builder returns the cached layout untouched; (b) never
+    expose a partially-built directory — the path only comes into
+    existence complete (rename-into-place); (c) lose a concurrent
+    race gracefully — when another builder renames its complete copy
+    in first, the loser discards its own staging copy and serves the
+    winner's (the pytest-vs-bench staged-topic race, ADVICE r14)."""
+    import os
+
+    from last_minute_legends_spark.sources import layout_cache
+
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_CACHE", str(tmp_path / "root"))
+    path = os.path.join(layout_cache.cache_root(), "ns", "fp1")
+
+    calls = []
+
+    def build(tmp):
+        # the final path must not exist while building (atomicity)
+        assert not os.path.exists(path)
+        calls.append(tmp)
+        with open(os.path.join(tmp, "data.txt"), "w") as fh:
+            fh.write("v1")
+
+    assert layout_cache.build_once(path, build) == path
+    assert layout_cache.is_built(path)
+    assert open(os.path.join(path, "data.txt")).read() == "v1"
+    assert len(calls) == 1 and not os.path.exists(calls[0])
+
+    def poisoned(tmp):
+        raise AssertionError("must not rebuild a built layout")
+
+    assert layout_cache.build_once(path, poisoned) == path
+
+    # simulated race: while the outer builder stages its copy, a
+    # second process completes the SAME fingerprint first (the inner
+    # build_once below). The outer rename then fails (path exists) —
+    # it must detect the winner's complete layout, discard its own
+    # staging dir, and return without error.
+    path2 = os.path.join(layout_cache.cache_root(), "ns", "fp2")
+
+    def racing(tmp):
+        with open(os.path.join(tmp, "data.txt"), "w") as fh:
+            fh.write("loser")
+        layout_cache.build_once(path2, lambda t: open(
+            os.path.join(t, "data.txt"), "w").write("winner"))
+
+    assert layout_cache.build_once(path2, racing) == path2
+    assert open(os.path.join(path2, "data.txt")).read() == "winner"
+    # no staging litter left behind
+    assert sorted(os.listdir(os.path.dirname(path2))) == ["fp1", "fp2"]
+
+    # a builder that fails must leave nothing behind (no half-built
+    # path, no staging dir) and propagate the error
+    path3 = os.path.join(layout_cache.cache_root(), "ns", "fp3")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="boom"):
+        layout_cache.build_once(
+            path3, lambda t: (_ for _ in ()).throw(RuntimeError("boom")))
+    assert not os.path.exists(path3)
+    assert sorted(os.listdir(os.path.dirname(path3))) == ["fp1", "fp2"]
