@@ -115,6 +115,9 @@ HEADLINE = [
     "train_val_split",
     "multimodal_features",
     "multimodal_framesample",
+    # round-15: perceptual-hash image dedup (Arrow-pass aHash +
+    # hamming band join — blobs never shuffled)
+    "dedup_phash",
     "catalog_text_etl",
     "stream_json_parse",
     "events_typed_parse",
@@ -163,6 +166,11 @@ HEADLINE = [
     # checks for the LSH/IVF families) + mixed-writer-version Avro
     # consumption through reader resolution
     "dedup_minhash_lsh_replay",
+    # round-15: incremental (delta) dedup — md5 registry form; the
+    # band-bucket index is built once per corpus fingerprint and
+    # cached, so min-of-2 converges on absorb-only cost (the
+    # ann_ivf_probe_indexed economics)
+    "dedup_delta",
     "ann_ivf_topk_replay",
     # round-13: simhash portable-hash twin (driver-visible value
     # check for the last banding family without one)

@@ -408,7 +408,13 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
     # shingles feed the signature pass, both verify sides, and sizes —
     # persist the exploded frame once (LRU-evicted, disk-spillable)
     sh = _shingle_sets(docs, id_col, text_col, n).persist()
-    exploded = _signature_bands(sh, perm_hash, band_hash)
+    # the banded frame feeds BOTH sides of the self-join and Spark
+    # does not reuse the aggregation exchange across the two aliases —
+    # without this persist the 32-hash signature pass (the pipeline's
+    # dominant cost, worse still under the md5 replay hash) executes
+    # twice (measured r15: plan showed 2 signature HashAggregates,
+    # 0 ReusedExchange). docs × N_BANDS rows — small, memory+disk.
+    exploded = _signature_bands(sh, perm_hash, band_hash).persist()
     a, b = exploded.alias("a"), exploded.alias("b")
     na, nb = F.col("a.n_sh"), F.col("b.n_sh")
     length_ok = F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb) - F.lit(1e-9)
@@ -571,6 +577,62 @@ def simhash_signatures_wide(docs: DataFrame, id_col: str = "doc_id",
     return sums.selectExpr("doc_id", *outs)
 
 
+def hamming_band_pairs(sig: DataFrame, sig_words: list[str],
+                       word_bits: list[int], band_width: int,
+                       max_hamming: int,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Banded hamming join over a signature frame: candidates equal
+    in at least one ``band_width``-bit band of the concatenated
+    ``sig_words`` (pigeonhole — recall guaranteed for hamming <
+    n_bands), verified by the exact popcount-of-xor distance, output
+    (doc_a, doc_b, hamming) with doc_a < doc_b.
+
+    ONE home for the band-explode/self-join/verify machinery
+    (factored out of simhash_pairs in r15): the simhash tiers (one
+    64-bit word / two 64-bit words) and the image perceptual-hash
+    tier (two 32-bit words — operators/multimodal.py::phash_images
+    keeps each word BIGINT-safe because the DuckDB replay cannot
+    shift into bit 63) all run through it. ``word_bits[i]`` is how
+    many low bits of ``sig_words[i]`` carry signal; each word
+    contributes ``word_bits[i] // band_width`` bands. ``sig`` should
+    be persisted by the caller — both sides of the self-join read
+    it."""
+    mask = (1 << band_width) - 1
+    structs, bidx = [], 0
+    for col, bits in zip(sig_words, word_bits):
+        for k in range(bits // band_width):
+            structs.append(F.struct(
+                F.lit(bidx).alias("band"),
+                (F.shiftright(F.col(col), band_width * k)
+                 .bitwiseAND(F.lit(mask))).alias("bv"),
+            ))
+            bidx += 1
+    bands = F.array(*structs)
+    exploded = sig.select(
+        F.col(id_col).alias("doc_id"), *sig_words,
+        F.explode(bands).alias("bs"),
+    ).select("doc_id", *sig_words,
+             F.col("bs.band").alias("band"), F.col("bs.bv").alias("bv"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    hamming = F.bit_count(
+        F.col(f"a.{sig_words[0]}").bitwiseXOR(F.col(f"b.{sig_words[0]}")))
+    for wcol in sig_words[1:]:
+        hamming = hamming + F.bit_count(
+            F.col(f"a.{wcol}").bitwiseXOR(F.col(f"b.{wcol}")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
                   token_hash=None, n_bits: int | None = 64,
@@ -612,40 +674,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         sig = simhash_signatures_wide(
             docs, id_col, text_col, n_bits, token_hash, word_hash).persist()
         band_width = 32
-    bands_per_word = 64 // band_width
-    mask = (1 << band_width) - 1
-    bands = F.array(*[
-        F.struct(
-            F.lit(w * bands_per_word + k).alias("band"),
-            (F.shiftright(sig_words[w], band_width * k)
-             .bitwiseAND(F.lit(mask))).alias("bv"),
-        )
-        for w in range(len(sig_words))
-        for k in range(bands_per_word)
-    ])
-    exploded = sig.select("doc_id", *sig_words,
-                          F.explode(bands).alias("bs")).select(
-        "doc_id", *sig_words,
-        F.col("bs.band").alias("band"), F.col("bs.bv").alias("bv"),
-    )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    hamming = F.bit_count(
-        F.col(f"a.{sig_words[0]}").bitwiseXOR(F.col(f"b.{sig_words[0]}")))
-    for wcol in sig_words[1:]:
-        hamming = hamming + F.bit_count(
-            F.col(f"a.{wcol}").bitwiseXOR(F.col(f"b.{wcol}")))
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bv") == F.col("b.bv"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return hamming_band_pairs(sig, sig_words, [64] * len(sig_words),
+                              band_width, max_hamming, id_col="doc_id")
 
 
 # Below this many edges the component labeling runs as a driver-side

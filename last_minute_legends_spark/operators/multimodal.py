@@ -321,3 +321,98 @@ def resize_images(binary_df: DataFrame, out_width: int = 64,
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias(payload_col)
     )
     return src.mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id long, ph0 long, ph1 long"
+
+
+def _gray_ahash64(pixels: np.ndarray) -> tuple[int, int]:
+    """64-bit average-hash of a decoded image, as two 32-bit words
+    (lo bits 0-31, hi bits 32-63).
+
+    Classic aHash geometry: channel-summed gray, an 8x8 grid of block
+    means (block (r, c) covers rows ⌊r·h/8⌋..⌊(r+1)·h/8⌋-1, ditto
+    columns), bit r·8+c set iff the block mean EXCEEDS the global
+    mean. Comparisons are integer cross-multiplies
+    (block_sum · total_px > total_sum · block_px — Python ints, no
+    float ties to disagree about), so a resized or re-encoded copy of
+    the same image lands within a few bits while distinct images
+    differ in ~32. Two 32-bit words rather than one 64-bit value so
+    the DuckDB replay oracle can rebuild the hash with BIGINT shifts
+    (DuckDB raises on ``1::BIGINT << 63``)."""
+    h, w = int(pixels.shape[0]), int(pixels.shape[1])
+    gray = pixels.reshape(h, w, -1).astype(np.int64).sum(axis=2)
+    total_sum, total_px = int(gray.sum()), h * w
+    rb = [(r * h) // 8 for r in range(9)]
+    cb = [(c * w) // 8 for c in range(9)]
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            blk = gray[rb[r]:rb[r + 1], cb[c]:cb[c + 1]]
+            if blk.size and int(blk.sum()) * total_px > total_sum * blk.size:
+                bits |= 1 << (r * 8 + c)
+    return bits & 0xFFFFFFFF, bits >> 32
+
+
+def _bytes_ahash64(payload: bytes) -> tuple[int, int]:
+    """Deterministic byte-level fallback hash for payloads
+    decode_media cannot decode — the 1-D analogue of _gray_ahash64:
+    the byte stream split into 64 equal segments (byte j belongs to
+    segment ⌊j·64/n⌋; segments can be empty when n < 64 and then
+    contribute a 0 bit), bit i set iff segment i's mean exceeds the
+    whole payload's mean, compared by integer cross-multiply
+    (seg_sum · n > total · seg_len — exact on both engines). This
+    branch IS DuckDB-expressible from hex(blob), which is what gives
+    the registry entry its value-level oracle over the text-bytes
+    corpus; the PNG branch is covered by planted-image unit tests."""
+    n = len(payload)
+    if n == 0:
+        return 0, 0
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    seg = (np.arange(n, dtype=np.int64) * 64) // n
+    # float64 weights are exact for segment sums < 2^53 (a 35 TB
+    # segment of 0xFF bytes) — far past any single payload
+    sums = np.bincount(seg, weights=arr, minlength=64).astype(np.int64)
+    cnts = np.bincount(seg, minlength=64).astype(np.int64)
+    total = int(arr.sum(dtype=np.int64))
+    bits = 0
+    for i in range(64):
+        if cnts[i] and int(sums[i]) * n > total * int(cnts[i]):
+            bits |= 1 << i
+    return bits & 0xFFFFFFFF, bits >> 32
+
+
+def phash_images(binary_df: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "payload", *,
+                 spread: bool = False) -> DataFrame:
+    """(doc_id, ph0, ph1) 64-bit perceptual hash per payload — the
+    image-content analogue of simhash_signatures. PNG payloads hash
+    their decoded PIXELS (8x8 block-mean aHash: byte-identical files
+    are irrelevant — a resized/re-encoded twin hashes a few bits
+    away, which is what image dedup is FOR); everything else takes
+    the deterministic byte-segment fallback. Blobs are hashed
+    straight off the scan in one Arrow pass and never shuffled — only
+    the 3-long hash rows move (the module's no-blob-shuffle
+    contract); the banded pair join downstream is
+    operators/dedup.py::hamming_band_pairs."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raws = [bytes(p) if p is not None else b""
+                    for p in pdf[payload_col]]
+            decoded = _decoded_rows(raws)
+            lo = np.zeros(len(raws), dtype=np.int64)
+            hi = np.zeros(len(raws), dtype=np.int64)
+            for i, r in enumerate(raws):
+                img = decoded.get(i)
+                lo[i], hi[i] = (_gray_ahash64(img["pixels"]) if img
+                                else _bytes_ahash64(r))
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy(),
+                "ph0": lo, "ph1": hi,
+            })
+
+    src = _maybe_spread(binary_df, id_col, spread).select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias(payload_col)
+    )
+    return src.mapInPandas(gen, schema=PHASH_SCHEMA)

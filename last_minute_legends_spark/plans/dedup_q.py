@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -283,6 +285,59 @@ def dedup_minhash_lsh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         docs, threshold=JACCARD_THRESHOLD,
         perm_hash=md5_perm_hash, band_hash=concat_band_key,
+    ).orderBy("doc_a", "doc_b")
+
+
+DELTA_MOD = 5  # every 5th doc is "the new epoch" in the registry entry
+
+
+def dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup (operators/dedup_delta.py): the
+    corpus is split into an already-indexed base (doc_id % 5 != 0)
+    and a freshly-ingested epoch (doc_id % 5 == 0); the base's LSH
+    band-bucket table and pair set are materialized ONCE per corpus
+    fingerprint (sources/layout_cache.py — the write-once
+    ivf-index economics, so min-of-2 bench cells converge on
+    absorb-only cost) and the epoch is absorbed against them:
+    delta-sized signature work, size-gated planning-literal probes
+    into the persisted buckets, candidate-only re-shingling for the
+    exact verify.
+
+    Uses the portable md5 hashes, so the DuckDB oracle is the
+    UNCHANGED single-shot replay SQL over the full corpus
+    (DEDUP_MINHASH_REPLAY_SQL): the value hash matching proves the
+    incremental decomposition (stored base×base pairs ∪ index-probed
+    delta×base ∪ self-joined delta×delta) is lossless — the
+    incremental_distinct oracle pattern applied to dedup. The
+    production-xxhash64 form is semantics-identical
+    (tests/test_dedup_delta.py locks injected-vs-production parity,
+    epoch chaining, and byte-identity of pre-existing bucket files
+    under append)."""
+    from last_minute_legends_spark.functions.portable_hash import (
+        concat_band_key, md5_perm_hash,
+    )
+    from last_minute_legends_spark.operators.dedup_delta import (
+        absorb_delta, write_band_index,
+    )
+    from last_minute_legends_spark.sources import layout_cache
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % DELTA_MOD != 0)
+    delta = docs.filter(F.col("doc_id") % DELTA_MOD == 0)
+    idx = layout_cache.layout_dir(
+        "dedup_band_index",
+        os.path.join(sf_dir, "documents.parquet"),
+        f"v1-md5-mod{DELTA_MOD}-t{JACCARD_THRESHOLD}")
+    layout_cache.build_once(idx, lambda tmp: write_band_index(
+        base, tmp, JACCARD_THRESHOLD,
+        perm_hash=md5_perm_hash, band_hash=concat_band_key))
+    # read-only absorb (append=False): the cached layout is shared
+    # across calls/processes, so the query must not mutate it — the
+    # append lifecycle is exercised on private copies in tests
+    return absorb_delta(
+        spark, base, delta, idx, JACCARD_THRESHOLD,
+        perm_hash=md5_perm_hash, band_hash=concat_band_key,
+        append=False,
     ).orderBy("doc_a", "doc_b")
 
 
@@ -605,6 +660,7 @@ SPARK = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_replay": dedup_minhash_lsh_replay,
+    "dedup_delta": dedup_delta,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_replay": dedup_simhash_replay,
     "dedup_embedding": dedup_embedding,
@@ -623,6 +679,9 @@ SQL = {
     # DRIVER-side value check (the same replay tests/test_hash_replay.py
     # ran locally since r7, now registered with full ORACLE_SQL)
     "dedup_minhash_lsh_replay": DEDUP_MINHASH_REPLAY_SQL,
+    # r15: incremental absorb vs the SAME single-shot SQL — the hash
+    # matching is what proves the delta decomposition lossless
+    "dedup_delta": DEDUP_MINHASH_REPLAY_SQL,
     "dedup_simhash": None,       # simhash banding: rows-only check
     # r13: the portable-hash twin gives the SIMHASH family its first
     # DRIVER-side value check (the replay tests/test_hash_replay.py

@@ -155,11 +155,130 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+PHASH_MAX_HAMMING = 3
+PHASH_PLANT_MOD = 25
+
+
+def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — where the multimodal and dedup
+    families meet (LAION-style corpora dedup on image CONTENT, not
+    bytes): 64-bit aHash per payload (operators/multimodal.py::
+    phash_images — decoded 8x8 block means for PNGs, the
+    deterministic byte-segment fallback for everything else), then
+    hamming-banded candidate pairs through the SAME band machinery
+    the simhash tier uses (operators/dedup.py::hamming_band_pairs,
+    4x16 bands, pigeonhole recall for hamming <= 3).
+
+    De-vacuization plant (the dedup_exact pattern): every 25th
+    payload gets a one-byte-appended companion (id offset max+1) —
+    a minimal re-encode-ish perturbation whose segment profile stays
+    within a few bits — so the hash compare proves the hash
+    arithmetic, the banding, and the hamming verify on real nonzero
+    pairs. The corpus is text-bytes, so the driver oracle replays the
+    byte-segment branch from hex(blob) in DuckDB bit-for-bit; the
+    PIXEL branch (resized/re-encoded PNG twins found, distinct
+    images not) is locked by tests/test_operators.py planted PNGs.
+    Blobs are hashed in one Arrow pass off the scan and never
+    shuffled — only (doc_id, ph0, ph1) rows enter the band join."""
+    from last_minute_legends_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from last_minute_legends_spark.operators.multimodal import phash_images
+    from last_minute_legends_spark.plans.dedup_q import _plant_offset
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % PHASH_PLANT_MOD == 0).crossJoin(
+        _plant_offset(docs, "doc_id")
+    ).select(
+        (F.col("doc_id") + F.col("_plant_off")).alias("doc_id"),
+        # IN-PLACE single-char substitution, not an append: appending
+        # shifts every segment boundary (measured hamming 5-23 —
+        # undetectable at the 3-bit threshold), while an overwrite
+        # perturbs one segment's mean (measured hamming 0-2 vs a
+        # cross-doc background floor of 16)
+        F.concat(F.lit("~"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    payloads = (
+        docs.unionByName(planted)
+        .filter(F.octet_length("text") > 0)
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+    sig = phash_images(payloads).persist()
+    return hamming_band_pairs(
+        sig, ["ph0", "ph1"], [32, 32], band_width=16,
+        max_hamming=PHASH_MAX_HAMMING,
+    ).orderBy("doc_a", "doc_b")
+
+
+# From-scratch DuckDB replay of the byte-segment aHash + 4x16 banding
+# + hamming verify: byte extraction from hex(blob), per-segment
+# integer cross-multiply bits, two 32-bit words (DuckDB cannot shift
+# into BIGINT bit 63), band join, popcount-of-xor. Every intermediate
+# must agree with the Arrow pass for the final frame to value-match.
+DEDUP_PHASH_SQL = f"""
+WITH base AS (
+    SELECT doc_id, text FROM documents
+), planted AS (
+    SELECT doc_id + (SELECT max(doc_id) + 1 FROM base) AS doc_id,
+           '~' || substr(text, 2) AS text
+    FROM base WHERE doc_id % {PHASH_PLANT_MOD} = 0
+), allv AS (
+    SELECT * FROM base UNION ALL SELECT * FROM planted
+), d AS (
+    -- encode() is the UTF-8 VARCHAR->BLOB conversion (a ::BLOB cast
+    -- would reject non-ASCII text), matching Spark's string->binary
+    SELECT doc_id, octet_length(encode(text)) AS n,
+           hex(encode(text)) AS hx
+    FROM allv WHERE octet_length(encode(text)) > 0
+), e AS (
+    SELECT doc_id, n, i - 1 AS j,
+           ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT AS byte
+    FROM d, UNNEST(generate_series(1, n)) t(i)
+), segs AS (
+    SELECT doc_id, n, ((j * 64) // n)::INT AS s,
+           sum(byte)::BIGINT AS ssum, count(*)::BIGINT AS scnt
+    FROM e GROUP BY doc_id, n, ((j * 64) // n)::INT
+), tot AS (
+    SELECT doc_id, sum(byte)::BIGINT AS total FROM e GROUP BY doc_id
+), onbits AS (
+    SELECT segs.doc_id, s
+    FROM segs JOIN tot ON segs.doc_id = tot.doc_id
+    WHERE ssum * n > total * scnt
+), sig AS (
+    SELECT d.doc_id,
+           coalesce(bit_or(CASE WHEN s < 32
+                           THEN (1::BIGINT << s) END), 0) AS ph0,
+           coalesce(bit_or(CASE WHEN s >= 32
+                           THEN (1::BIGINT << (s - 32)) END), 0) AS ph1
+    FROM d LEFT JOIN onbits b ON b.doc_id = d.doc_id
+    GROUP BY d.doc_id
+), bands AS (
+    SELECT doc_id, ph0, ph1, 0 AS band, ph0 & 65535 AS bv FROM sig
+    UNION ALL
+    SELECT doc_id, ph0, ph1, 1, (ph0 >> 16) & 65535 FROM sig
+    UNION ALL
+    SELECT doc_id, ph0, ph1, 2, ph1 & 65535 FROM sig
+    UNION ALL
+    SELECT doc_id, ph0, ph1, 3, (ph1 >> 16) & 65535 FROM sig
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.ph0, b.ph0))
+           + bit_count(xor(a.ph1, b.ph1)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming
+FROM pairs WHERE hamming <= {PHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
 SPARK = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_framesample": multimodal_framesample,
     "multimodal_resize": multimodal_resize,
+    "dedup_phash": dedup_phash,
 }
 
 # r11: multimodal_resize, driver-hash-green on its first external
@@ -171,6 +290,9 @@ SQL = {
     "multimodal_features": None,  # past the window: value check in LOCAL_SQL
     "multimodal_framesample": MULTIMODAL_FRAMESAMPLE_SQL,
     "multimodal_resize": None,    # past the window: value check in LOCAL_SQL
+    # r15: perceptual-hash dedup — byte-segment branch replayed from
+    # hex(blob); never-observed, so rotation puts it in the window
+    "dedup_phash": DEDUP_PHASH_SQL,
 }
 
 LOCAL_SQL = {

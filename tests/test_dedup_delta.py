@@ -1,0 +1,165 @@
+"""Incremental (delta) MinHash-LSH dedup (operators/dedup_delta.py):
+
+- lossless decomposition: absorb(base-index, delta) must equal the
+  single-shot minhash_lsh_pairs over base ∪ delta with the PRODUCTION
+  xxhash64 hashes (the registry entry's md5 form gets the same check
+  cross-engine via the DuckDB oracle in tests/test_oracle.py);
+- epoch chaining: absorbing delta₁ then delta₂ with ``append=True``
+  must equal the single-shot run over all three parts, and every file
+  that existed before an append must survive it byte-for-byte (the
+  add-only layout claim);
+- probe economics: the delta→index candidate step must reach the
+  bands scan as planning-time partition filters (band/bvb) plus a
+  pushed bv filter — never a full-layout read joined at runtime.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from last_minute_legends_spark.operators.dedup import minhash_lsh_pairs
+from last_minute_legends_spark.operators.dedup_delta import (
+    absorb_delta,
+    write_band_index,
+)
+from last_minute_legends_spark.sources.tables import Catalog
+
+THRESHOLD = 0.8
+
+
+def _docs(spark, sf_dir):
+    return Catalog(spark, sf_dir).documents.select("doc_id", "text")
+
+
+def _pairs(df) -> set:
+    return {(r.doc_a, r.doc_b, r.jaccard) for r in df.collect()}
+
+
+def _file_hashes(root: str) -> dict[str, str]:
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root)] = hashlib.md5(
+                    fh.read()).hexdigest()
+    return out
+
+
+def test_absorb_equals_single_shot_production_hash(spark, sf_dir,
+                                                   tmp_path):
+    """Production-hash parity: the incremental result must be
+    value-identical to the single-shot run over the union — the same
+    property the registry entry proves cross-engine with md5, here
+    with the xxhash64 hot path the md5 twin stands in for."""
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    single = _pairs(minhash_lsh_pairs(docs, THRESHOLD))
+    assert single, "vacuous: corpus must contain near-dup pairs"
+
+    idx = str(tmp_path / "idx")
+    write_band_index(base, idx, THRESHOLD)
+    inc = _pairs(absorb_delta(spark, base, delta, idx, THRESHOLD,
+                              append=False))
+    assert inc == single
+    # the delta must contribute pairs of BOTH kinds or the test is
+    # weaker than it claims: cross (delta×base) and intra-base stored
+    base_only = _pairs(minhash_lsh_pairs(base, THRESHOLD))
+    assert base_only < single, "delta-involving pairs must exist"
+
+
+def test_append_chaining_and_byte_identity(spark, sf_dir, tmp_path):
+    """Two epochs absorbed with append=True: each absorb must return
+    the single-shot result over everything indexed so far, the second
+    epoch must chain against base ∪ delta₁ without any rebuild, and
+    no pre-existing layout file may change byte-for-byte."""
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    d1 = docs.filter(F.col("doc_id") % 3 == 1)
+    d2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    idx = str(tmp_path / "idx")
+    write_band_index(base, idx, THRESHOLD)
+    h0 = _file_hashes(idx)
+
+    out1 = _pairs(absorb_delta(spark, base, d1, idx, THRESHOLD))
+    assert out1 == _pairs(minhash_lsh_pairs(
+        base.unionByName(d1), THRESHOLD))
+    h1 = _file_hashes(idx)
+    assert all(h1[f] == h for f, h in h0.items() if f in h1)
+    # append is add-only: nothing that existed disappeared
+    assert set(h0) <= set(h1)
+
+    out2 = _pairs(absorb_delta(
+        spark, base.unionByName(d1), d2, idx, THRESHOLD))
+    assert out2 == _pairs(minhash_lsh_pairs(docs, THRESHOLD))
+    h2 = _file_hashes(idx)
+    assert all(h2[f] == h for f, h in h1.items() if f in h2)
+    assert set(h1) <= set(h2)
+
+
+def test_probe_prunes_band_partitions(spark, sf_dir, tmp_path):
+    """The small-delta path must turn the delta's band keys into
+    planning-time scan filters on the persisted layout: partition
+    pruning on band/bvb and a pushed bv predicate — the property that
+    keeps absorb cost delta-shaped instead of corpus-shaped."""
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = str(tmp_path / "idx")
+    write_band_index(base, idx, THRESHOLD)
+    plan = absorb_delta(spark, base, delta, idx, THRESHOLD,
+                        append=False)._jdf.queryExecution().executedPlan(
+        ).toString()
+    # the bands scan must carry non-empty partition filters on the
+    # layout's partition columns
+    scan_lines = [ln for ln in plan.splitlines()
+                  if "PartitionFilters" in ln]
+    assert any("band" in ln and "bvb" in ln and "PartitionFilters: []"
+               not in ln for ln in scan_lines), plan[:4000]
+    # and the bv membership predicate must be pushed into the scan
+    assert "PushedFilters: [" in plan and "In(bv" in plan, plan[:4000]
+
+
+def test_big_delta_falls_back_to_distributed_join(spark, sf_dir,
+                                                  tmp_path):
+    """Above static_max distinct band keys nothing is collected to
+    the driver — the probe becomes an ordinary distributed equi-join
+    and the RESULT is unchanged (the ivf PROBE_STATIC_MAX adaptive
+    pattern)."""
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = str(tmp_path / "idx")
+    write_band_index(base, idx, THRESHOLD)
+    small = _pairs(absorb_delta(spark, base, delta, idx, THRESHOLD,
+                                append=False))
+    big = _pairs(absorb_delta(spark, base, delta, idx, THRESHOLD,
+                              append=False, static_max=1))
+    assert small == big == _pairs(minhash_lsh_pairs(docs, THRESHOLD))
+
+
+def test_incompatible_index_params_raise(spark, sf_dir, tmp_path):
+    """An index written under different layout params must be
+    refused, not silently mis-probed."""
+    import json
+
+    import pytest
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    write_band_index(docs.limit(20), idx, THRESHOLD)
+    with open(os.path.join(idx, "_delta_index_params.json")) as fh:
+        params = json.load(fh)
+    params["bv_buckets"] = 999
+    with open(os.path.join(idx, "_delta_index_params.json"), "w") as fh:
+        json.dump(params, fh)
+    with pytest.raises(ValueError, match="incompatible"):
+        absorb_delta(spark, docs, docs.limit(5), idx, THRESHOLD,
+                     append=False)

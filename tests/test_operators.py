@@ -1982,3 +1982,66 @@ def test_layout_cache_build_once_atomic_and_race_safe(tmp_path,
             path3, lambda t: (_ for _ in ()).throw(RuntimeError("boom")))
     assert not os.path.exists(path3)
     assert sorted(os.listdir(os.path.dirname(path3))) == ["fp1", "fp2"]
+
+
+def test_phash_png_near_dup_detection(spark):
+    """The pixel branch of the perceptual hash must behave like image
+    dedup: a RESIZED twin (2x nearest-neighbor upscale — different
+    bytes, different dimensions, same content) and a RE-ENCODED twin
+    (different PNG filter types — different compressed bytes, same
+    pixels) hash within the hamming-3 threshold of the original and
+    come back as pairs through the band machinery; a distinct image
+    does not. The byte-fallback branch and the full banding replay
+    are covered cross-engine by the dedup_phash DuckDB oracle."""
+    import numpy as np
+
+    from last_minute_legends_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from last_minute_legends_spark.operators.multimodal import (
+        _gray_ahash64, phash_images,
+    )
+
+    def detimg(tag, h, w):
+        import hashlib as _h
+        vals = np.frombuffer(
+            b"".join(_h.sha256(f"{tag}:{i}".encode()).digest()
+                     for i in range((h * w * 3) // 32 + 1)),
+            np.uint8)[: h * w * 3]
+        # smooth along rows so block means carry structure (pure
+        # noise has near-tie block means that flip under resampling)
+        a = vals.reshape(h, w, 3).astype(np.int64)
+        return ((np.cumsum(a, axis=1) // np.arange(1, w + 1)[None, :, None])
+                .astype(np.uint8))
+
+    base = detimg("img-a", 64, 48)
+    resized = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)  # 2x upscale
+    other = detimg("img-b", 64, 48)
+
+    # hash-level sanity before the distributed path
+    hb, hr = _gray_ahash64(base), _gray_ahash64(resized)
+    ho = _gray_ahash64(other)
+    ham = lambda a, b: (bin(a[0] ^ b[0]).count("1")
+                        + bin(a[1] ^ b[1]).count("1"))
+    assert ham(hb, hr) <= 3, ham(hb, hr)
+    assert ham(hb, ho) > 10, ham(hb, ho)
+
+    rows = [
+        (1, bytearray(_make_png(base, [0]))),
+        (2, bytearray(_make_png(resized, [0]))),
+        (3, bytearray(_make_png(base, [1, 2, 3, 4]))),  # re-encode
+        (4, bytearray(_make_png(other, [0]))),
+        (5, bytearray(b"not a png at all, takes the byte fallback")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sig = phash_images(df).persist()
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in hamming_band_pairs(
+               sig, ["ph0", "ph1"], [32, 32], 16, 3).collect()}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got, got
+    assert got[(1, 3)] == 0  # re-encode: identical pixels, hamming 0
+    assert not any(4 in p or 5 in p for p in got), got
+    # words stay BIGINT-safe 32-bit (the DuckDB replay contract)
+    for r in sig.collect():
+        assert 0 <= r.ph0 < 2 ** 32 and 0 <= r.ph1 < 2 ** 32
+    sig.unpersist()

