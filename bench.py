@@ -146,6 +146,9 @@ HEADLINE = [
     "bloom_semi_join",
     "train_bpe",
     "bpe_tokenize",
+    # round-15: learned quality scorer (distributed GD fit + narrow
+    # column scoring)
+    "text_quality_model",
     # round-8 cont.: the last uncovered registry entries — every
     # queries() key now has a bench cell (streaming section aside),
     # so no regression anywhere is invisible

@@ -319,3 +319,41 @@ def pack_shards(docs: DataFrame, budget_tokens: int = 256,
     return d.withColumn(
         "shard", F.floor(F.col("start_pos") / F.lit(budget_tokens)).cast("long")
     )
+
+
+def logistic_fit(train: DataFrame, feature_cols: list[str],
+                 label_col: str, iters: int = 4,
+                 lr: float = 2.0) -> list[float]:
+    """Distributed deterministic logistic-regression fit — the
+    learned-quality-scorer pattern (C4 trained an LM filter; modern
+    pipelines a fastText classifier): full-batch gradient descent
+    where each step is ONE partial-aggregatable job over the training
+    frame (avg of residual, avg of residual·xᵢ — map-side combined),
+    and the driver sees only the (k+1)-float coefficient vector per
+    iteration — the Lloyd-iteration execution shape
+    (operators/similarity.py), never the data.
+
+    Determinism across engines, stated precisely: every iterate is
+    rounded to 6 decimals before it parameterizes the next pass, so
+    the ~1e-15 float-summation-order differences between Spark and a
+    DuckDB replay (or between two cluster layouts) cannot compound
+    across iterations — both engines re-enter each step from the
+    IDENTICAL coefficient vector. Fixed iteration count and learning
+    rate, no convergence test, no RNG: same inputs → same
+    coefficients, anywhere.
+
+    Returns ``[bias, w1..wk]``. Callers should persist ``train`` —
+    each iteration scans it once."""
+    w = [0.0] * (len(feature_cols) + 1)
+    for _ in range(iters):
+        z = F.lit(w[0])
+        for i, c in enumerate(feature_cols):
+            z = z + F.lit(w[i + 1]) * F.col(c)
+        resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col(label_col)
+        aggs = [F.avg(resid).alias("g0")] + [
+            F.avg(resid * F.col(c)).alias(f"g{i + 1}")
+            for i, c in enumerate(feature_cols)
+        ]
+        row = train.agg(*aggs).collect()[0]
+        w = [round(w[i] - lr * float(row[i]), 6) for i in range(len(w))]
+    return w

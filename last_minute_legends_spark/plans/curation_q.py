@@ -406,6 +406,154 @@ CURATED_TRAINING_SET_SQL = _curated_sql(dedup_gate=True)
 STREAM_CURATE_ORACLE_SQL = _curated_sql(dedup_gate=False)
 
 
+# 8 full-batch steps at lr=4 measured AUC 0.95 against the gate
+# label with score spread 0.29-0.61 at sf0.01; more steps bought no
+# separation (the 3 features cannot express the repetition/PII gates)
+QM_ITERS = 8
+QM_LR = 4.0
+
+
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED quality scorer (the C4/fastText-filter pattern): a tiny
+    logistic regression fit DISTRIBUTEDLY on the existing heuristic
+    signals (x1 = length saturation, x2 = punctuation ratio, x3 =
+    stopword ratio), label = whether the doc passes the stateless
+    curation gates (English ∧ quality ≥ 0.5 ∧ ¬repetitive ∧
+    PII-free — the streaming/curate.py gate set), trained on the
+    doc_id % 2 == 0 split and scored over every document as a pure
+    column dot product + sigmoid (narrow, codegen — no UDF anywhere).
+
+    The fit is operators/curation.py::logistic_fit: fixed iterations,
+    fixed learning rate, each step one map-side-combined aggregate
+    job, the driver touching only the 4-float coefficient vector per
+    step (the Lloyd pattern), every iterate rounded to 6 decimals so
+    the coefficients are bit-reproducible across engines — which is
+    what lets the DuckDB oracle REPLAY THE ENTIRE TRAINING LOOP as
+    chained 1-row CTEs and value-check fit + scoring end-to-end.
+    Distributed-vs-local-numpy fit parity is locked in
+    tests/test_operators.py."""
+    from last_minute_legends_spark.functions.text import (
+        count_matches, words,
+    )
+    from last_minute_legends_spark.operators.curation import (
+        logistic_fit, pii_free_col, repetition_fracs,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    n_en = count_matches(low, STOPWORDS_EN)
+    n_de = count_matches(low, STOPWORDS_DE)
+    n_fr = count_matches(low, STOPWORDS_FR)
+    is_en = (n_en >= n_de) & (n_en >= n_fr) & (n_en > 0)
+    n_chars = F.length("text").cast("long")
+    n_tokens = count_matches(F.col("text"), r"\S+")
+    n_punct = count_matches(F.col("text"), r"[^A-Za-z0-9\s]")
+    x1 = F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+    x2 = n_punct / F.greatest(n_chars, F.lit(1))
+    x3 = n_en / F.greatest(n_tokens, F.lit(1))
+    score = x1 * (F.lit(1.0) - x2) * (F.lit(0.5) + F.lit(0.5) * x3)
+    top_frac, dup2 = repetition_fracs(F.col("_w"))
+    y = (is_en & (F.round(score, 4) >= 0.5)
+         & ~((top_frac > 0.20) | (dup2 > 0.40))
+         & pii_free_col(F.col("text")))
+    sig = docs.select(
+        "doc_id", "text", words(F.col("text")).alias("_w")
+    ).select(
+        "doc_id", x1.alias("x1"), x2.alias("x2"), x3.alias("x3"),
+        y.cast("double").alias("y"),
+    ).persist()  # one scan per GD iteration + the scoring pass
+    w = logistic_fit(sig.filter(F.col("doc_id") % 2 == 0),
+                     ["x1", "x2", "x3"], "y", iters=QM_ITERS, lr=QM_LR)
+    z = (F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
+         + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3"))
+    return sig.select(
+        "doc_id",
+        F.col("y").cast("long").alias("label"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+        .alias("model_score"),
+    ).orderBy("doc_id")
+
+
+def _quality_model_sql(iters: int = QM_ITERS, lr: float = QM_LR) -> str:
+    """The FULL training loop as SQL: signals → label → w0 = 0 →
+    ``iters`` chained (gradient-aggregate, coefficient-update) 1-row
+    CTE pairs — each update rounded to 6dp exactly like logistic_fit,
+    so both engines re-enter every step from identical coefficients —
+    → final per-doc sigmoid scoring. Any drift anywhere in the fit
+    (a gradient term, the split, the rounding, the learning rate)
+    value-mismatches the scored frame."""
+    z = "(b + c1 * x1 + c2 * x2 + c3 * x3)"
+    p = f"(1.0 / (1.0 + exp(-{z})))"
+    parts = [rf"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_EN}')) AS BIGINT) AS n_en,
+           CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_DE}')) AS BIGINT) AS n_de,
+           CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_FR}')) AS BIGINT) AS n_fr,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w,
+           (len(regexp_extract_all(text, '{EMAIL_RE}'))
+            + len(regexp_extract_all(text, '{SSN_RE}'))
+            + len(regexp_extract_all(text, '{IPV4_RE}'))
+            + len(regexp_extract_all(text, '{PHONE_RE}'))) = 0 AS pii_free
+    FROM documents
+), r AS (
+    SELECT doc_id,
+           list_max(list_transform(list_distinct(w),
+                                   x -> len(list_filter(w, y -> y = x))))
+               / greatest(len(w), 1) AS top_frac,
+           CASE WHEN len(w) >= 2 THEN
+               (len(w) - 1
+                - len(list_distinct(list_transform(range(1, len(w)),
+                                                   i -> w[i] || ' ' || w[i+1]))))
+                   / greatest(len(w) - 1, 1)
+               ELSE 0 END AS dup2
+    FROM d
+), sig AS MATERIALIZED (
+    SELECT doc_id,
+           least(1.0, n_tokens / 50.0) AS x1,
+           n_punct / greatest(n_chars, 1) AS x2,
+           n_en / greatest(n_tokens, 1) AS x3,
+           CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en > 0
+                 AND round(least(1.0, n_tokens / 50.0)
+                           * (1.0 - n_punct / greatest(n_chars, 1))
+                           * (0.5 + 0.5 * (n_en / greatest(n_tokens, 1))),
+                           4) >= 0.5
+                 AND NOT (top_frac > 0.20 OR dup2 > 0.40)
+                 AND pii_free
+            THEN 1.0 ELSE 0.0 END AS y
+    FROM d JOIN r USING (doc_id)
+), w0 AS (
+    SELECT 0.0 AS b, 0.0 AS c1, 0.0 AS c2, 0.0 AS c3
+)"""]
+    # MATERIALIZED is load-bearing: DuckDB re-evaluates plain CTEs per
+    # reference, and w{t} referencing both w{t-1} and g{t}(sig, w{t-1})
+    # makes the chain re-evaluate EXPONENTIALLY (2^iters scans of the
+    # documents parquet — "Too many open files" at 16 steps, measured)
+    for t in range(1, iters + 1):
+        parts.append(f""", g{t} AS MATERIALIZED (
+    SELECT avg({p} - y) AS gb,
+           avg(({p} - y) * x1) AS g1,
+           avg(({p} - y) * x2) AS g2,
+           avg(({p} - y) * x3) AS g3
+    FROM sig, w{t - 1} WHERE doc_id % 2 = 0
+), w{t} AS MATERIALIZED (
+    SELECT round(b - {lr} * gb, 6) AS b, round(c1 - {lr} * g1, 6) AS c1,
+           round(c2 - {lr} * g2, 6) AS c2, round(c3 - {lr} * g3, 6) AS c3
+    FROM w{t - 1}, g{t}
+)""")
+    parts.append(f"""
+SELECT doc_id, CAST(y AS BIGINT) AS label,
+       round({p}, 4) AS model_score
+FROM sig, w{iters} ORDER BY doc_id""")
+    return "".join(parts)
+
+
+TEXT_QUALITY_MODEL_SQL = _quality_model_sql()
+
+
 def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_spread(spark, sf_dir)
     return pack_shards(docs, budget_tokens=256).orderBy("doc_id")
@@ -702,6 +850,7 @@ SPARK = {
     "text_unigram_logprob": text_unigram_logprob,
     "train_bpe": train_bpe_merges,
     "bpe_tokenize": bpe_tokenize,
+    "text_quality_model": text_quality_model,
 }
 
 # r12: the nine entries r11 demoted (to give the BPE pair their
@@ -729,6 +878,9 @@ SQL = {
     "text_unigram_logprob": TEXT_UNIGRAM_SQL,
     "train_bpe": TRAIN_BPE_SQL,
     "bpe_tokenize": BPE_TOKENIZE_SQL,
+    # r15: the learned scorer — the oracle replays the whole GD loop
+    # (chained 1-row coefficient CTEs, 6dp-rounded iterates)
+    "text_quality_model": TEXT_QUALITY_MODEL_SQL,
 }
 
 LOCAL_SQL = {}

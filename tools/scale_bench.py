@@ -159,6 +159,9 @@ CELLS = [
     "text_unigram_logprob",
     "train_bpe",
     "bpe_tokenize",
+    "text_quality_model",  # r15: GD fit = 8 fixed aggregate jobs over
+    # the signal frame (cost ∝ corpus, iteration count fixed) + one
+    # narrow scoring pass
     "text_pii_redact",
     "text_repetition",
     "dedup_paragraph",
