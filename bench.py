@@ -196,6 +196,9 @@ HEADLINE = [
     "compact_small_files",
     # round-13: z-order clustering (Morton rewrite + 2-D selective agg)
     "zorder_events",
+    # round-15: 2-D skipping on the documents axis (Morton rewrite +
+    # source/length-scoped dedup read)
+    "zorder_documents",
     # round-13 cont.: portable sketch twins (HLL distinct + histogram
     # quantiles), fuzzy decontamination (asymmetric broadcast LSH with
     # the replayable md5 hash — the deliberate oracle-apparatus cost,

@@ -288,6 +288,95 @@ def dedup_minhash_lsh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+# zorder_documents: the 2-D scope (a source band AND a length band)
+ZDOC_SRC_LO, ZDOC_SRC_HI = 4, 7       # 4 of the 20 srcN sources
+ZDOC_LEN_LO, ZDOC_LEN_HI = 150, 300   # n_chars spans ~48-550
+
+
+def _zdoc_layout(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Documents (+ the dedup_exact-style planted twins, so the
+    scoped dedup below has real nonzero groups) rewritten on the
+    Morton curve of (source number, n_chars) — ONE home for the
+    layout build, shared by the registry entry and the footer-stats
+    skip test."""
+    from last_minute_legends_spark.sources.zorder import write_zordered
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "text", "source", "n_chars")
+    # plant mod 7, NOT 10: source = src{doc_id % 20}, so a mod-10
+    # plant only ever twins src0/src10 docs — none inside the src 4-7
+    # band (0 groups, vacuous oracle — measured); 7 is coprime with 20
+    # and reaches every source
+    planted = docs.filter(F.col("doc_id") % 7 == 0).crossJoin(
+        _plant_offset(docs, "doc_id")
+    ).select(
+        (F.col("doc_id") + F.col("_plant_off")).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text"))).alias("text"),
+        "source",
+        (F.length(F.concat(F.lit("  "), F.upper(F.col("text"))))
+         .cast("long")).alias("n_chars"),
+    )
+    allv = docs.unionByName(planted).withColumn(
+        "src_num", F.substring("source", 4, 10).cast("long"))
+    write_zordered(allv, path, "src_num", "n_chars")
+
+
+def zorder_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered DOCUMENTS for the dedup/curation read path: the
+    zorder_events 2-D skipping story applied to the corpus the dedup
+    family always full-scans. Clustering on (source, n_chars) makes
+    every file's footer stats tight on BOTH axes, so the scoped reads
+    real pipelines run constantly — dedup within one source, quality
+    passes over a length band, source-scoped recuration — skip most
+    files from stats alone (skip fraction measured from the actual
+    parquet footers in tests/test_operators.py::
+    test_zorder_documents_skipping).
+
+    The query is exactly such a read: exact-dedup keeper election
+    over one source band AND one length band of the rewritten corpus
+    (planted case/whitespace twins de-vacuize, the dedup_exact
+    pattern — a twin shares its original's source and lands 2 chars
+    longer, inside the band). The oracle replays filter + grouping
+    from the base table, so content preservation through the Morton
+    rewrite and the scope semantics are both value-checked."""
+    import atexit
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="llm_spark_zdoc_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    path = f"{tmp}/documents_z"
+    _zdoc_layout(spark, sf_dir, path)
+    z = spark.read.parquet(path)
+    scoped = z.filter(
+        F.col("src_num").between(ZDOC_SRC_LO, ZDOC_SRC_HI)
+        & F.col("n_chars").between(ZDOC_LEN_LO, ZDOC_LEN_HI))
+    return exact_duplicates(scoped).orderBy("fp")
+
+
+ZORDER_DOCUMENTS_SQL = f"""
+WITH base AS (
+    SELECT doc_id, text, source, n_chars FROM documents
+), planted AS (
+    SELECT doc_id + (SELECT max(doc_id) + 1 FROM base) AS doc_id,
+           '  ' || upper(text) AS text, source,
+           CAST(length('  ' || upper(text)) AS BIGINT) AS n_chars
+    FROM base WHERE doc_id % 7 = 0
+), allv AS (
+    SELECT * FROM base UNION ALL SELECT * FROM planted
+), scoped AS (
+    SELECT * FROM allv
+    WHERE CAST(substr(source, 4) AS BIGINT)
+              BETWEEN {ZDOC_SRC_LO} AND {ZDOC_SRC_HI}
+      AND n_chars BETWEEN {ZDOC_LEN_LO} AND {ZDOC_LEN_HI}
+)
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+       count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+FROM scoped GROUP BY fp HAVING count(*) > 1
+ORDER BY fp
+"""
+
+
 DELTA_MOD = 5  # every 5th doc is "the new epoch" in the registry entry
 
 
@@ -661,6 +750,7 @@ SPARK = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_replay": dedup_minhash_lsh_replay,
     "dedup_delta": dedup_delta,
+    "zorder_documents": zorder_documents,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_replay": dedup_simhash_replay,
     "dedup_embedding": dedup_embedding,
@@ -682,6 +772,9 @@ SQL = {
     # r15: incremental absorb vs the SAME single-shot SQL — the hash
     # matching is what proves the delta decomposition lossless
     "dedup_delta": DEDUP_MINHASH_REPLAY_SQL,
+    # r15: scoped dedup over the Morton-rewritten corpus — content
+    # preservation + 2-D scope semantics value-checked from base
+    "zorder_documents": ZORDER_DOCUMENTS_SQL,
     "dedup_simhash": None,       # simhash banding: rows-only check
     # r13: the portable-hash twin gives the SIMHASH family its first
     # DRIVER-side value check (the replay tests/test_hash_replay.py

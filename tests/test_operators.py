@@ -2086,3 +2086,59 @@ def test_logistic_fit_matches_local_numpy(spark):
     z = X @ np.array(got)
     acc = float(((1 / (1 + np.exp(-z)) > 0.5) == (yv > 0.5)).mean())
     assert acc >= 0.8, acc
+
+
+def test_zorder_documents_skipping(spark, tmp_path):
+    """The documents z-order layout (zorder_documents' own builder)
+    must make the 2-D scoped read — a source band AND a length band,
+    the shape source-scoped dedup / length-banded curation runs —
+    stats-skippable: most files' (src_num, n_chars) footer ranges
+    must not overlap the band at all, while an unclustered write of
+    the same rows leaves every file overlapping. Measured at sf0.01:
+    8/32 z-ordered files overlap vs 32/32 plain. Engine-independent
+    evidence (pyarrow footers), the zorder_events test's twin on the
+    corpus axis the dedup family reads."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from last_minute_legends_spark.plans.dedup_q import (
+        ZDOC_LEN_HI, ZDOC_LEN_LO, ZDOC_SRC_HI, ZDOC_SRC_LO, _zdoc_layout,
+    )
+    from last_minute_legends_spark.sources.tables import Catalog
+
+    sf01 = "/root/testdata/sf0.01"  # 500 docs: enough rows per file
+    zpath = str(tmp_path / "z")
+    _zdoc_layout(spark, sf01, zpath)
+
+    def overlap_fraction(path):
+        files = glob.glob(f"{path}/part-*.parquet")
+        assert files
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            stats = {}
+            for rg in range(md.num_row_groups):
+                for i in range(md.num_columns):
+                    c = md.row_group(rg).column(i)
+                    if c.path_in_schema in ("src_num", "n_chars"):
+                        lo, hi = stats.get(c.path_in_schema,
+                                           (10 ** 9, -10 ** 9))
+                        stats[c.path_in_schema] = (
+                            min(lo, c.statistics.min),
+                            max(hi, c.statistics.max))
+            s, n = stats["src_num"], stats["n_chars"]
+            if (s[0] <= ZDOC_SRC_HI and s[1] >= ZDOC_SRC_LO
+                    and n[0] <= ZDOC_LEN_HI and n[1] >= ZDOC_LEN_LO):
+                hit += 1
+        return hit / len(files)
+
+    assert overlap_fraction(zpath) <= 0.5, "z-order stats not tight"
+
+    plain = str(tmp_path / "plain")
+    docs = Catalog(spark, sf01).documents.withColumn(
+        "src_num", F.substring("source", 4, 10).cast("long"))
+    docs.repartition(32).write.parquet(plain)
+    assert overlap_fraction(plain) == 1.0, (
+        "plain layout unexpectedly skippable — the comparison is "
+        "meaningless if the generator clusters sources")
