@@ -224,6 +224,9 @@ STREAMING = (
     # r14: the left-outer form — eviction-time null emission for
     # never-converted views (two drained sentinel batches at +4h/+8h)
     "stream_outer_join",
+    # r15: the inner join under 6-batch watermark-ordered delivery —
+    # mid-corpus state eviction, the production micro-batch regime
+    "stream_join_multibatch",
     "stream_partitioned_landing",
     # r13: incremental MV maintenance over the epoch landing (lands,
     # then folds one epoch at a time — timed end-to-end like the

@@ -1392,3 +1392,73 @@ def test_tws_sessionize_gated_parity(spark, sf_dir):
            for r in run_stream_sessionize_tws(spark, sf_dir).collect()}
     want = {tuple(r) for r in run_stream_sessionize(spark, sf_dir).collect()}
     assert got == want and len(want) > 0
+
+
+def test_multibatch_join_parity(spark, sf_dir):
+    """Multi-batch watermark-ordered delivery (VERDICT r14 #3) must be
+    output-IDENTICAL to the one-batch harness for both stream-stream
+    joins: time-range groups mean nothing arrives late, a view is
+    never evicted before an in-bound purchase can reach it (the
+    watermark trails the newest group's min ts by the full delay),
+    and the outer form's mid-run eviction emits exactly the null set
+    the trailing sentinels otherwise would. This is the property that
+    makes the Zipf skew ladder's multi-batch cells measure the SAME
+    operator the registry entries run."""
+    from last_minute_legends_spark.streaming.pipeline import (
+        run_stream_join_pipeline,
+        run_stream_outer_join_pipeline,
+    )
+
+    one = {tuple(r) for r in run_stream_join_pipeline(spark, sf_dir)
+           .collect()}
+    mb = {tuple(r) for r in run_stream_join_pipeline(
+        spark, sf_dir, n_batches=6).collect()}
+    assert one and mb == one
+
+    oone = {tuple(r) for r in run_stream_outer_join_pipeline(
+        spark, sf_dir).collect()}
+    omb = {tuple(r) for r in run_stream_outer_join_pipeline(
+        spark, sf_dir, n_batches=6).collect()}
+    assert oone and omb == oone
+    # the outer set must actually contain both verdict kinds or the
+    # parity proves less than it claims
+    assert any(r[2] is None for r in oone)       # never-converted view
+    assert any(r[2] is not None for r in oone)   # converted view
+
+
+def test_multibatch_staging_is_watermark_ordered(spark, sf_dir):
+    """The batched stager's contract, checked from the staged bytes:
+    groups partition the corpus, every event in group i+1 is >= every
+    event in group i (so no group can land behind the watermark an
+    earlier group advanced), and group 0 is pre-delivered to the
+    topic dir."""
+    import glob
+    import json
+    import os
+
+    from last_minute_legends_spark.streaming.pipeline import (
+        stage_events_json_batched,
+    )
+
+    staging, max_ts, groups = stage_events_json_batched(spark, sf_dir, 5)
+    assert len(groups) == 5
+    delivered = glob.glob(os.path.join(staging, "in", "*"))
+    assert sorted(delivered) == sorted(d for _, d in groups[0])
+
+    def ts_range(group):
+        ts = []
+        for src_f, _dst in group:
+            with open(src_f) as fh:
+                for line in fh:
+                    if line.strip():
+                        ts.append(json.loads(line)["ts_us"])
+        return (min(ts), max(ts)) if ts else None
+
+    ranges = [r for r in map(ts_range, groups) if r]
+    assert len(ranges) >= 2, "corpus too small to split"
+    for prev, nxt in zip(ranges, ranges[1:]):
+        assert prev[1] <= nxt[0], (prev, nxt)
+    n_events = sum(
+        1 for g in groups for f, _ in g for line in open(f) if line.strip())
+    from last_minute_legends_spark.sources.tables import load_table
+    assert n_events == load_table(spark, sf_dir, "events").count()

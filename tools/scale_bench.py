@@ -202,6 +202,10 @@ CELLS = [
     # merge — the BUILD dominates and scales with the corpus; the
     # merge itself touches only the partitions the change-set names)
     "stream_stream_join",
+    "stream_join_mb",        # r15: 6-batch watermark-ordered delivery —
+    "stream_outer_join_mb",  # the bounded-state production regime; the
+    # only forms that also ladder under --zipf (hot-key state stays
+    # per-batch instead of corpus-scale)
     "stream_outer_join",  # r14: left-outer form — same state bound, plus
     # eviction-time null emission for never-converted views
     "stream_partitioned_landing",
@@ -540,9 +544,29 @@ def _dedup_delta_cell(fixed: bool):
     return cell
 
 
+def _mb_join_cell(outer: bool):
+    """Multi-batch stream-stream join cells (r15, VERDICT r14 #3):
+    watermark-ordered 6-group delivery keeps per-batch join state at
+    rate × (bound + delay), which is what makes these two operators
+    Zipf-ladderable at all — under one-batch staging a hot key's
+    state-store probes grow quadratically in its full corpus share
+    (the measured 28-min wedge, r14). Output identical to the
+    one-batch registry entries (parity test-locked)."""
+    def cell(spark, sf_dir):
+        from last_minute_legends_spark.streaming.pipeline import (
+            run_stream_join_pipeline, run_stream_outer_join_pipeline,
+        )
+        fn = (run_stream_outer_join_pipeline if outer
+              else run_stream_join_pipeline)
+        return fn(spark, sf_dir, n_batches=6)
+    return cell
+
+
 SPECIAL_CELLS = {
     "dedup_delta_fixed": _dedup_delta_cell(fixed=True),
     "dedup_delta_prop": _dedup_delta_cell(fixed=False),
+    "stream_join_mb": _mb_join_cell(outer=False),
+    "stream_outer_join_mb": _mb_join_cell(outer=True),
 }
 
 
@@ -669,7 +693,11 @@ def main() -> None:
         # batches keep per-key state at rate x horizon, making hot-key
         # probe cost linear in rate. The batch-side skew cells carry the
         # measured Zipf story.
-        _ZIPF_OK = {"skew_join", "bloom_semi_join", "sessionization", "cohort_retention",
+        # r15: the multi-batch forms ARE zipf-ladderable — watermark-
+        # ordered group delivery runs state eviction mid-corpus, so a
+        # hot key's per-batch state is bounded (see _mb_join_cell)
+        _ZIPF_OK = {"stream_join_mb", "stream_outer_join_mb",
+                    "skew_join", "bloom_semi_join", "sessionization", "cohort_retention",
                     "events_by_type", "events_windowed", "latest_by_user",
                     "moving_avg", "events_quantiles", "rollup_timeseries",
                     "funnel", "user_segmentation", "json_props",
