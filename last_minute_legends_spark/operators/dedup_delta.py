@@ -83,8 +83,14 @@ BV_BUCKETS = 16
 # the distributed equi-join (the ivf_index.PROBE_STATIC_MAX
 # rationale: a driver collect must stay model-parameter-sized, and at
 # that key volume most buckets are touched anyway so planning-time
-# pruning buys ~nothing).
-DELTA_STATIC_MAX = 8_192
+# pruning buys ~nothing). MEASURED crossover (r15 ladder, x1 vs x3
+# proportional-delta cells): 1,600 literal keys beat the distributed
+# join handily (the flat fixed-delta cell), but 8,000 keys ran the
+# static path at 7.4 s where the distributed fallback ran 3.8 s on a
+# 3x BIGGER corpus — giant In-literals cost more in planning +
+# predicate evaluation than the join they avoid. 2,048 keeps the
+# literal path for the genuinely-small epochs it exists for.
+DELTA_STATIC_MAX = 2_048
 
 
 def _bvb(bv):

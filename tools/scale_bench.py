@@ -113,6 +113,8 @@ CELLS = [
     # cost (the ann_ivf_probe_indexed economics).
     "dedup_delta_fixed",
     "dedup_delta_prop",
+    "dedup_phash",        # r15: Arrow-pass aHash + hamming band join
+    "zorder_documents",   # r15: Morton rewrite + 2-D scoped dedup read
     "ann_ivf_topk",
     "ann_ivf_probe_indexed",  # r12: flat probe — index built once/corpus
     "ann_ivf_append_probe",  # r13: probe after frozen-centroid ingest —
