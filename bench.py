@@ -227,6 +227,10 @@ STREAMING = (
     # r15: the inner join under 6-batch watermark-ordered delivery —
     # mid-corpus state eviction, the production micro-batch regime
     "stream_join_multibatch",
+    # r15: incremental dedup on the streaming ingest path — per-epoch
+    # foreachBatch absorb against the persisted band index (md5
+    # oracle form; production-hash parity in tests)
+    "stream_dedup_delta",
     "stream_partitioned_landing",
     # r13: incremental MV maintenance over the epoch landing (lands,
     # then folds one epoch at a time — timed end-to-end like the

@@ -430,6 +430,34 @@ def dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def stream_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-dedup lifecycle on the STREAMING ingest path
+    (streaming/pipeline.py::run_stream_dedup_delta): a quarter of the
+    corpus seeds the band-bucket index, the other three quarters
+    arrive as a JSON file-stream topic one epoch per micro-batch, and
+    ``foreachBatch`` absorbs each epoch against the persisted layout
+    — delta-sized signatures, bucket probes, verify against the
+    corpus landed so far, add-only appends. The reference's own core
+    loop (spark_batch_processor.py:83-86 incremental new-record
+    detection before publish) upgraded from exact-id diff to near-dup
+    semantics on a streaming source. Portable md5 hashes → the final
+    stored pair set equals the single-shot run over the full corpus,
+    so the oracle is the UNCHANGED single-shot replay SQL; production
+    xxhash64 parity is locked in tests/test_dedup_delta.py."""
+    from last_minute_legends_spark.functions.portable_hash import (
+        concat_band_key, md5_perm_hash,
+    )
+    from last_minute_legends_spark.streaming.pipeline import (
+        run_stream_dedup_delta,
+    )
+
+    return run_stream_dedup_delta(
+        spark, sf_dir, n_epochs=4, threshold=JACCARD_THRESHOLD,
+        perm_hash=md5_perm_hash, band_hash=concat_band_key,
+        cache_tag="md5",
+    ).orderBy("doc_a", "doc_b")
+
+
 _SHINGLES_CTE = r"""
 tok AS (
     SELECT doc_id,
@@ -750,6 +778,7 @@ SPARK = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_replay": dedup_minhash_lsh_replay,
     "dedup_delta": dedup_delta,
+    "stream_dedup_delta": stream_dedup_delta,
     "zorder_documents": zorder_documents,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_replay": dedup_simhash_replay,
@@ -772,6 +801,9 @@ SQL = {
     # r15: incremental absorb vs the SAME single-shot SQL — the hash
     # matching is what proves the delta decomposition lossless
     "dedup_delta": DEDUP_MINHASH_REPLAY_SQL,
+    # r15: the streaming-ingest form converges on the identical final
+    # pair set — same single-shot oracle, absorbed epoch-at-a-time
+    "stream_dedup_delta": DEDUP_MINHASH_REPLAY_SQL,
     # r15: scoped dedup over the Morton-rewritten corpus — content
     # preservation + 2-D scope semantics value-checked from base
     "zorder_documents": ZORDER_DOCUMENTS_SQL,

@@ -899,3 +899,149 @@ def run_partitioned_landing_pipeline(spark: SparkSession,
         .orderBy("event_day_us")
     )
     return out
+
+
+def _clone_tree(src: str, dst: str) -> None:
+    """Private mutable copy of a cached immutable layout: directories
+    recreated, files HARDLINKED (content-identical, ~free). Safe for
+    the add-only layouts here — parquet ``mode("append")`` only adds
+    files, never rewrites one in place, so mutating the clone cannot
+    reach back into the cache."""
+    for dirpath, dirs, files in os.walk(src):
+        rel = os.path.relpath(dirpath, src)
+        tgt = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(tgt, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(dirpath, f), os.path.join(tgt, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
+def run_stream_dedup_delta(spark: SparkSession, sf_dir: str,
+                           n_epochs: int = 4, threshold: float = 0.8,
+                           perm_hash=None, band_hash=None,
+                           cache_tag: str | None = None) -> DataFrame:
+    """STREAMING INGEST DEDUP — the r15 incremental-dedup lifecycle
+    (operators/dedup_delta.py) driven end-to-end by Structured
+    Streaming, i.e. "dedup the ingest, not the corpus" made literal:
+
+    - the documents corpus is split into ``n_epochs`` doc_id-range
+      groups (exact percentile boundaries); group 0 seeds the
+      write-once band-bucket index + stored pair set (the one-time
+      base build);
+    - the remaining groups arrive as a JSON file-stream topic, one
+      group per micro-batch (the producer-loop drain pattern of the
+      multi-batch staged topic), and ``foreachBatch`` ABSORBS each
+      epoch: delta-sized signatures, bucket probes against the
+      persisted layout, exact verify against the corpus landed so
+      far, add-only appends of band rows + new pairs, then the epoch
+      itself lands in the corpus dir for the next batch's verify
+      side. Per-epoch cost ∝ epoch size at any corpus size — the
+      measured-flat dedup_delta_fixed economics, now on the
+      streaming path the reference's ingest loop actually runs
+      (spark_batch_processor.py:83-86's incremental new-record
+      detection, upgraded from exact-id diff to near-dup semantics).
+
+    Returns the stored pair set after the last epoch, which equals
+    the single-shot minhash_lsh_pairs over the FULL corpus (the
+    lossless-decomposition argument in operators/dedup_delta.py,
+    chained across epochs) — so with the portable md5 hashes the
+    registry entry carries the UNCHANGED single-shot DuckDB replay
+    oracle. A ``distinct()`` guards the at-least-once edge:
+    foreachBatch can redeliver an epoch on failure, and both appends
+    are idempotent only up to duplicates (same rows appended twice),
+    never wrong rows."""
+    from last_minute_legends_spark.operators.dedup_delta import (
+        absorb_delta, stored_pairs, write_band_index,
+    )
+
+    staging = tempfile.mkdtemp(prefix="llm_spark_sdd_")
+    atexit.register(shutil.rmtree, staging, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    fracs = [i / n_epochs for i in range(1, n_epochs)]
+    cuts = docs.agg(F.expr(
+        f"percentile(doc_id, array({', '.join(map(str, fracs))}))"
+    ).alias("c")).collect()[0].c
+    grp = F.lit(0)
+    for c in cuts:
+        grp = grp + (F.col("doc_id") > F.lit(float(c))).cast("int")
+    tagged = docs.withColumn("_grp", grp)
+
+    idx = f"{staging}/idx"
+    corpus = f"{staging}/corpus"
+    base = tagged.filter(F.col("_grp") == 0).drop("_grp")
+    if cache_tag:
+        # the base build (a full single-shot dedup of the seed
+        # quarter) is immutable and identical across runs — cache it
+        # per corpus fingerprint and hardlink-clone into the private
+        # staging, since the STREAM then mutates its copy via add-only
+        # appends. Measured: dropped the sf0.1 bench cell 47.9 → the
+        # absorb-only cost, the same write-once economics as the IVF
+        # probe entries.
+        from last_minute_legends_spark.sources.layout_cache import (
+            build_once, layout_dir,
+        )
+
+        def _build(tmp: str) -> None:
+            write_band_index(base, os.path.join(tmp, "idx"), threshold,
+                             perm_hash=perm_hash, band_hash=band_hash)
+            base.write.mode("overwrite").parquet(
+                os.path.join(tmp, "corpus"))
+
+        cached = build_once(
+            layout_dir("stream_dedup_delta_base",
+                       os.path.join(sf_dir, "documents.parquet"),
+                       f"v1-{cache_tag}-e{n_epochs}-t{threshold}"),
+            _build)
+        _clone_tree(os.path.join(cached, "idx"), idx)
+        _clone_tree(os.path.join(cached, "corpus"), corpus)
+    else:
+        write_band_index(base, idx, threshold,
+                         perm_hash=perm_hash, band_hash=band_hash)
+        base.write.mode("overwrite").parquet(corpus)
+
+    n_files = 8
+    os.makedirs(f"{staging}/in")
+    groups = []
+    for i in range(1, n_epochs):
+        gdir = f"{staging}/grp{i:03d}"
+        (tagged.filter(F.col("_grp") == i).drop("_grp")
+         .select(F.to_json(F.struct("doc_id", "text")).alias("value"))
+         .repartition(n_files)
+         .write.mode("overwrite").text(gdir))
+        groups.append([
+            (f, os.path.join(f"{staging}/in",
+                             f"g{i:03d}-{os.path.basename(f)}"))
+            for f in sorted(glob.glob(os.path.join(gdir, "part-*")))])
+
+    parsed = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", n_files)
+        .load(f"{staging}/in")
+        .select(F.from_json(F.col("value"),
+                            "doc_id long, text string").alias("d"))
+        .select("d.*")
+    )
+
+    def absorb(batch_df, _epoch_id):
+        indexed = spark.read.parquet(corpus)
+        absorb_delta(spark, indexed, batch_df, idx, threshold,
+                     perm_hash=perm_hash, band_hash=band_hash,
+                     append=True)
+        batch_df.write.mode("append").parquet(corpus)
+
+    with sentinel_paced(spark):
+        q = (parsed.writeStream.foreachBatch(absorb)
+             .option("checkpointLocation", f"{staging}/ckpt")
+             .start())
+        deliver_group(groups[0])
+        q.processAllAvailable()
+        for g in groups[1:]:
+            deliver_group(g)
+            q.processAllAvailable()
+        q.stop()
+
+    return stored_pairs(spark, idx).distinct()

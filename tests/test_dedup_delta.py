@@ -163,3 +163,22 @@ def test_incompatible_index_params_raise(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="incompatible"):
         absorb_delta(spark, docs, docs.limit(5), idx, THRESHOLD,
                      append=False)
+
+
+def test_stream_dedup_delta_matches_single_shot(spark, sf_dir):
+    """The streaming-ingest form (foreachBatch absorbing one epoch
+    per micro-batch against the persisted band index) must converge
+    on exactly the single-shot pair set over the full corpus, with
+    the PRODUCTION xxhash64 hashes — the md5 registry twin gets the
+    same check cross-engine from the DuckDB oracle."""
+    from last_minute_legends_spark.streaming.pipeline import (
+        run_stream_dedup_delta,
+    )
+
+    docs = _docs(spark, sf_dir)
+    single = _pairs(minhash_lsh_pairs(docs, THRESHOLD))
+    assert single, "vacuous: corpus must contain near-dup pairs"
+    streamed = _pairs(run_stream_dedup_delta(spark, sf_dir,
+                                             n_epochs=4,
+                                             threshold=THRESHOLD))
+    assert streamed == single
