@@ -279,3 +279,90 @@ def absorb_delta(spark: SparkSession, indexed_docs: DataFrame,
          .parquet(os.path.join(path, _BANDS)))
         return stored_pairs(spark, path)
     return stored_pairs(spark, path).unionByName(new_pairs)
+
+
+# Compaction trigger thresholds for an appended band index: every
+# epoch's partitioned append adds ~1 file per touched (band, bvb)
+# directory, so file count grows with EPOCHS while bytes grow with
+# DOCS — classic small-file drift. Past ~8 files per partition dir
+# the probe's scan-open overhead dominates tiny reads (the
+# compact_small_files economics on this layout), and the in-file bv
+# sort that row-group skipping relies on only holds WITHIN each file,
+# so fragmentation also dilutes stats tightness.
+COMPACT_FILES_PER_DIR = 8
+
+
+def band_index_health(spark: SparkSession, path: str) -> dict:
+    """Cheap maintenance trigger for an appended band index — file
+    LISTING only, no data reads (the ivf_index.index_health pattern):
+    per-(band, bvb) partition file counts. ``compact_recommended``
+    fires when the mean files per partition dir passes
+    COMPACT_FILES_PER_DIR."""
+    import glob as _glob
+
+    dirs = _glob.glob(os.path.join(path, _BANDS, "band=*", "bvb=*"))
+    counts = [len(_glob.glob(os.path.join(d, "*.parquet"))) for d in dirs]
+    n_dirs = max(len(counts), 1)
+    mean_files = sum(counts) / n_dirs
+    return {
+        "n_partition_dirs": len(counts),
+        "n_files": sum(counts),
+        "mean_files_per_dir": round(mean_files, 2),
+        "max_files_per_dir": max(counts, default=0),
+        "compact_recommended": mean_files > COMPACT_FILES_PER_DIR,
+    }
+
+
+def compact_band_index(spark: SparkSession, path: str) -> None:
+    """The maintenance pass ``band_index_health`` recommends: rewrite
+    the accumulated per-epoch band files into one bv-sorted file per
+    (band, bvb) partition — restoring the single-file in-file sort
+    that makes the probe's pushed ``bv IN (...)`` row-group skipping
+    tight — and fold the pairs dir the same way. Content-identical by
+    construction (a pure re-layout: same rows, re-sorted), staged
+    into a sibling directory and swapped in with renames; a crash
+    mid-swap is recovered by ``recover_interrupted_compaction`` (the
+    ivf rebuild_ivf_index discipline — os.rename pairs cannot swap
+    directories atomically). Value-preservation, file-count
+    reduction, and absorb-after-compaction correctness are locked by
+    tests/test_dedup_delta.py."""
+    import shutil
+
+    recover_interrupted_compaction(path)
+    bands_dir = os.path.join(path, _BANDS)
+    pairs_dir = os.path.join(path, _PAIRS)
+    staging = f"{path}__compact"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    (spark.read.parquet(bands_dir)
+     .repartition(F.col("band"), F.col("bvb"))
+     .sortWithinPartitions("bv")
+     .write.partitionBy("band", "bvb").mode("overwrite")
+     .parquet(os.path.join(staging, _BANDS)))
+    (spark.read.parquet(pairs_dir).coalesce(1)
+     .write.mode("overwrite").parquet(os.path.join(staging, _PAIRS)))
+    old = f"{path}__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.makedirs(old)
+    os.rename(bands_dir, os.path.join(old, _BANDS))
+    os.rename(pairs_dir, os.path.join(old, _PAIRS))
+    os.rename(os.path.join(staging, _BANDS), bands_dir)
+    os.rename(os.path.join(staging, _PAIRS), pairs_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def recover_interrupted_compaction(path: str) -> bool:
+    """Restore a band index stranded mid-swap by a compaction crash:
+    if either data dir is missing and ``path__old`` holds it, move it
+    back (never clobbering a dir that exists — a leftover ``__old``
+    beside a complete index means the swap finished)."""
+    old = f"{path}__old"
+    restored = False
+    for sub in (_BANDS, _PAIRS):
+        live = os.path.join(path, sub)
+        saved = os.path.join(old, sub)
+        if not os.path.exists(live) and os.path.isdir(saved):
+            os.rename(saved, live)
+            restored = True
+    return restored

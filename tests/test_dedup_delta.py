@@ -182,3 +182,56 @@ def test_stream_dedup_delta_matches_single_shot(spark, sf_dir):
                                              n_epochs=4,
                                              threshold=THRESHOLD))
     assert streamed == single
+
+
+def test_band_index_compaction_lifecycle(spark, sf_dir, tmp_path):
+    """The maintenance pass for an appended band index: after several
+    epochs the per-partition file count grows with EPOCHS (health
+    fires on mean files/dir), compaction rewrites to one bv-sorted
+    file per (band, bvb) partition with content IDENTICAL (band rows
+    and stored pairs value-equal), and a subsequent absorb against
+    the compacted index is still exactly right. Crash mid-swap
+    recovers via recover_interrupted_compaction."""
+    import os as _os
+
+    from last_minute_legends_spark.operators.dedup_delta import (
+        band_index_health,
+        compact_band_index,
+        recover_interrupted_compaction,
+        stored_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    parts = [docs.filter(F.col("doc_id") % 12 == i) for i in range(12)]
+    idx = str(tmp_path / "idx")
+    write_band_index(parts[0], idx, THRESHOLD)
+    acc = parts[0]
+    for p in parts[1:11]:
+        absorb_delta(spark, acc, p, idx, THRESHOLD)
+        acc = acc.unionByName(p)
+
+    h = band_index_health(spark, idx)
+    assert h["compact_recommended"], h
+
+    bands_before = {tuple(r) for r in spark.read.parquet(
+        _os.path.join(idx, "bands")).collect()}
+    pairs_before = _pairs(stored_pairs(spark, idx))
+    compact_band_index(spark, idx)
+    assert {tuple(r) for r in spark.read.parquet(
+        _os.path.join(idx, "bands")).collect()} == bands_before
+    assert _pairs(stored_pairs(spark, idx)) == pairs_before
+    h2 = band_index_health(spark, idx)
+    assert not h2["compact_recommended"], h2
+    assert h2["max_files_per_dir"] <= 1, h2
+
+    # absorb AFTER compaction: still equals the single-shot run
+    out = _pairs(absorb_delta(spark, acc, parts[11], idx, THRESHOLD))
+    assert out == _pairs(minhash_lsh_pairs(docs, THRESHOLD))
+
+    # crash window: bands dir renamed away, pairs still live
+    _os.makedirs(f"{idx}__old", exist_ok=True)
+    _os.rename(_os.path.join(idx, "bands"),
+               _os.path.join(f"{idx}__old", "bands"))
+    assert recover_interrupted_compaction(idx) is True
+    assert {tuple(r) for r in spark.read.parquet(
+        _os.path.join(idx, "bands")).collect()} >= bands_before
