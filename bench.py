@@ -116,8 +116,10 @@ HEADLINE = [
     "multimodal_features",
     "multimodal_framesample",
     # round-15: perceptual-hash image dedup (Arrow-pass aHash +
-    # hamming band join — blobs never shuffled)
+    # hamming band join — blobs never shuffled) + its incremental
+    # form (cached base band index, absorb-only per epoch)
     "dedup_phash",
+    "dedup_phash_delta",
     "catalog_text_etl",
     "stream_json_parse",
     "events_typed_parse",

@@ -366,3 +366,130 @@ def recover_interrupted_compaction(path: str) -> bool:
             os.rename(saved, live)
             restored = True
     return restored
+
+
+# ---------------------------------------------------------------------------
+# The same incremental lifecycle for the HAMMING family (perceptual
+# hash / simhash signatures): even lighter than the MinHash form —
+# the exact verify is popcount arithmetic over the signature words
+# CARRIED ON the band rows, so absorbing an epoch never re-reads the
+# indexed corpus at all (no verify-side re-shingling analogue).
+
+_HPARAMS = "_hamming_index_params.json"
+
+
+def hamming_band_rows(sig: DataFrame, sig_words: list[str],
+                      word_bits: list[int],
+                      band_width: int) -> DataFrame:
+    """(doc_id, <sig_words...>, band, bv) band rows from a signature
+    frame — the rows hamming_band_pairs self-joins, exposed so the
+    index write and the delta probe share one definition."""
+    from pyspark.sql import functions as _F
+
+    mask = (1 << band_width) - 1
+    structs, bidx = [], 0
+    for col, bits in zip(sig_words, word_bits):
+        for k in range(bits // band_width):
+            structs.append(_F.struct(
+                _F.lit(bidx).alias("band"),
+                (_F.shiftright(_F.col(col), band_width * k)
+                 .bitwiseAND(_F.lit(mask))).alias("bv"),
+            ))
+            bidx += 1
+    return sig.select(
+        "doc_id", *sig_words, _F.explode(_F.array(*structs)).alias("bs")
+    ).select("doc_id", *sig_words,
+             _F.col("bs.band").alias("band"), _F.col("bs.bv").alias("bv"))
+
+
+def write_hamming_index(sig: DataFrame, path: str,
+                        sig_words: list[str], word_bits: list[int],
+                        band_width: int, max_hamming: int) -> None:
+    """Base build for the hamming tier: band rows partitioned by
+    (band, bvb), bv-sorted files, plus the corpus' single-shot pair
+    set (operators/dedup.py::hamming_band_pairs — ``sig`` should be
+    persisted by the caller, both passes read it)."""
+    from last_minute_legends_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    rows = hamming_band_rows(sig, sig_words, word_bits, band_width)
+    (rows.withColumn("bvb", _bvb(F.col("bv")))
+     .repartition(F.col("band"), F.col("bvb"))
+     .sortWithinPartitions("bv")
+     .write.partitionBy("band", "bvb").mode("overwrite")
+     .parquet(os.path.join(path, _BANDS)))
+    pairs = hamming_band_pairs(sig, sig_words, word_bits, band_width,
+                               max_hamming)
+    pairs.write.mode("overwrite").parquet(os.path.join(path, _PAIRS))
+    with open(os.path.join(path, _HPARAMS), "w") as fh:
+        json.dump({"sig_words": sig_words, "word_bits": word_bits,
+                   "band_width": band_width, "max_hamming": max_hamming,
+                   "bv_buckets": BV_BUCKETS}, fh)
+
+
+def absorb_hamming_delta(spark: SparkSession, delta_sig: DataFrame,
+                         path: str, append: bool = True,
+                         static_max: int = DELTA_STATIC_MAX) -> DataFrame:
+    """Absorb one epoch of signatures: returns the FULL updated pair
+    set (stored ∪ delta-involving), value-identical to the single-shot
+    hamming_band_pairs over indexed ∪ delta — per-document banding
+    decomposes exactly as in the MinHash form, and the popcount verify
+    is per-pair. No corpus access anywhere: signature words ride the
+    band rows on BOTH sides. Same size-gated planning-literal probe /
+    distributed-join fallback, same add-only appends."""
+    with open(os.path.join(path, _HPARAMS)) as fh:
+        p = json.load(fh)
+    if p["bv_buckets"] != BV_BUCKETS:
+        raise ValueError(f"index at {path} written with {p}, "
+                         f"incompatible with bv_buckets={BV_BUCKETS}")
+    sig_words, max_hamming = p["sig_words"], p["max_hamming"]
+
+    from last_minute_legends_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    delta_sig = delta_sig.persist()
+    bands_d = hamming_band_rows(delta_sig, sig_words, p["word_bits"],
+                                p["band_width"]).persist()
+    base_bands = spark.read.parquet(os.path.join(path, _BANDS))
+    keys = (bands_d.select("band", F.col("bv"),
+                           _bvb(F.col("bv")).alias("bvb"))
+            .distinct().limit(static_max + 1).collect())
+    if len(keys) <= static_max:
+        base_bands = base_bands.filter(
+            F.col("band").isin(sorted({k.band for k in keys}))
+            & F.col("bvb").isin(sorted({int(k.bvb) for k in keys}))
+            & F.col("bv").isin(sorted({k.bv for k in keys}))
+        )
+    d = bands_d.alias("d")
+    b = base_bands.alias("b")
+    hamming = F.bit_count(
+        F.col(f"d.{sig_words[0]}").bitwiseXOR(F.col(f"b.{sig_words[0]}")))
+    for w in sig_words[1:]:
+        hamming = hamming + F.bit_count(
+            F.col(f"d.{w}").bitwiseXOR(F.col(f"b.{w}")))
+    cross = (
+        b.join(F.broadcast(d), (F.col("d.band") == F.col("b.band"))
+               & (F.col("d.bv") == F.col("b.bv")))
+        .select(
+            F.least(F.col("d.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("d.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    selfp = hamming_band_pairs(delta_sig, sig_words, p["word_bits"],
+                               p["band_width"], max_hamming)
+    new_pairs = cross.unionByName(selfp).distinct()
+
+    if append:
+        # pairs first: the write evaluates the cross probe against the
+        # PRE-append layout (the absorb_delta ordering invariant)
+        new_pairs.write.mode("append").parquet(os.path.join(path, _PAIRS))
+        (bands_d.withColumn("bvb", _bvb(F.col("bv")))
+         .write.partitionBy("band", "bvb").mode("append")
+         .parquet(os.path.join(path, _BANDS)))
+        return stored_pairs(spark, path)
+    return stored_pairs(spark, path).unionByName(new_pairs)

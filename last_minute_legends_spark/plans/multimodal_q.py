@@ -7,6 +7,8 @@ deliverable; the media decode itself is stubbed deterministically
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -159,6 +161,31 @@ PHASH_MAX_HAMMING = 3
 PHASH_PLANT_MOD = 25
 
 
+def _phash_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) corpus for the perceptual-hash entries:
+    documents as binary plus an IN-PLACE single-char-substituted
+    companion every 25th doc (NOT an append: appending shifts every
+    byte-segment boundary — measured hamming 5-23, undetectable at
+    the 3-bit threshold — while an overwrite perturbs one segment's
+    mean, measured hamming 0-2 vs a cross-doc background floor of
+    16). One home shared by dedup_phash and dedup_phash_delta so the
+    single-shot and incremental forms hash the identical corpus."""
+    from last_minute_legends_spark.plans.dedup_q import _plant_offset
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % PHASH_PLANT_MOD == 0).crossJoin(
+        _plant_offset(docs, "doc_id")
+    ).select(
+        (F.col("doc_id") + F.col("_plant_off")).alias("doc_id"),
+        F.concat(F.lit("~"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    return (
+        docs.unionByName(planted)
+        .filter(F.octet_length("text") > 0)
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+
+
 def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image dedup — where the multimodal and dedup
     families meet (LAION-style corpora dedup on image CONTENT, not
@@ -169,44 +196,67 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the simhash tier uses (operators/dedup.py::hamming_band_pairs,
     4x16 bands, pigeonhole recall for hamming <= 3).
 
-    De-vacuization plant (the dedup_exact pattern): every 25th
-    payload gets a one-byte-appended companion (id offset max+1) —
-    a minimal re-encode-ish perturbation whose segment profile stays
-    within a few bits — so the hash compare proves the hash
-    arithmetic, the banding, and the hamming verify on real nonzero
-    pairs. The corpus is text-bytes, so the driver oracle replays the
-    byte-segment branch from hex(blob) in DuckDB bit-for-bit; the
-    PIXEL branch (resized/re-encoded PNG twins found, distinct
-    images not) is locked by tests/test_operators.py planted PNGs.
-    Blobs are hashed in one Arrow pass off the scan and never
-    shuffled — only (doc_id, ph0, ph1) rows enter the band join."""
+    De-vacuization plant: see _phash_payloads (in-place substituted
+    companions every 25th doc; measured hamming <= 2 vs background
+    >= 16) — so the hash compare proves the hash arithmetic, the
+    banding, and the hamming verify on real nonzero pairs. The corpus
+    is text-bytes, so the driver oracle replays the byte-segment
+    branch from hex(blob) in DuckDB bit-for-bit; the PIXEL branch
+    (resized/re-encoded PNG twins found, distinct images not) is
+    locked by tests/test_operators.py planted PNGs. Blobs are hashed
+    in one Arrow pass off the scan and never shuffled — only
+    (doc_id, ph0, ph1) rows enter the band join."""
     from last_minute_legends_spark.operators.dedup import (
         hamming_band_pairs,
     )
     from last_minute_legends_spark.operators.multimodal import phash_images
-    from last_minute_legends_spark.plans.dedup_q import _plant_offset
 
-    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") % PHASH_PLANT_MOD == 0).crossJoin(
-        _plant_offset(docs, "doc_id")
-    ).select(
-        (F.col("doc_id") + F.col("_plant_off")).alias("doc_id"),
-        # IN-PLACE single-char substitution, not an append: appending
-        # shifts every segment boundary (measured hamming 5-23 —
-        # undetectable at the 3-bit threshold), while an overwrite
-        # perturbs one segment's mean (measured hamming 0-2 vs a
-        # cross-doc background floor of 16)
-        F.concat(F.lit("~"), F.expr("substring(text, 2)")).alias("text"),
-    )
-    payloads = (
-        docs.unionByName(planted)
-        .filter(F.octet_length("text") > 0)
-        .select("doc_id", F.col("text").cast("binary").alias("payload"))
-    )
-    sig = phash_images(payloads).persist()
+    sig = phash_images(_phash_payloads(spark, sf_dir)).persist()
     return hamming_band_pairs(
         sig, ["ph0", "ph1"], [32, 32], band_width=16,
         max_hamming=PHASH_MAX_HAMMING,
+    ).orderBy("doc_a", "doc_b")
+
+
+def dedup_phash_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL image dedup — the r15 delta-dedup lifecycle
+    (operators/dedup_delta.py) generalized to the hamming family: the
+    base corpus' perceptual-hash signature bands are a write-once
+    layout (partitioned by (band, bvb), bv-sorted files, stored pair
+    set beside it — cached per corpus fingerprint); a new epoch of
+    images (doc_id % 5 == 0 here) hashes in one Arrow pass and
+    absorbs with signature-sized work. Even lighter than the MinHash
+    form: the exact verify is popcount arithmetic over signature
+    words CARRIED ON the band rows of both sides, so absorbing an
+    epoch never re-reads the indexed corpus at all. Same size-gated
+    planning-literal probes, same add-only appends (chaining and
+    byte-identity locked in tests/test_dedup_delta.py).
+
+    Returns stored ∪ delta-involving pairs = the single-shot
+    dedup_phash output over the full corpus (per-document banding
+    decomposes exactly), so the oracle is the UNCHANGED single-shot
+    replay SQL — the dedup_delta incremental-oracle pattern on the
+    image tier."""
+    from last_minute_legends_spark.operators.dedup_delta import (
+        absorb_hamming_delta, write_hamming_index,
+    )
+    from last_minute_legends_spark.operators.multimodal import phash_images
+    from last_minute_legends_spark.sources import layout_cache
+
+    payloads = _phash_payloads(spark, sf_dir)
+    base = payloads.filter(F.col("doc_id") % 5 != 0)
+    delta = payloads.filter(F.col("doc_id") % 5 == 0)
+    idx = layout_cache.layout_dir(
+        "phash_band_index",
+        os.path.join(sf_dir, "documents.parquet"),
+        f"v1-mod5-h{PHASH_MAX_HAMMING}")
+    layout_cache.build_once(idx, lambda tmp: write_hamming_index(
+        phash_images(base).persist(), tmp, ["ph0", "ph1"], [32, 32],
+        band_width=16, max_hamming=PHASH_MAX_HAMMING))
+    delta_sig = phash_images(delta).persist()
+    # read-only absorb: the cached layout is shared across processes
+    return absorb_hamming_delta(
+        spark, delta_sig, idx, append=False,
     ).orderBy("doc_a", "doc_b")
 
 
@@ -279,6 +329,7 @@ SPARK = {
     "multimodal_framesample": multimodal_framesample,
     "multimodal_resize": multimodal_resize,
     "dedup_phash": dedup_phash,
+    "dedup_phash_delta": dedup_phash_delta,
 }
 
 # r11: multimodal_resize, driver-hash-green on its first external
@@ -293,6 +344,9 @@ SQL = {
     # r15: perceptual-hash dedup — byte-segment branch replayed from
     # hex(blob); never-observed, so rotation puts it in the window
     "dedup_phash": DEDUP_PHASH_SQL,
+    # r15: the incremental form converges on the identical pair set —
+    # same single-shot oracle (the dedup_delta pattern)
+    "dedup_phash_delta": DEDUP_PHASH_SQL,
 }
 
 LOCAL_SQL = {

@@ -235,3 +235,53 @@ def test_band_index_compaction_lifecycle(spark, sf_dir, tmp_path):
     assert recover_interrupted_compaction(idx) is True
     assert {tuple(r) for r in spark.read.parquet(
         _os.path.join(idx, "bands")).collect()} >= bands_before
+
+
+def test_hamming_delta_equals_single_shot_and_chains(spark, sf_dir,
+                                                     tmp_path):
+    """The hamming-family delta (perceptual-hash tier): absorbing an
+    epoch of signatures against the persisted band layout must equal
+    the single-shot hamming_band_pairs over the union — with NO
+    corpus access during absorb (signature words ride the band rows
+    of both sides) — and chaining a second epoch with append=True
+    must keep pre-existing files byte-identical and stay exact."""
+    from last_minute_legends_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from last_minute_legends_spark.operators.dedup_delta import (
+        absorb_hamming_delta,
+        write_hamming_index,
+    )
+    from last_minute_legends_spark.operators.multimodal import phash_images
+    from last_minute_legends_spark.plans.multimodal_q import (
+        PHASH_MAX_HAMMING, _phash_payloads,
+    )
+
+    sig = phash_images(_phash_payloads(spark, sf_dir)).persist()
+    single = {(r.doc_a, r.doc_b, r.hamming) for r in hamming_band_pairs(
+        sig, ["ph0", "ph1"], [32, 32], 16, PHASH_MAX_HAMMING).collect()}
+    assert single, "vacuous: planted companions must produce pairs"
+
+    base = sig.filter(F.col("doc_id") % 3 != 2).persist()
+    d1 = sig.filter((F.col("doc_id") % 3 == 2)
+                    & (F.col("doc_id") % 2 == 0))
+    d2 = sig.filter((F.col("doc_id") % 3 == 2)
+                    & (F.col("doc_id") % 2 == 1))
+    idx = str(tmp_path / "hidx")
+    write_hamming_index(base, idx, ["ph0", "ph1"], [32, 32],
+                        band_width=16, max_hamming=PHASH_MAX_HAMMING)
+    h0 = _file_hashes(idx)
+
+    out1 = {(r.doc_a, r.doc_b, r.hamming)
+            for r in absorb_hamming_delta(spark, d1, idx).collect()}
+    want1 = {(r.doc_a, r.doc_b, r.hamming) for r in hamming_band_pairs(
+        base.unionByName(d1).persist(), ["ph0", "ph1"], [32, 32], 16,
+        PHASH_MAX_HAMMING).collect()}
+    assert out1 == want1
+    h1 = _file_hashes(idx)
+    assert all(h1[f] == h for f, h in h0.items() if f in h1)
+    assert set(h0) <= set(h1)
+
+    out2 = {(r.doc_a, r.doc_b, r.hamming)
+            for r in absorb_hamming_delta(spark, d2, idx).collect()}
+    assert out2 == single
