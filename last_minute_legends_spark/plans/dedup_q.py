@@ -432,8 +432,8 @@ def dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental-dedup lifecycle on the STREAMING ingest path
-    (streaming/pipeline.py::run_stream_dedup_delta): a quarter of the
-    corpus seeds the band-bucket index, the other three quarters
+    (streaming/pipeline.py::run_stream_dedup_delta): a third of the
+    corpus seeds the band-bucket index, the other two thirds
     arrive as a JSON file-stream topic one epoch per micro-batch, and
     ``foreachBatch`` absorbs each epoch against the persisted layout
     — delta-sized signatures, bucket probes, verify against the
@@ -451,8 +451,13 @@ def stream_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_dedup_delta,
     )
 
+    # 3 epochs (2 streamed absorbs): each absorb carries ~10 jobs of
+    # fixed scheduling/layout-listing cost at local sizes (~12-15 s at
+    # sf0.1 regardless of hash choice — measured, BASELINE_LOCAL r15),
+    # so the bench cell buys its chaining evidence with the minimum
+    # epochs that still chain; the 4-epoch form stays test-locked
     return run_stream_dedup_delta(
-        spark, sf_dir, n_epochs=4, threshold=JACCARD_THRESHOLD,
+        spark, sf_dir, n_epochs=3, threshold=JACCARD_THRESHOLD,
         perm_hash=md5_perm_hash, band_hash=concat_band_key,
         cache_tag="md5",
     ).orderBy("doc_a", "doc_b")
