@@ -103,7 +103,15 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    # r16 (VERDICT r15 #2): the md5-replay twin runs DIRECTLY after
+    # its production sibling — the shared shingle/band plan shapes
+    # compile once, so the twin's cell stops paying the JIT-order tax
+    # that kept the official record at 6.0 s while the isolated floor
+    # measured 3.8 (two rounds running). Its fresh-JVM isolated
+    # re-measure stays in place as the second estimator.
+    "dedup_minhash_lsh_replay",
     "dedup_simhash",
+    "dedup_simhash_replay",
     "dedup_embedding",
     "dedup_clusters",
     "ann_bruteforce_topk",
@@ -120,6 +128,10 @@ HEADLINE = [
     # form (cached base band index, absorb-only per epoch)
     "dedup_phash",
     "dedup_phash_delta",
+    # round-16: incremental embedding dedup (frozen-hyperplane sign-LSH
+    # band index, cached base build — min-of-2 converges on absorb-only
+    # cost, the dedup_delta economics on the embedding tier)
+    "dedup_embedding_delta",
     "catalog_text_etl",
     "stream_json_parse",
     "events_typed_parse",
@@ -169,17 +181,15 @@ HEADLINE = [
     "dedup_substring_clean",
     # round-12: portable-hash replay twins (driver-visible value
     # checks for the LSH/IVF families) + mixed-writer-version Avro
-    # consumption through reader resolution
-    "dedup_minhash_lsh_replay",
+    # consumption through reader resolution — the minhash/simhash
+    # twins moved directly after their production siblings (r16,
+    # JIT-order fix); the IVF twin stays here
     # round-15: incremental (delta) dedup — md5 registry form; the
     # band-bucket index is built once per corpus fingerprint and
     # cached, so min-of-2 converges on absorb-only cost (the
     # ann_ivf_probe_indexed economics)
     "dedup_delta",
     "ann_ivf_topk_replay",
-    # round-13: simhash portable-hash twin (driver-visible value
-    # check for the last banding family without one)
-    "dedup_simhash_replay",
     "events_avro_evolution",
     # round-12: write-time partitioned IVF index — min-of-2 means the
     # reported cell converges on probe-only cost (the build is paid
@@ -229,6 +239,9 @@ STREAMING = (
     # r15: the inner join under 6-batch watermark-ordered delivery —
     # mid-corpus state eviction, the production micro-batch regime
     "stream_join_multibatch",
+    # r16: the aggregate-push (hot-key-safe) join — windowed counts
+    # joined on (user, window); O(windows) output per hot user
+    "stream_join_agg",
     # r15: incremental dedup on the streaming ingest path — per-epoch
     # foreachBatch absorb against the persisted band index (md5
     # oracle form; production-hash parity in tests)
@@ -417,6 +430,30 @@ def main() -> None:
     (spark.range(64).repartition(32)
      .mapInPandas(lambda it: it, "id long")
      .write.mode("overwrite").format("noop").save())
+    # r16 (VERDICT r15 #2): warm the md5/string-concat codegen +
+    # intrinsic paths the portable-hash replay twins hash with — their
+    # JIT otherwise compiles inside the first timed replay cell
+    # (measured residue: official 6.0 s vs 3.8 isolated, two rounds
+    # running). ~0.3 s once, outside every timed window.
+    (spark.range(500_000)
+     .selectExpr("min(substring(md5(concat(cast(id as string), ':x')), "
+                 "1, 15)) as m")
+     .write.mode("overwrite").format("noop").save())
+
+    # r16 calibration cells (VERDICT r15 #2a): a fixed pure-JVM
+    # CPU-bound spin — no I/O, no Python, one whole-stage-codegen
+    # pass over a range — timed at suite start/middle/end and
+    # recorded in BOTH outputs. On an idle box it reads ~1.0 s; a
+    # throttled/contended round shows as calibration drift IN THE
+    # OFFICIAL RECORD, so a judge can adjudicate environment noise
+    # from BENCH_r{N}.json alone instead of re-running cells.
+    def calibration() -> float:
+        t0 = time.perf_counter()
+        (spark.range(0, 4_000_000_000, 1, 32)
+         .selectExpr("bit_xor(xxhash64(id)) as s").collect())
+        return round(time.perf_counter() - t0, 3)
+
+    calib = {"start": calibration()}
 
     # selective re-measure: SPARK_GRAFT_BENCH_CELLS="a,b,c" runs only
     # those cells (batch + streaming, same protocol) — for bisecting
@@ -444,6 +481,8 @@ def main() -> None:
         except Exception as exc:  # never lose the whole bench to one query
             timings[name] = -1.0
             diag.setdefault(name, {})["error"] = repr(exc)
+
+    calib["mid"] = calibration()
 
     # r13 (VERDICT r12 #8): the md5-replay twins are the suite's
     # documented JVM-aging/contention victims — r12 recorded
@@ -494,6 +533,8 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    calib["end"] = calibration()
+    suite_meta["calibration_sec"] = calib
     suite_meta["suite_end_loadavg_1m"] = round(os.getloadavg()[0], 2)
     # measurement-protocol flags, recorded in BOTH outputs so
     # cross-round comparisons can detect a protocol mismatch
@@ -507,8 +548,11 @@ def main() -> None:
     # everywhere + per-cell GC (r11); v3 = v2 + contention-triggered
     # re-runs with min_contaminated flags (r12); v4 = v3 + fresh-JVM
     # isolated re-measure of the md5-replay twins, per-cell min kept
-    # (r13 — in-suite and isolated readings both recorded in diag).
-    suite_meta["bench_schema"] = 4
+    # (r13 — in-suite and isolated readings both recorded in diag);
+    # v5 = v4 + start/mid/end pure-JVM calibration cells in both
+    # outputs + md5-codegen warmup + replay twins ordered directly
+    # after their production siblings (r16, VERDICT r15 #2).
+    suite_meta["bench_schema"] = 5
     suite_meta["stream_min_of"] = 2
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
@@ -550,6 +594,10 @@ def main() -> None:
             # BENCH_r{N}.json files be compared protocol-aware
             "bench_schema": suite_meta["bench_schema"],
             "smin": 2,
+            # the throttle detector: ~1.0 s per cell on an idle box;
+            # drift across start/mid/end = environment noise visible
+            # in the official record itself
+            "calib": [calib["start"], calib["mid"], calib["end"]],
         }
         if only:
             payload["subset"] = 1

@@ -203,7 +203,11 @@ def extract_features(binary_df: DataFrame, id_col: str = "doc_id",
                 width[i] = img["width"]
                 height[i] = img["height"]
             yield pd.DataFrame({
-                "doc_id": pdf[id_col].to_numpy(),
+                # post-projection name: the source frame is selected with
+                # F.col(id_col).alias("doc_id") before mapInPandas, so the
+                # batch column is always "doc_id" (ADVICE r15: pdf[id_col]
+                # KeyErrors for any non-default id_col)
+                "doc_id": pdf["doc_id"].to_numpy(),
                 "n_bytes": lens,
                 "checksum": checksum,
                 "width": width,
@@ -237,7 +241,7 @@ def sample_frames(binary_df: DataFrame, frame_size: int = 64,
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, out_fi, out_off, out_len, out_sum = [], [], [], [], []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else b""
                 n = len(raw)
                 n_frames = (n + frame_size - 1) // frame_size
@@ -308,7 +312,11 @@ def resize_images(binary_df: DataFrame, out_width: int = 64,
                 resized = px[ys][:, xs]
                 out_bytes[i] = resized.nbytes
             yield pd.DataFrame({
-                "doc_id": pdf[id_col].to_numpy(),
+                # post-projection name: the source frame is selected with
+                # F.col(id_col).alias("doc_id") before mapInPandas, so the
+                # batch column is always "doc_id" (ADVICE r15: pdf[id_col]
+                # KeyErrors for any non-default id_col)
+                "doc_id": pdf["doc_id"].to_numpy(),
                 "src_bytes": np.fromiter(
                     (len(r) for r in raws), dtype=np.int64, count=n_rows
                 ),
@@ -408,7 +416,11 @@ def phash_images(binary_df: DataFrame, id_col: str = "doc_id",
                 lo[i], hi[i] = (_gray_ahash64(img["pixels"]) if img
                                 else _bytes_ahash64(r))
             yield pd.DataFrame({
-                "doc_id": pdf[id_col].to_numpy(),
+                # post-projection name: the source frame is selected with
+                # F.col(id_col).alias("doc_id") before mapInPandas, so the
+                # batch column is always "doc_id" (ADVICE r15: pdf[id_col]
+                # KeyErrors for any non-default id_col)
+                "doc_id": pdf["doc_id"].to_numpy(),
                 "ph0": lo, "ph1": hi,
             })
 

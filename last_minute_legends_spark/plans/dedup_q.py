@@ -203,6 +203,34 @@ FROM reach GROUP BY id ORDER BY doc_id
 """
 
 
+def _embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding) corpus for the embedding-dedup entries:
+    the synthetic vectors plus a planted near-dup every 50th (same
+    deterministic arithmetic as the DuckDB oracle: +0.1 on the first
+    component, id offset max+1). ONE home shared by the single-shot
+    and incremental forms so both hash the identical corpus.
+
+    Deliberately NOT spread_cpu_scan'd: measured at sf0.1 (quiet
+    box, min-of-2), spreading the 2k-row single-file embeddings scan
+    costs 3.3s -> 5.1s — the exchange of the vector column outweighs
+    the 64-plane fold, which Tungsten chews through in-line. At
+    100 TB the dataset has more files than cores and spread_cpu_scan
+    is a structural no-op anyway."""
+    emb_raw = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb_raw.filter(F.col("vec_id") % 50 == 0).crossJoin(
+        _plant_offset(emb_raw, "vec_id")
+    ).select(
+        (F.col("vec_id") + F.col("_plant_off")).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ).alias("embedding"),
+    )
+    return emb_raw.unionByName(planted)
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH candidates + exact-cosine verify — never all-pairs.
     The DuckDB oracle stays the exact all-pairs SQL (cheap at sf0.01),
@@ -216,25 +244,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset max(vec_id)+1), so the value-level compare now proves the LSH finds
     real near-dups AND computes their cosines exactly.
     """
-    # Deliberately NOT spread_cpu_scan'd: measured at sf0.1 (quiet
-    # box, min-of-2), spreading the 2k-row single-file embeddings scan
-    # costs 3.3s -> 5.1s — the exchange of the vector column outweighs
-    # the 64-plane fold, which Tungsten chews through in-line. At
-    # 100 TB the dataset has more files than cores and spread_cpu_scan
-    # is a structural no-op anyway.
-    emb_raw = Catalog(spark, sf_dir).embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    planted = emb_raw.filter(F.col("vec_id") % 50 == 0).crossJoin(
-        _plant_offset(emb_raw, "vec_id")
-    ).select(
-        (F.col("vec_id") + F.col("_plant_off")).alias("vec_id"),
-        F.concat(
-            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
-            F.expr("slice(embedding, 2, size(embedding) - 1)"),
-        ).alias("embedding"),
-    )
-    emb = with_unit_vectors(emb_raw.unionByName(planted))
+    emb = with_unit_vectors(_embedding_corpus(spark, sf_dir))
     # Adaptive band geometry (operators.dedup.lsh_params): at sf0.01
     # the fixpoint lands on the legacy 8x8 / 10x10 shape (oracle
     # output unchanged); at 30x sf0.1 it is what removes the measured
@@ -265,6 +275,49 @@ FROM (
 WHERE c >= {COSINE_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
+
+
+def dedup_embedding_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL embedding dedup — the delta-dedup lifecycle
+    (operators/dedup_delta.py) closed over the LAST near-dup tier
+    (VERDICT r15 #1, the LAION/semantic-dedup case): the base
+    corpus' sign-LSH band values are a write-once (band, bvb)
+    layout built with FROZEN hyperplanes (deterministic in
+    (seed, plane, dim) — the frozen-centroid append pattern, nothing
+    model-sized persisted), cached per corpus fingerprint; a new
+    epoch of vectors (vec_id % 5 == 0 here) computes delta-sized
+    plane dots against the SAME frozen planes and absorbs with
+    size-gated planning-literal probes + exact-cosine verify
+    (candidate-only vector fetch — the indexed side is never
+    re-hashed). The adaptive-geometry wrinkle unique to this tier
+    (lsh_params widens bands ~log2 n) is handled by
+    embedding_index_health's re-band trigger +
+    reband_embedding_index's staged atomic-swap rebuild
+    (test-locked in tests/test_dedup_delta.py).
+
+    Returns stored ∪ delta-involving pairs = the single-shot
+    dedup_embedding output over the full corpus, so the oracle is
+    the UNCHANGED exact all-pairs SQL (DEDUP_EMBEDDING_SQL) — the
+    hash match proves both the LSH recall at the threshold AND the
+    incremental decomposition in one compare."""
+    from last_minute_legends_spark.operators.dedup_delta import (
+        absorb_embedding_delta, write_embedding_index,
+    )
+    from last_minute_legends_spark.sources import layout_cache
+
+    emb = with_unit_vectors(_embedding_corpus(spark, sf_dir)).persist()
+    base = emb.filter(F.col("id") % 5 != 0).persist()
+    delta = emb.filter(F.col("id") % 5 == 0)
+    idx = layout_cache.layout_dir(
+        "emb_band_index",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        f"v1-mod5-t{COSINE_THRESHOLD}")
+    layout_cache.build_once(idx, lambda tmp: write_embedding_index(
+        base, tmp, COSINE_THRESHOLD))
+    # read-only absorb: the cached layout is shared across processes
+    return absorb_embedding_delta(
+        spark, base, delta, idx, append=False,
+    ).orderBy("vec_a", "vec_b")
 
 
 def dedup_minhash_lsh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,6 +841,7 @@ SPARK = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_replay": dedup_simhash_replay,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_delta": dedup_embedding_delta,
     "dedup_clusters": dedup_clusters,
     "dedup_substring": dedup_substring,
     "dedup_substring_clean": dedup_substring_clean,
@@ -818,6 +872,11 @@ SQL = {
     # ran locally since r7, now registered with full ORACLE_SQL)
     "dedup_simhash_replay": DEDUP_SIMHASH_REPLAY_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    # r16: incremental absorb vs the SAME exact all-pairs SQL — the
+    # hash match proves frozen-plane recall AND the delta
+    # decomposition lossless (the dedup_delta oracle pattern on the
+    # embedding tier)
+    "dedup_embedding_delta": DEDUP_EMBEDDING_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     # r11-new: in the gate window for their first external
     # observation (two long-green OLAP lenders moved to LOCAL_SQL —

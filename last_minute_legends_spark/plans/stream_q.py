@@ -535,6 +535,42 @@ def stream_join_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_join_pipeline(spark, sf_dir, n_batches=6)
 
 
+def stream_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HOT-KEY-SAFE stream-join form (r16, VERDICT r15 #3):
+    per-user hourly view/purchase COUNTS joined on (user_id, window)
+    — two windowed streaming aggregates followed by a stream-stream
+    window join (Spark 3.5+ multiple-stateful-operator support), so
+    a Zipf-hot user emits O(open windows) rows instead of the
+    pair-emitting join's O(views × purchases). Deterministic on the
+    bounded corpus → FULL value oracle (STREAM_JOIN_AGG_SQL); batch
+    parity vs batch_join_agg_twin and the multi-batch form are
+    locked in tests/test_streaming.py; the Zipf ladder rows live in
+    tools/scale_bench.py (stream_join_agg_mb)."""
+    from last_minute_legends_spark.streaming.pipeline import (
+        run_stream_join_agg_pipeline,
+    )
+
+    return run_stream_join_agg_pipeline(spark, sf_dir)
+
+
+# DuckDB twin: time_bucket is epoch-aligned exactly like Spark's
+# window(ts, '1 hour').start.
+STREAM_JOIN_AGG_SQL = """
+WITH v AS (
+    SELECT user_id, epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS win_us,
+           count(*) AS n_views
+    FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), p AS (
+    SELECT user_id, epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS win_us,
+           count(*) AS n_purchases
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT v.user_id, v.win_us, n_views, n_purchases
+FROM v JOIN p ON v.user_id = p.user_id AND v.win_us = p.win_us
+ORDER BY v.user_id, v.win_us
+"""
+
+
 def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream LEFT-OUTER join (every view ->
     purchases within 2 hours, null-purchase row for views that never
@@ -619,6 +655,7 @@ SPARK = {
     "stream_warehouse": stream_warehouse,
     "stream_stream_join": stream_stream_join,
     "stream_join_multibatch": stream_join_multibatch,
+    "stream_join_agg": stream_join_agg,
     "stream_outer_join": stream_outer_join,
     "stream_partitioned_landing": stream_partitioned_landing,
 }
@@ -669,6 +706,10 @@ SQL = {
     # r15: multi-batch delivery, identical deterministic output →
     # the same full value oracle (never observed → windowed)
     "stream_join_multibatch": STREAM_STREAM_JOIN_SQL,
+    # r16: the aggregate-push (hot-key-safe) form — deterministic
+    # per-(user, window) counts, full value oracle; never observed →
+    # the mechanical rotation windows it this round
+    "stream_join_agg": STREAM_JOIN_AGG_SQL,
     # r14-new: the left-outer form — deterministic row-level output
     # (eviction-time nulls included), so a full value oracle; never
     # observed, so the mechanical rotation windows it this round

@@ -112,9 +112,20 @@ def build_once(path: str, build) -> str:
         try:
             os.rename(tmp, path)
         except OSError:
-            # lost the race: a complete layout is already serving
             if not is_built(path):
-                raise
+                # a DONE-less existing path is a STALE PARTIAL (a
+                # crashed build from the pre-build_once scheme, or
+                # litter) — without this it blocks every future build
+                # with ENOTEMPTY until someone deletes it by hand
+                # (ADVICE r15). Remove it and retry the rename once;
+                # if a racing builder completed in between, its DONE
+                # layout serves and ours is discarded as usual.
+                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    if not is_built(path):
+                        raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return path

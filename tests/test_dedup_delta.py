@@ -285,3 +285,250 @@ def test_hamming_delta_equals_single_shot_and_chains(spark, sf_dir,
     out2 = {(r.doc_a, r.doc_b, r.hamming)
             for r in absorb_hamming_delta(spark, d2, idx).collect()}
     assert out2 == single
+
+
+def test_stream_epoch_redelivery_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch's at-least-once contract made wrong-row-safe
+    (ADVICE r15): delivering the SAME epoch twice through the
+    streaming absorb sink must (a) fabricate no doc_a==doc_b
+    self-pairs (the retry probes a layout already holding its own
+    band rows — the ``doc_id !=`` guard), (b) land exactly ONE copy
+    of the epoch in the corpus (per-epoch overwritten subdir, so
+    later epochs' shingle-intersection verify never sees doubled
+    counts), and (c) leave the final stored pair set — after the
+    pipeline's ``distinct()`` — exactly the single-shot result."""
+    from last_minute_legends_spark.operators.dedup_delta import (
+        stored_pairs,
+    )
+    from last_minute_legends_spark.streaming.pipeline import (
+        stream_absorb_epoch,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 4 == 3)
+    e1 = docs.filter(F.col("doc_id") % 4 == 0).persist()
+    e2 = docs.filter(F.col("doc_id") % 4 == 1)
+    e3 = docs.filter(F.col("doc_id") % 4 == 2)
+    idx = str(tmp_path / "idx")
+    corpus = str(tmp_path / "corpus")
+    write_band_index(base, idx, THRESHOLD)
+    base.write.mode("overwrite").parquet(corpus)
+
+    # first delivery, then a redelivery of the SAME epoch id
+    stream_absorb_epoch(spark, e1, 0, idx, corpus, THRESHOLD)
+    stream_absorb_epoch(spark, e1, 0, idx, corpus, THRESHOLD)
+
+    landed = (spark.read.option("recursiveFileLookup", "true")
+              .parquet(corpus))
+    assert landed.count() == base.count() + e1.count()  # one copy
+
+    got = stored_pairs(spark, idx).distinct()
+    assert got.filter(F.col("doc_a") == F.col("doc_b")).count() == 0
+    assert _pairs(got) == _pairs(
+        minhash_lsh_pairs(base.unionByName(e1), THRESHOLD))
+
+    # later epochs absorbed after the redelivery must still verify
+    # against single-copy shingle counts (the jaccard-inflation bug:
+    # a double-landed epoch doubles intersection counts downstream)
+    stream_absorb_epoch(spark, e2, 1, idx, corpus, THRESHOLD)
+    stream_absorb_epoch(spark, e3, 2, idx, corpus, THRESHOLD)
+    assert _pairs(stored_pairs(spark, idx).distinct()) == _pairs(
+        minhash_lsh_pairs(docs, THRESHOLD))
+
+
+def test_compaction_lock_serializes_and_steals_stale(spark, sf_dir,
+                                                     tmp_path):
+    """Two concurrent compactions must not interleave the four-rename
+    swap: with a LIVE owner holding the lock, compact_band_index
+    raises instead of proceeding; a lock left by a DEAD process is
+    stolen and compaction proceeds."""
+    import pytest
+
+    from last_minute_legends_spark.operators.dedup_delta import (
+        _compact_lock,
+        compact_band_index,
+        stored_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    write_band_index(docs, idx, THRESHOLD)
+    before = _pairs(stored_pairs(spark, idx))
+
+    with _compact_lock(idx):  # a live concurrent compaction
+        with pytest.raises(RuntimeError, match="in flight"):
+            compact_band_index(spark, idx)
+
+    # stale lock: owner pid that cannot exist
+    with open(f"{idx}__compact.lock", "w") as fh:
+        fh.write("999999999")
+    compact_band_index(spark, idx)  # steals and proceeds
+    assert _pairs(stored_pairs(spark, idx)) == before
+    assert not os.path.exists(f"{idx}__compact.lock")
+
+
+def test_stream_absorb_health_trigger_compacts(spark, sf_dir, tmp_path,
+                                               monkeypatch):
+    """VERDICT r15 #7: the streaming sink itself must run the
+    band-index maintenance loop — with the health threshold forced
+    to always-fire, an absorb on a health_every boundary compacts
+    the appended layout (files/dir back to 1) without changing the
+    stored pair values."""
+    import glob as _glob
+
+    from last_minute_legends_spark.operators import dedup_delta as dd
+    from last_minute_legends_spark.streaming.pipeline import (
+        stream_absorb_epoch,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    e1 = docs.filter(F.col("doc_id") % 3 == 1)
+    e2 = docs.filter(F.col("doc_id") % 3 == 2)
+    idx = str(tmp_path / "idx")
+    corpus = str(tmp_path / "corpus")
+    write_band_index(base, idx, THRESHOLD)
+    base.write.mode("overwrite").parquet(corpus)
+
+    monkeypatch.setattr(dd, "COMPACT_FILES_PER_DIR", -1)
+    stream_absorb_epoch(spark, e1, 0, idx, corpus, THRESHOLD,
+                        health_every=2)
+    # epoch 0: no health check (0 % 2 != 1) — appended files remain
+    frag = max(len(_glob.glob(os.path.join(d, "*.parquet")))
+               for d in _glob.glob(os.path.join(idx, "bands",
+                                                "band=*", "bvb=*")))
+    assert frag >= 2, "append should have fragmented at least one dir"
+    stream_absorb_epoch(spark, e2, 1, idx, corpus, THRESHOLD,
+                        health_every=2)
+    # epoch 1 hits the boundary: forced-on health → compaction ran
+    frag2 = max(len(_glob.glob(os.path.join(d, "*.parquet")))
+                for d in _glob.glob(os.path.join(idx, "bands",
+                                                 "band=*", "bvb=*")))
+    assert frag2 <= 1, frag2
+    assert _pairs(dd.stored_pairs(spark, idx).distinct()) == _pairs(
+        minhash_lsh_pairs(docs, THRESHOLD))
+
+
+def test_embedding_delta_equals_single_shot_and_chains(spark, sf_dir,
+                                                       tmp_path):
+    """The embedding-family delta (sign-LSH tier, VERDICT r15 #1):
+    absorbing an epoch of vectors against the persisted frozen-plane
+    band layout must equal the single-shot embedding_lsh_pairs over
+    the union AT THE SAME frozen geometry (per-vector banding
+    decomposes exactly; the exact-cosine verify is per-pair), and
+    chaining a second epoch with append=True must keep pre-existing
+    files byte-identical and stay exact."""
+    import json as _json
+
+    from last_minute_legends_spark.operators.dedup import (
+        embedding_lsh_pairs,
+    )
+    from last_minute_legends_spark.operators.dedup_delta import (
+        _frozen_planes,
+        absorb_embedding_delta,
+        write_embedding_index,
+    )
+    from last_minute_legends_spark.operators.similarity import (
+        with_unit_vectors,
+    )
+    from last_minute_legends_spark.plans.dedup_q import (
+        COSINE_THRESHOLD, _embedding_corpus,
+    )
+
+    emb = with_unit_vectors(_embedding_corpus(spark, sf_dir)).persist()
+    base = emb.filter(F.col("id") % 3 == 0).persist()
+    d1 = emb.filter(F.col("id") % 3 == 1).persist()
+    d2 = emb.filter(F.col("id") % 3 == 2).persist()
+
+    idx = str(tmp_path / "eidx")
+    write_embedding_index(base, idx, COSINE_THRESHOLD)
+    with open(os.path.join(idx, "_embedding_index_params.json")) as fh:
+        p = _json.load(fh)
+    planes = _frozen_planes(spark, p)
+
+    def single(frame):
+        return {(r.vec_a, r.vec_b, r.cosine) for r in embedding_lsh_pairs(
+            frame.persist(), planes=planes, threshold=COSINE_THRESHOLD,
+            n_bands=p["n_bands"]).collect()}
+
+    h0 = _file_hashes(idx)
+    out1 = {(r.vec_a, r.vec_b, r.cosine) for r in absorb_embedding_delta(
+        spark, base, d1, idx).collect()}
+    assert out1 == single(base.unionByName(d1))
+    assert out1, "vacuous: planted near-dups must straddle the split"
+    h1 = _file_hashes(idx)
+    assert all(h1[f] == h for f, h in h0.items() if f in h1)
+    assert set(h0) <= set(h1)
+
+    out2 = {(r.vec_a, r.vec_b, r.cosine) for r in absorb_embedding_delta(
+        spark, base.unionByName(d1), d2, idx).collect()}
+    assert out2 == single(emb)
+
+
+def test_embedding_index_health_and_reband(spark, sf_dir, tmp_path):
+    """The adaptive-geometry wrinkle unique to the embedding tier:
+    lsh_params widens bands with n, so embedding_index_health must
+    flag a corpus that has outgrown its written band width
+    (reband_recommended), and reband_embedding_index must rebuild at
+    the current size's geometry via the staged atomic swap — after
+    which absorbs continue exactly."""
+    import json as _json
+
+    from last_minute_legends_spark.operators.dedup import lsh_params
+    from last_minute_legends_spark.operators.dedup_delta import (
+        absorb_embedding_delta,
+        embedding_index_health,
+        reband_embedding_index,
+        stored_pairs,
+        write_embedding_index,
+    )
+    from last_minute_legends_spark.operators.similarity import (
+        with_unit_vectors,
+    )
+    from last_minute_legends_spark.plans.dedup_q import (
+        COSINE_THRESHOLD, _embedding_corpus,
+    )
+
+    emb = with_unit_vectors(_embedding_corpus(spark, sf_dir)).persist()
+    base = emb.filter(F.col("id") % 3 == 0).persist()
+    n_base = base.count()
+
+    idx = str(tmp_path / "eidx")
+    write_embedding_index(base, idx, COSINE_THRESHOLD, n_vectors=n_base)
+
+    h = embedding_index_health(spark, idx, n_total=n_base)
+    assert not h["reband_recommended"], h
+    # a corpus grown 10^5x: the adaptive width departs by >2 bits
+    grown = n_base * 100_000
+    want_bits, _ = lsh_params(grown, COSINE_THRESHOLD)
+    h2 = embedding_index_health(spark, idx, n_total=grown)
+    assert h2["adaptive_bits_per_band"] == want_bits
+    assert h2["reband_recommended"], h2
+
+    # re-band on the FULL corpus (geometry recomputed at its size),
+    # then a subsequent absorb against the re-banded layout is exact
+    d1 = emb.filter(F.col("id") % 3 == 1).persist()
+    d2 = emb.filter(F.col("id") % 3 == 2).persist()
+    base_d1 = base.unionByName(d1).persist()
+    reband_embedding_index(spark, base_d1, idx)
+    with open(os.path.join(idx, "_embedding_index_params.json")) as fh:
+        p = _json.load(fh)
+    assert p["n_indexed"] == base_d1.count()
+
+    from last_minute_legends_spark.operators.dedup import (
+        embedding_lsh_pairs,
+    )
+    from last_minute_legends_spark.operators.dedup_delta import (
+        _frozen_planes,
+    )
+
+    planes = _frozen_planes(spark, p)
+    assert {tuple(r) for r in stored_pairs(spark, idx).collect()} == {
+        tuple(r) for r in embedding_lsh_pairs(
+            base_d1, planes=planes, threshold=COSINE_THRESHOLD,
+            n_bands=p["n_bands"]).collect()}
+    out = {tuple(r) for r in absorb_embedding_delta(
+        spark, base_d1, d2, idx).collect()}
+    assert out == {tuple(r) for r in embedding_lsh_pairs(
+        emb, planes=planes, threshold=COSINE_THRESHOLD,
+        n_bands=p["n_bands"]).collect()}

@@ -2107,7 +2107,16 @@ def test_zorder_documents_skipping(spark, tmp_path):
     )
     from last_minute_legends_spark.sources.tables import Catalog
 
-    sf01 = "/root/testdata/sf0.01"  # 500 docs: enough rows per file
+    # resolve sf0.01 as a sibling of the conftest-resolved corpus
+    # root (ADVICE r15: a hardcoded absolute path errored on any
+    # checkout without it) — 500 docs: enough rows per file
+    import os
+
+    from tests.conftest import SF_DIR
+
+    sf01 = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    if not os.path.isdir(sf01):
+        pytest.skip(f"sf0.01 corpus not present at {sf01}")
     zpath = str(tmp_path / "z")
     _zdoc_layout(spark, sf01, zpath)
 

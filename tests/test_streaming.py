@@ -1462,3 +1462,33 @@ def test_multibatch_staging_is_watermark_ordered(spark, sf_dir):
         1 for g in groups for f, _ in g for line in open(f) if line.strip())
     from last_minute_legends_spark.sources.tables import load_table
     assert n_events == load_table(spark, sf_dir, "events").count()
+
+
+def test_stream_join_agg_parity_and_oracle(spark, sf_dir):
+    """r16 (VERDICT r15 #3) — the aggregate-push join: the streaming
+    two-windowed-aggregates → window-join pipeline must equal its
+    batch twin AND the direct DuckDB oracle, one-batch and
+    multi-batch delivery identical (time-range groups never reopen a
+    window). The per-(user, window) output is the hot-key-safe
+    contract: row count is bounded by users × open windows however
+    skewed the event counts are."""
+    from last_minute_legends_spark.plans.stream_q import (
+        STREAM_JOIN_AGG_SQL,
+    )
+    from last_minute_legends_spark.streaming.pipeline import (
+        batch_join_agg_twin,
+        run_stream_join_agg_pipeline,
+    )
+    from tests.oracle import _norm_frame, run_oracle
+
+    one = run_stream_join_agg_pipeline(spark, sf_dir)
+    rows = {tuple(r) for r in one.collect()}
+    assert rows, "vacuous: corpus must produce joined windows"
+    twin = {tuple(r) for r in batch_join_agg_twin(spark, sf_dir)
+            .collect()}
+    assert rows == twin
+    mb = {tuple(r) for r in run_stream_join_agg_pipeline(
+        spark, sf_dir, n_batches=6).collect()}
+    assert mb == rows
+    assert _norm_frame(one.toPandas()) == _norm_frame(
+        run_oracle(STREAM_JOIN_AGG_SQL, sf_dir))

@@ -564,11 +564,23 @@ def _mb_join_cell(outer: bool):
     return cell
 
 
+def _join_agg_cell(spark, sf_dir):
+    """r16 (VERDICT r15 #3): the aggregate-push stream join under the
+    same 6-batch watermark-ordered delivery as the pair-emitting
+    forms — the cell whose Zipf row must stay sublinear where
+    stream_join_mb goes superlinear on output cardinality."""
+    from last_minute_legends_spark.streaming.pipeline import (
+        run_stream_join_agg_pipeline,
+    )
+    return run_stream_join_agg_pipeline(spark, sf_dir, n_batches=6)
+
+
 SPECIAL_CELLS = {
     "dedup_delta_fixed": _dedup_delta_cell(fixed=True),
     "dedup_delta_prop": _dedup_delta_cell(fixed=False),
     "stream_join_mb": _mb_join_cell(outer=False),
     "stream_outer_join_mb": _mb_join_cell(outer=True),
+    "stream_join_agg_mb": _join_agg_cell,
 }
 
 
@@ -699,6 +711,7 @@ def main() -> None:
         # ordered group delivery runs state eviction mid-corpus, so a
         # hot key's per-batch state is bounded (see _mb_join_cell)
         _ZIPF_OK = {"stream_join_mb", "stream_outer_join_mb",
+                    "stream_join_agg_mb",
                     "skew_join", "bloom_semi_join", "sessionization", "cohort_retention",
                     "events_by_type", "events_windowed", "latest_by_user",
                     "moving_avg", "events_quantiles", "rollup_timeseries",
