@@ -504,13 +504,14 @@ def stream_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_dedup_delta,
     )
 
-    # 3 epochs (2 streamed absorbs): each absorb carries ~10 jobs of
-    # fixed scheduling/layout-listing cost at local sizes (~12-15 s at
-    # sf0.1 regardless of hash choice — measured, BASELINE_LOCAL r15),
-    # so the bench cell buys its chaining evidence with the minimum
-    # epochs that still chain; the 4-epoch form stays test-locked
+    # 4 epochs restored (VERDICT r15 #4): the dominant per-epoch cost
+    # was the band append's dynamic-partition write fanning every
+    # input split across every touched (band, bvb) dir — measured
+    # 8.7 s and ~32 files/dir per epoch at sf0.1; repartitioned +
+    # bv-sorted (operators/dedup_delta.py append paths) a warm epoch
+    # absorbs in 6.6-8.1 s and adds ONE file per touched dir
     return run_stream_dedup_delta(
-        spark, sf_dir, n_epochs=3, threshold=JACCARD_THRESHOLD,
+        spark, sf_dir, n_epochs=4, threshold=JACCARD_THRESHOLD,
         perm_hash=md5_perm_hash, band_hash=concat_band_key,
         cache_tag="md5",
     ).orderBy("doc_a", "doc_b")
