@@ -485,17 +485,18 @@ def dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental-dedup lifecycle on the STREAMING ingest path
-    (streaming/pipeline.py::run_stream_dedup_delta): a third of the
-    corpus seeds the band-bucket index, the other two thirds
+    (streaming/pipeline.py::run_stream_dedup_delta): a quarter of the
+    corpus seeds the band-bucket index, the other three quarters
     arrive as a JSON file-stream topic one epoch per micro-batch, and
     ``foreachBatch`` absorbs each epoch against the persisted layout
     — delta-sized signatures, bucket probes, verify against the
-    corpus landed so far, add-only appends. The reference's own core
-    loop (spark_batch_processor.py:83-86 incremental new-record
-    detection before publish) upgraded from exact-id diff to near-dup
-    semantics on a streaming source. Portable md5 hashes → the final
-    stored pair set equals the single-shot run over the full corpus,
-    so the oracle is the UNCHANGED single-shot replay SQL; production
+    corpus landed so far, add-only appends, a band-index health check
+    every few epochs. The reference's own core loop
+    (spark_batch_processor.py:83-86 incremental new-record detection
+    before publish) upgraded from exact-id diff to near-dup semantics
+    on a streaming source. Portable md5 hashes → the final stored
+    pair set equals the single-shot run over the full corpus, so the
+    oracle is the UNCHANGED single-shot replay SQL; production
     xxhash64 parity is locked in tests/test_dedup_delta.py."""
     from last_minute_legends_spark.functions.portable_hash import (
         concat_band_key, md5_perm_hash,

@@ -564,6 +564,47 @@ def _mb_join_cell(outer: bool):
     return cell
 
 
+FIXED_DELTA_VECS = 200
+
+
+def _emb_delta_cell(fixed: bool):
+    """Ladder cells for the embedding-tier delta lifecycle (r16,
+    VERDICT r15 #1): fixed-size epoch absorbed against a growing
+    frozen-plane band index (the corpus-size-independence claim) or
+    a proportional mod-5 epoch (the registry entry's shape). Uses the
+    registry's planted corpus so the probe verifies real pairs; the
+    base index is built once per corpus fingerprint."""
+    from pyspark.sql import functions as F
+
+    from last_minute_legends_spark.operators.dedup_delta import (
+        absorb_embedding_delta, write_embedding_index,
+    )
+    from last_minute_legends_spark.operators.similarity import (
+        with_unit_vectors,
+    )
+    from last_minute_legends_spark.plans.dedup_q import _embedding_corpus
+    from last_minute_legends_spark.sources import layout_cache
+
+    def cell(spark, sf_dir):
+        emb = with_unit_vectors(_embedding_corpus(spark, sf_dir)).persist()
+        if fixed:
+            split = F.col("id") < FIXED_DELTA_VECS
+            tag = f"fix{FIXED_DELTA_VECS}"
+        else:
+            split = F.col("id") % 5 == 0
+            tag = "mod5"
+        base, delta = emb.filter(~split).persist(), emb.filter(split)
+        idx = layout_cache.layout_dir(
+            "emb_band_index_ladder",
+            os.path.join(sf_dir, "embeddings.parquet"), f"v1-{tag}")
+        layout_cache.build_once(
+            idx, lambda tmp: write_embedding_index(base, tmp, 0.95))
+        return absorb_embedding_delta(spark, base, delta, idx,
+                                      append=False)
+
+    return cell
+
+
 def _join_agg_cell(spark, sf_dir):
     """r16 (VERDICT r15 #3): the aggregate-push stream join under the
     same 6-batch watermark-ordered delivery as the pair-emitting
@@ -581,6 +622,8 @@ SPECIAL_CELLS = {
     "stream_join_mb": _mb_join_cell(outer=False),
     "stream_outer_join_mb": _mb_join_cell(outer=True),
     "stream_join_agg_mb": _join_agg_cell,
+    "dedup_embedding_delta_fixed": _emb_delta_cell(fixed=True),
+    "dedup_embedding_delta_prop": _emb_delta_cell(fixed=False),
 }
 
 
