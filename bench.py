@@ -491,7 +491,12 @@ def main() -> None:
     # script) and keep the per-cell min, so the headline no longer
     # inherits a phantom 3-5 s; the in-suite reading stays in diag.
     ISOLATED_RETRY = ("dedup_minhash_lsh_replay", "ann_ivf_topk_replay",
-                      "dedup_simhash_replay")
+                      "dedup_simhash_replay",
+                      # r16: the fuzzy-decont md5 twin read a
+                      # contaminated 7.4 min (other_cores 18.8) in the
+                      # r16 preview — same replay-twin family, same
+                      # fresh-JVM second estimator
+                      "decontaminate_fuzzy_replay")
     if (not only and os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
             and any(n in timings for n in ISOLATED_RETRY)):
         import subprocess
