@@ -189,6 +189,9 @@ HEADLINE = [
     # cached, so min-of-2 converges on absorb-only cost (the
     # ann_ivf_probe_indexed economics)
     "dedup_delta",
+    # round-16: incremental cluster maintenance (epoch pairs folded
+    # into maintained keeper labels via the contracted graph)
+    "dedup_clusters_delta",
     "ann_ivf_topk_replay",
     "events_avro_evolution",
     # round-12: write-time partitioned IVF index — min-of-2 means the

@@ -159,7 +159,15 @@ def absorb_delta(spark: SparkSession, indexed_docs: DataFrame,
     delta's band rows and the new pairs into the layout (add-only
     partitioned append; pre-existing files stay byte-identical), so
     a following epoch chains against indexed ∪ delta. Callers probing
-    a SHARED cached index pass ``append=False`` (read-only absorb)."""
+    a SHARED cached index pass ``append=False`` (read-only absorb).
+
+    Caller trap (measured): a frame read from the layout BEFORE an
+    append — even ``.persist()``'d and counted — silently re-reads
+    the post-append listing, because the append's ``refreshByPath``
+    invalidates cached plans over the written path. Pin a pre-append
+    snapshot with ``localCheckpoint(eager=True)`` (a LogicalRDD has
+    no file source to refresh) — tests/test_dedup_delta.py's chained
+    cluster test does exactly this."""
     recover_interrupted_compaction(path)
     with open(os.path.join(path, _PARAMS)) as fh:
         params = json.load(fh)
@@ -859,3 +867,71 @@ def reband_embedding_index(spark: SparkSession, emb: DataFrame,
             shutil.rmtree(old, ignore_errors=True)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental CLUSTER maintenance: the delta lifecycle above ends in
+# updated PAIR sets; a real dedup pipeline then needs the cluster
+# labels (keeper election = min doc id per component) maintained too
+# — and re-running label propagation over the whole accumulated pair
+# graph per epoch is exactly the re-hash-all-of-history pattern this
+# module exists to kill.
+
+
+def merge_cluster_labels(labels: DataFrame,
+                         new_edges: DataFrame) -> DataFrame:
+    """Fold one epoch's new duplicate pairs into maintained cluster
+    labels: returns (id, cluster_id) over labels ∪ the new edges'
+    nodes, value-identical to ``connected_components`` over the whole
+    accumulated pair graph (test-locked, and the registry entry's
+    oracle recomputes the full transitive closure from scratch).
+
+    The trick that makes the fold EPOCH-SIZED: each existing cluster
+    is already contracted to one representative (``cluster_id`` = the
+    min member id — connected_components' invariant), so connectivity
+    changes from the new edges are fully captured by the CONTRACTED
+    graph whose nodes are the touched labels and whose edges are the
+    new pairs mapped through the current labeling. That graph has at
+    most 2·|epoch pairs| nodes however big history is; the iterative
+    CC runs on it alone, and min-label over a merged component of
+    min-ids is the global min id. History is touched exactly twice,
+    both as single narrow passes: the label lookup for the new
+    edges' endpoints (an equi-join on id) and the final relabel (a
+    BROADCAST join against the epoch-sized merge map — labels not in
+    the map pass through untouched). At 100 TB: per-epoch cost ∝
+    epoch pairs + affected clusters; the labels table itself is the
+    only corpus-sized frame and it is never iterated, only mapped."""
+    lab = labels.select("id", "cluster_id")
+    nodes_new = (new_edges.select(F.col("doc_a").alias("id"))
+                 .unionByName(new_edges.select(F.col("doc_b").alias("id")))
+                 .distinct())
+    # nodes first seen this epoch enter as their own singletons
+    lab_all = (
+        nodes_new.join(lab, "id", "left")
+        .select("id", F.coalesce("cluster_id", F.col("id"))
+                .alias("cluster_id"))
+        .unionByName(lab.join(nodes_new, "id", "left_anti"))
+    )
+    la = lab_all.select(F.col("id").alias("doc_a"),
+                        F.col("cluster_id").alias("la"))
+    lb = lab_all.select(F.col("id").alias("doc_b"),
+                        F.col("cluster_id").alias("lb"))
+    contracted = (
+        new_edges.join(la, "doc_a").join(lb, "doc_b")
+        .filter(F.col("la") != F.col("lb"))
+        .select(F.least("la", "lb").alias("doc_a"),
+                F.greatest("la", "lb").alias("doc_b"))
+        .distinct()
+    )
+    from last_minute_legends_spark.operators.dedup import (
+        connected_components,
+    )
+
+    merges = connected_components(contracted)
+    # merges: (id = old label, cluster_id = merged label); epoch-sized
+    remap = merges.select(F.col("id").alias("cluster_id"),
+                          F.col("cluster_id").alias("_new"))
+    return (
+        lab_all.join(F.broadcast(remap), "cluster_id", "left")
+        .select("id", F.coalesce("_new", "cluster_id").alias("cluster_id"))
+    )

@@ -518,6 +518,55 @@ def stream_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def dedup_clusters_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL cluster maintenance (r16): the delta lifecycle run
+    END-TO-END — pairs AND keeper labels maintained per epoch. The
+    base corpus' band index + pair set come from the shared cached
+    layout (the dedup_delta build); its cluster labels are computed
+    once from the stored pairs; the epoch absorbs (delta-sized pair
+    work), and the NEW pairs fold into the labels via
+    operators/dedup_delta.py::merge_cluster_labels — iterative CC
+    runs only on the epoch-sized CONTRACTED graph (touched labels ×
+    new pairs), never on accumulated history; the corpus-sized labels
+    table is mapped once through a broadcast merge map.
+
+    Value-identical to single-shot connected_components over the full
+    pair graph (merge == single-shot locked in
+    tests/test_dedup_delta.py), so the oracle recomputes the ENTIRE
+    transitive closure from scratch over the md5 replay pair graph —
+    any leak in the contraction (a missed merge, a stale label, a
+    dropped singleton pair) breaks the value hash."""
+    from last_minute_legends_spark.functions.portable_hash import (
+        concat_band_key, md5_perm_hash,
+    )
+    from last_minute_legends_spark.operators.dedup_delta import (
+        absorb_delta, merge_cluster_labels, stored_pairs,
+        write_band_index,
+    )
+    from last_minute_legends_spark.sources import layout_cache
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % DELTA_MOD != 0)
+    delta = docs.filter(F.col("doc_id") % DELTA_MOD == 0)
+    idx = layout_cache.layout_dir(
+        "dedup_band_index",
+        os.path.join(sf_dir, "documents.parquet"),
+        f"v1-md5-mod{DELTA_MOD}-t{JACCARD_THRESHOLD}")
+    layout_cache.build_once(idx, lambda tmp: write_band_index(
+        base, tmp, JACCARD_THRESHOLD,
+        perm_hash=md5_perm_hash, band_hash=concat_band_key))
+    stored = stored_pairs(spark, idx)
+    base_labels = connected_components(stored)
+    full = absorb_delta(
+        spark, base, delta, idx, JACCARD_THRESHOLD,
+        perm_hash=md5_perm_hash, band_hash=concat_band_key,
+        append=False)
+    new_edges = full.join(stored.select("doc_a", "doc_b"),
+                          ["doc_a", "doc_b"], "left_anti")
+    return (merge_cluster_labels(base_labels, new_edges)
+            .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
+
+
 _SHINGLES_CTE = r"""
 tok AS (
     SELECT doc_id,
@@ -597,6 +646,34 @@ def _minhash_replay_sql() -> str:
 
 
 DEDUP_MINHASH_REPLAY_SQL = _minhash_replay_sql()
+
+
+def _clusters_delta_sql() -> str:
+    """Full-from-scratch oracle for the INCREMENTAL cluster entry:
+    the md5 replay pair pipeline (shared generator above) feeding the
+    recursive min-label transitive closure — the single-shot twin of
+    what merge_cluster_labels maintains epoch-at-a-time."""
+    inner = DEDUP_MINHASH_REPLAY_SQL.rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({inner}) rp
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+), nodes AS (
+    SELECT DISTINCT src AS id FROM edges
+), reach(id, lab) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(lab) AS cluster_id
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
+DEDUP_CLUSTERS_DELTA_SQL = _clusters_delta_sql()
 
 SIMHASH_MAX_HAMMING = 3
 
@@ -838,6 +915,7 @@ SPARK = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_replay": dedup_minhash_lsh_replay,
     "dedup_delta": dedup_delta,
+    "dedup_clusters_delta": dedup_clusters_delta,
     "stream_dedup_delta": stream_dedup_delta,
     "zorder_documents": zorder_documents,
     "dedup_simhash": dedup_simhash,
@@ -865,6 +943,9 @@ SQL = {
     # r15: the streaming-ingest form converges on the identical final
     # pair set — same single-shot oracle, absorbed epoch-at-a-time
     "stream_dedup_delta": DEDUP_MINHASH_REPLAY_SQL,
+    # r16: maintained keeper labels — oracle recomputes the entire
+    # transitive closure from scratch over the replay pair graph
+    "dedup_clusters_delta": DEDUP_CLUSTERS_DELTA_SQL,
     # r15: scoped dedup over the Morton-rewritten corpus — content
     # preservation + 2-D scope semantics value-checked from base
     "zorder_documents": ZORDER_DOCUMENTS_SQL,

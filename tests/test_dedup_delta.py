@@ -532,3 +532,71 @@ def test_embedding_index_health_and_reband(spark, sf_dir, tmp_path):
     assert out == {tuple(r) for r in embedding_lsh_pairs(
         emb, planes=planes, threshold=COSINE_THRESHOLD,
         n_bands=p["n_bands"]).collect()}
+
+
+def test_merge_cluster_labels_semantics(spark):
+    """Planted-graph semantics of the epoch-sized cluster fold: a new
+    edge bridging two existing clusters merges them to the global min
+    id; a new node attaching to a cluster inherits its label; a pair
+    of brand-new nodes forms its own component; untouched clusters
+    pass through byte-identical."""
+    from last_minute_legends_spark.operators.dedup_delta import (
+        merge_cluster_labels,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 1), (5, 1), (10, 10), (20, 10), (30, 30), (99, 99)],
+        "id long, cluster_id long")
+    edges = spark.createDataFrame(
+        [(5, 20),    # bridges cluster 1 and cluster 10 -> min id 1
+         (30, 40),   # new node 40 joins cluster 30
+         (50, 60)],  # brand-new component -> min id 50
+        "doc_a long, doc_b long")
+    got = {(r.id, r.cluster_id)
+           for r in merge_cluster_labels(labels, edges).collect()}
+    assert got == {(1, 1), (5, 1), (10, 1), (20, 1),
+                   (30, 30), (40, 30), (50, 50), (60, 50),
+                   (99, 99)}
+
+
+def test_merge_cluster_labels_equals_single_shot(spark, sf_dir,
+                                                 tmp_path):
+    """Chained epochs: labels maintained by merge_cluster_labels over
+    successive absorbs must equal single-shot connected_components
+    over the full accumulated pair graph — the incremental-oracle
+    property the registry entry (dedup_clusters_delta) proves
+    cross-engine with the md5 replay closure."""
+    from last_minute_legends_spark.operators.dedup import (
+        connected_components,
+    )
+    from last_minute_legends_spark.operators.dedup_delta import (
+        merge_cluster_labels, stored_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    d1 = docs.filter(F.col("doc_id") % 3 == 1)
+    d2 = docs.filter(F.col("doc_id") % 3 == 2)
+    idx = str(tmp_path / "idx")
+    write_band_index(base, idx, THRESHOLD)
+
+    # localCheckpoint, not persist: the appends below write into the
+    # same pairs dir, and Spark's refreshByPath INVALIDATES cached
+    # plans over a written path (a persisted frame silently re-reads
+    # the post-append listing — measured: prev.count() 5 → 10); a
+    # checkpointed LogicalRDD has no file source to refresh
+    prev = stored_pairs(spark, idx).localCheckpoint(eager=True)
+    labels = connected_components(prev)
+    acc = base
+    for d in (d1, d2):
+        full = absorb_delta(spark, acc, d, idx,
+                            THRESHOLD).localCheckpoint(eager=True)
+        new_edges = full.join(prev.select("doc_a", "doc_b"),
+                              ["doc_a", "doc_b"], "left_anti")
+        labels = merge_cluster_labels(labels, new_edges).persist()
+        want = {(r.id, r.cluster_id)
+                for r in connected_components(full).collect()}
+        assert {(r.id, r.cluster_id) for r in labels.collect()} == want
+        prev = full
+        acc = acc.unionByName(d)
+    assert want, "vacuous: corpus must produce clusters"
