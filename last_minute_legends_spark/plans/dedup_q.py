@@ -556,13 +556,26 @@ def dedup_clusters_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, tmp, JACCARD_THRESHOLD,
         perm_hash=md5_perm_hash, band_hash=concat_band_key))
     stored = stored_pairs(spark, idx)
-    base_labels = connected_components(stored)
+    # the labels ARE the maintained state a deployment persists
+    # between epochs — cache them per corpus fingerprint beside the
+    # band index (one CC run per corpus, absorb+merge per epoch)
+    lab_dir = layout_cache.layout_dir(
+        "dedup_base_labels",
+        os.path.join(sf_dir, "documents.parquet"),
+        f"v1-md5-mod{DELTA_MOD}-t{JACCARD_THRESHOLD}")
+    layout_cache.build_once(lab_dir, lambda tmp: (
+        connected_components(stored_pairs(spark, idx))
+        .write.mode("overwrite").parquet(os.path.join(tmp, "labels"))))
+    base_labels = spark.read.parquet(os.path.join(lab_dir, "labels"))
     full = absorb_delta(
         spark, base, delta, idx, JACCARD_THRESHOLD,
         perm_hash=md5_perm_hash, band_hash=concat_band_key,
         append=False)
+    # persist: new_edges carries the whole absorb verify DAG and the
+    # merge consumes it three times (node extraction + both label
+    # lookups) — unpersisted, the absorb re-executes per consumer
     new_edges = full.join(stored.select("doc_a", "doc_b"),
-                          ["doc_a", "doc_b"], "left_anti")
+                          ["doc_a", "doc_b"], "left_anti").persist()
     return (merge_cluster_labels(base_labels, new_edges)
             .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
 
