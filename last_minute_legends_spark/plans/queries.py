@@ -68,9 +68,9 @@ ORACLE_WINDOW = 50
 #   - the remaining slots go to the least-recently-hash-green
 #     oracle-capable entries (full driver value compare).
 # Never-observed keys rank stalest of all, so a new operator's oracle
-# enters the window the round it ships. With ~80 oracle-capable keys
-# and 47 oracle slots, every oracle entry is driver-value-checked at
-# least every 2 rounds; ties break by registration order.
+# enters the window the round it ships. With ~103 oracle-capable keys
+# and 45 oracle slots, every oracle entry is driver-value-checked at
+# least every 3 rounds; ties break by registration order.
 import json as _json
 import os as _os
 
