@@ -249,6 +249,9 @@ STREAMING = (
     # foreachBatch absorb against the persisted band index (md5
     # oracle form; production-hash parity in tests)
     "stream_dedup_delta",
+    # r16: the same stream also maintaining keeper labels per
+    # micro-batch (contracted-graph merge; full-closure oracle)
+    "stream_clusters_delta",
     "stream_partitioned_landing",
     # r13: incremental MV maintenance over the epoch landing (lands,
     # then folds one epoch at a time — timed end-to-end like the

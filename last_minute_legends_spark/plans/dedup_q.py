@@ -580,6 +580,34 @@ def dedup_clusters_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
 
 
+def stream_clusters_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained keeper labels on the STREAMING ingest path (r16):
+    run_stream_dedup_delta with ``maintain_labels=True`` — base
+    labels seeded from the cached band index's pair graph, then each
+    micro-batch's absorb folds every stored pair touching the
+    epoch's doc ids into the label state via the contracted-graph
+    merge (already-connected edges merge as no-ops, which is what
+    makes crash/redelivery converge instead of skipping merges;
+    labels are epoch-versioned, overwritten per retry). The final
+    labels equal single-shot connected_components over the full
+    corpus' pair graph, so the oracle is the SAME full
+    recursive-closure SQL as the batch incremental entry
+    (DEDUP_CLUSTERS_DELTA_SQL) — one more lifecycle value-checked
+    end-to-end from a stream."""
+    from last_minute_legends_spark.functions.portable_hash import (
+        concat_band_key, md5_perm_hash,
+    )
+    from last_minute_legends_spark.streaming.pipeline import (
+        run_stream_dedup_delta,
+    )
+
+    return (run_stream_dedup_delta(
+        spark, sf_dir, n_epochs=4, threshold=JACCARD_THRESHOLD,
+        perm_hash=md5_perm_hash, band_hash=concat_band_key,
+        cache_tag="md5", maintain_labels=True)
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
+
+
 _SHINGLES_CTE = r"""
 tok AS (
     SELECT doc_id,
@@ -929,6 +957,7 @@ SPARK = {
     "dedup_minhash_lsh_replay": dedup_minhash_lsh_replay,
     "dedup_delta": dedup_delta,
     "dedup_clusters_delta": dedup_clusters_delta,
+    "stream_clusters_delta": stream_clusters_delta,
     "stream_dedup_delta": stream_dedup_delta,
     "zorder_documents": zorder_documents,
     "dedup_simhash": dedup_simhash,
@@ -959,6 +988,9 @@ SQL = {
     # r16: maintained keeper labels — oracle recomputes the entire
     # transitive closure from scratch over the replay pair graph
     "dedup_clusters_delta": DEDUP_CLUSTERS_DELTA_SQL,
+    # r16: the same labels maintained per MICRO-BATCH on the
+    # streaming path — identical final state, same full oracle
+    "stream_clusters_delta": DEDUP_CLUSTERS_DELTA_SQL,
     # r15: scoped dedup over the Morton-rewritten corpus — content
     # preservation + 2-D scope semantics value-checked from base
     "zorder_documents": ZORDER_DOCUMENTS_SQL,

@@ -1038,7 +1038,8 @@ def _clone_tree(src: str, dst: str) -> None:
 def stream_absorb_epoch(spark: SparkSession, batch_df: DataFrame,
                         epoch_id: int, idx: str, corpus: str,
                         threshold: float, perm_hash=None, band_hash=None,
-                        health_every: int = 4) -> None:
+                        health_every: int = 4,
+                        labels_dir: str | None = None) -> None:
     """ONE epoch of the streaming dedup sink — module-level so the
     redelivery test can invoke it twice with the same ``epoch_id``
     and assert duplicate-idempotence (ADVICE r15). Steps:
@@ -1046,14 +1047,26 @@ def stream_absorb_epoch(spark: SparkSession, batch_df: DataFrame,
     1. absorb the epoch against the persisted band index, verifying
        against the corpus landed so far (recursive listing: base
        files at the root, epochs in subdirs);
-    2. land the epoch at ``corpus/epoch<id>`` with OVERWRITE — a
+    2. with ``labels_dir``, fold the epoch into the MAINTAINED
+       cluster labels (merge_cluster_labels): the fold's edge set is
+       EVERY stored pair touching one of the epoch's doc ids — not a
+       pre/post pairs diff — because already-connected edges merge as
+       no-ops, which is what makes a redelivered (or
+       crashed-before-labels) epoch converge to the same labels
+       instead of silently skipping its merges. Labels are
+       epoch-versioned (``labels_dir/epoch<id>`` OVERWRITTEN; the
+       fold reads the newest version strictly older than this epoch,
+       floor ``labels_dir/base``), so a retry re-derives the same
+       state from the same inputs;
+    3. land the epoch at ``corpus/epoch<id>`` with OVERWRITE — a
        redelivered epoch replaces its own files instead of
        double-landing, so later epochs' shingle-intersection verify
        never sees doubled counts;
-    3. every ``health_every`` epochs, consult ``band_index_health``
+    4. every ``health_every`` epochs, consult ``band_index_health``
        and compact the appended layout when it recommends."""
     from last_minute_legends_spark.operators.dedup_delta import (
         absorb_delta, band_index_health, compact_band_index,
+        merge_cluster_labels, stored_pairs,
     )
 
     indexed = (spark.read.option("recursiveFileLookup", "true")
@@ -1061,6 +1074,23 @@ def stream_absorb_epoch(spark: SparkSession, batch_df: DataFrame,
     absorb_delta(spark, indexed, batch_df, idx, threshold,
                  perm_hash=perm_hash, band_hash=band_hash,
                  append=True)
+    if labels_dir:
+        cur = f"epoch{int(epoch_id):06d}"
+        prior = max(p for p in os.listdir(labels_dir) if p < cur)
+        labels = spark.read.parquet(os.path.join(labels_dir, prior))
+        ids = batch_df.select(F.col("doc_id")).distinct()
+        pairs = stored_pairs(spark, idx)
+        edges = (
+            pairs.join(ids.withColumnRenamed("doc_id", "doc_a"),
+                       "doc_a", "left_semi")
+            .unionByName(
+                pairs.join(ids.withColumnRenamed("doc_id", "doc_b"),
+                           "doc_b", "left_semi"))
+            .select("doc_a", "doc_b").distinct().persist()
+        )
+        (merge_cluster_labels(labels, edges)
+         .write.mode("overwrite")
+         .parquet(os.path.join(labels_dir, cur)))
     (batch_df.write.mode("overwrite")
      .parquet(os.path.join(corpus, f"epoch{int(epoch_id):06d}")))
     if health_every > 0 and int(epoch_id) % health_every == health_every - 1:
@@ -1071,7 +1101,8 @@ def stream_absorb_epoch(spark: SparkSession, batch_df: DataFrame,
 def run_stream_dedup_delta(spark: SparkSession, sf_dir: str,
                            n_epochs: int = 4, threshold: float = 0.8,
                            perm_hash=None, band_hash=None,
-                           cache_tag: str | None = None) -> DataFrame:
+                           cache_tag: str | None = None,
+                           maintain_labels: bool = False) -> DataFrame:
     """STREAMING INGEST DEDUP — the r15 incremental-dedup lifecycle
     (operators/dedup_delta.py) driven end-to-end by Structured
     Streaming, i.e. "dedup the ingest, not the corpus" made literal:
@@ -1110,7 +1141,16 @@ def run_stream_dedup_delta(spark: SparkSession, sf_dir: str,
     ``band_index_health`` and compacts the appended layout when it
     fires (VERDICT r15 #7 — the rebuild_ivf_index maintenance
     pattern, so the streaming path no longer grows files-per-dir
-    unboundedly until a manual pass)."""
+    unboundedly until a manual pass).
+
+    ``maintain_labels=True`` (r16) runs the lifecycle END-TO-END:
+    keeper-election cluster labels are maintained per micro-batch
+    (seeded from the base pair graph, folded epoch-at-a-time via
+    merge_cluster_labels' contracted-graph merge) and the FINAL
+    labels frame is returned instead of the pair set — equal to
+    single-shot connected_components over the full corpus' pair
+    graph, so the md5 registry form (stream_clusters_delta) carries
+    the full recursive-closure DuckDB oracle."""
     from last_minute_legends_spark.operators.dedup_delta import (
         stored_pairs, write_band_index,
     )
@@ -1184,10 +1224,25 @@ def run_stream_dedup_delta(spark: SparkSession, sf_dir: str,
         .select("d.*")
     )
 
+    labels_dir = None
+    if maintain_labels:
+        # seed the maintained-labels state: keeper labels of the base
+        # index's pair graph, versioned under labels/base (each epoch
+        # then writes labels/epoch<id> — see stream_absorb_epoch)
+        from last_minute_legends_spark.operators.dedup import (
+            connected_components,
+        )
+
+        labels_dir = f"{staging}/labels"
+        os.makedirs(labels_dir, exist_ok=True)
+        (connected_components(stored_pairs(spark, idx))
+         .write.mode("overwrite")
+         .parquet(os.path.join(labels_dir, "base")))
+
     def absorb(batch_df, epoch_id):
         stream_absorb_epoch(spark, batch_df, epoch_id, idx, corpus,
                             threshold, perm_hash=perm_hash,
-                            band_hash=band_hash)
+                            band_hash=band_hash, labels_dir=labels_dir)
 
     with sentinel_paced(spark):
         q = (parsed.writeStream.foreachBatch(absorb)
@@ -1200,4 +1255,7 @@ def run_stream_dedup_delta(spark: SparkSession, sf_dir: str,
             q.processAllAvailable()
         q.stop()
 
+    if maintain_labels:
+        newest = max(os.listdir(labels_dir))
+        return spark.read.parquet(os.path.join(labels_dir, newest))
     return stored_pairs(spark, idx).distinct()

@@ -600,3 +600,27 @@ def test_merge_cluster_labels_equals_single_shot(spark, sf_dir,
         prev = full
         acc = acc.unionByName(d)
     assert want, "vacuous: corpus must produce clusters"
+
+
+def test_stream_clusters_delta_matches_single_shot(spark, sf_dir):
+    """Maintained keeper labels on the streaming path
+    (maintain_labels=True): the final label state after all absorbed
+    micro-batches must equal single-shot connected_components over
+    the full corpus' pair graph with the PRODUCTION xxhash64 hashes —
+    the md5 registry twin (stream_clusters_delta) gets the same check
+    cross-engine from the recursive-closure DuckDB oracle."""
+    from last_minute_legends_spark.operators.dedup import (
+        connected_components,
+    )
+    from last_minute_legends_spark.streaming.pipeline import (
+        run_stream_dedup_delta,
+    )
+
+    docs = _docs(spark, sf_dir)
+    got = {(r.id, r.cluster_id) for r in run_stream_dedup_delta(
+        spark, sf_dir, n_epochs=4, threshold=THRESHOLD,
+        maintain_labels=True).collect()}
+    want = {(r.id, r.cluster_id) for r in connected_components(
+        minhash_lsh_pairs(docs, THRESHOLD)).collect()}
+    assert want, "vacuous: corpus must produce clusters"
+    assert got == want
