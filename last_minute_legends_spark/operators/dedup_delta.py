@@ -99,6 +99,24 @@ def _bvb(bv):
     return F.pmod(F.xxhash64(bv), F.lit(BV_BUCKETS))
 
 
+# Frames persisted by a read-only (append=False) absorb: they back
+# the LAZY returned pair frame, so the absorb itself cannot unpersist
+# them — registry callables eagerly materialize their output
+# (localCheckpoint) and then call release_absorb_persists(), so the
+# driver's 116-entry sweep through one session does not accumulate
+# executor storage (VERDICT r16 #6). append=True absorbs unpersist
+# inline: after the two writes nothing references the frames.
+_ABSORB_PERSISTS: list = []
+
+
+def release_absorb_persists() -> None:
+    while _ABSORB_PERSISTS:
+        try:
+            _ABSORB_PERSISTS.pop().unpersist()
+        except Exception:
+            pass
+
+
 def band_rows(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text", n: int = 3,
               perm_hash=None, band_hash=None) -> DataFrame:
@@ -261,9 +279,17 @@ def absorb_delta(spark: SparkSession, indexed_docs: DataFrame,
             F.col(id_col).isin(cand_base_ids) if cand_base_ids
             else F.lit(False))
     else:  # huge candidate set: shuffle semi-join instead of literals
+        # anti-join the delta's own ids out, mirroring the static
+        # branch's left_anti: on a redelivery-after-corpus-landed
+        # retry ``indexed_docs`` contains the epoch's docs, and
+        # without the exclusion sh_all would carry each delta doc's
+        # shingles twice, doubling intersection counts and inflating
+        # jaccard (ADVICE r16)
         ids = (cand.select(F.col("doc_a").alias(id_col))
                .unionByName(cand.select(F.col("doc_b").alias(id_col)))
-               .distinct())
+               .distinct()
+               .join(bands_d.select(F.col("doc_id").alias(id_col))
+                     .distinct(), id_col, "left_anti"))
         base_cand_docs = indexed_docs.join(ids, id_col, "left_semi")
     sh_all = sh_d.unionByName(
         _shingle_sets(base_cand_docs, id_col, text_col, n))
@@ -306,7 +332,10 @@ def absorb_delta(spark: SparkSession, indexed_docs: DataFrame,
          .sortWithinPartitions("bv")
          .write.partitionBy("band", "bvb").mode("append")
          .parquet(os.path.join(path, _BANDS)))
+        for f in (sh_d, bands_d, cand):
+            f.unpersist()
         return stored_pairs(spark, path)
+    _ABSORB_PERSISTS.extend([sh_d, bands_d, cand])
     return stored_pairs(spark, path).unionByName(new_pairs)
 
 
@@ -378,6 +407,14 @@ def compact_band_index(spark: SparkSession, path: str) -> None:
              .parquet(os.path.join(staging, _BANDS)))
             (spark.read.parquet(pairs_dir).coalesce(1)
              .write.mode("overwrite").parquet(os.path.join(staging, _PAIRS)))
+            # carry in-dir metadata (the embedding tier's geometry
+            # params live inside the bands dir — see _eparams_path)
+            # across the rewrite: Spark's overwrite only writes data
+            # files, and losing the params would strand the index
+            for fname in os.listdir(bands_dir):
+                if fname.startswith("_") and fname.endswith(".json"):
+                    shutil.copy2(os.path.join(bands_dir, fname),
+                                 os.path.join(staging, _BANDS, fname))
             # the swap itself keeps the FIXED __old name: recovery must
             # find it without knowing which process crashed, and the
             # lock serializes every writer of it
@@ -391,6 +428,28 @@ def compact_band_index(spark: SparkSession, path: str) -> None:
             shutil.rmtree(old, ignore_errors=True)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+
+
+def _lock_owner_alive(lock_path: str) -> bool:
+    """True iff the pid stamped in a lock sentinel belongs to a LIVE
+    process. Errno-precise (ADVICE r16): ``os.kill(pid, 0)`` raises
+    PermissionError (EPERM) for a live process owned by another user
+    — that is ALIVE, not dead; only ESRCH (ProcessLookupError) means
+    the owner is gone. An unreadable/empty sentinel counts as dead
+    (the writer crashed between O_EXCL create and the pid write)."""
+    try:
+        with open(lock_path) as fh:
+            owner = int(fh.read().strip() or "0")
+        if owner <= 0:
+            return False
+        os.kill(owner, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # EPERM: live process, different user
+    except (OSError, ValueError):
+        return False
 
 
 class _compact_lock:
@@ -412,11 +471,7 @@ class _compact_lock:
                 os.close(fd)
                 return self
             except FileExistsError:
-                try:
-                    with open(self.lock) as fh:
-                        owner = int(fh.read().strip() or "0")
-                    os.kill(owner, 0)  # raises if owner is dead
-                except (OSError, ValueError):
+                if not _lock_owner_alive(self.lock):
                     # dead/unreadable owner: steal and retry once
                     try:
                         os.unlink(self.lock)
@@ -425,8 +480,7 @@ class _compact_lock:
                     continue
                 raise RuntimeError(
                     f"compaction of {self.lock[:-len('__compact.lock')]!r} "
-                    f"already in flight (pid {owner}) — retry after it "
-                    "finishes")
+                    "already in flight — retry after it finishes")
         raise RuntimeError(f"could not acquire {self.lock}")
 
     def __exit__(self, *exc):
@@ -441,15 +495,39 @@ def recover_interrupted_compaction(path: str) -> bool:
     """Restore a band index stranded mid-swap by a compaction crash:
     if either data dir is missing and ``path__old`` holds it, move it
     back (never clobbering a dir that exists — a leftover ``__old``
-    beside a complete index means the swap finished)."""
+    beside a complete index means the swap finished).
+
+    Runs from every READ path, so it must tolerate a LIVE compaction
+    and concurrent recoverers (ADVICE r16): when the compaction lock
+    exists with a live owner the apparent mid-swap state is an
+    in-flight swap, not a crash — skip rather than yank ``__old``
+    back out from under the compactor. A rename lost to a racing
+    recoverer is absorbed by re-checking the layout instead of
+    propagating."""
+    lock = f"{path}__compact.lock"
+    if os.path.exists(lock) and _lock_owner_alive(lock):
+        try:
+            with open(lock) as fh:
+                owner = int(fh.read().strip() or "0")
+        except (OSError, ValueError):
+            owner = 0
+        if owner != os.getpid():  # our own held lock: proceed
+            return False
     old = f"{path}__old"
     restored = False
     for sub in (_BANDS, _PAIRS):
         live = os.path.join(path, sub)
         saved = os.path.join(old, sub)
         if not os.path.exists(live) and os.path.isdir(saved):
-            os.rename(saved, live)
-            restored = True
+            try:
+                os.rename(saved, live)
+                restored = True
+            except OSError:
+                # a concurrent recoverer won the rename (or restored
+                # live first): only re-raise if the live dir is still
+                # missing — then the layout is genuinely broken
+                if not os.path.exists(live):
+                    raise
     return restored
 
 
@@ -590,7 +668,10 @@ def absorb_hamming_delta(spark: SparkSession, delta_sig: DataFrame,
          .sortWithinPartitions("bv")
          .write.partitionBy("band", "bvb").mode("append")
          .parquet(os.path.join(path, _BANDS)))
+        for f in (delta_sig, bands_d):
+            f.unpersist()
         return stored_pairs(spark, path)
+    _ABSORB_PERSISTS.extend([delta_sig, bands_d])
     return stored_pairs(spark, path).unionByName(new_pairs)
 
 
@@ -616,6 +697,27 @@ def absorb_hamming_delta(spark: SparkSession, delta_sig: DataFrame,
 #   is the staged atomic-swap retrain).
 
 _EPARAMS = "_embedding_index_params.json"
+
+
+def _eparams_path(path: str) -> str:
+    """The embedding tier's geometry params live INSIDE the bands
+    directory (Spark's parquet listing ignores ``_``-prefixed files),
+    so the single ``os.rename`` that installs a rebanded bands dir
+    installs its params in the same atomic step — bands and params
+    can never be observed mismatched, no matter where a re-band
+    crashes (ADVICE r16: the old root-level params file was replaced
+    AFTER the dir swap, so a crash in the window left new-geometry
+    band rows paired with old-geometry params and later absorbs
+    silently re-derived the wrong frozen planes)."""
+    return os.path.join(path, _BANDS, _EPARAMS)
+
+
+def _read_eparams(path: str) -> dict:
+    p = _eparams_path(path)
+    if not os.path.exists(p):  # pre-r17 layout: params at the root
+        p = os.path.join(path, _EPARAMS)
+    with open(p) as fh:
+        return json.load(fh)
 
 # Geometry-drift trigger: re-band when the adaptive band width for
 # the CURRENT corpus differs from the written one by more than this
@@ -659,10 +761,14 @@ def write_embedding_index(emb: DataFrame, path: str,
     pairs = embedding_lsh_pairs(emb, planes=planes, threshold=threshold,
                                 n_bands=n_bands)
     pairs.write.mode("overwrite").parquet(os.path.join(path, _PAIRS))
-    with open(os.path.join(path, _EPARAMS), "w") as fh:
+    # params INSIDE the bands dir + written via temp-name replace:
+    # atomic with the dir that needs them (see _eparams_path)
+    tmp = _eparams_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump({"threshold": threshold, "bits_per_band": bits_per_band,
                    "n_bands": n_bands, "dim": dim, "seed": seed,
                    "n_indexed": n, "bv_buckets": BV_BUCKETS}, fh)
+    os.replace(tmp, _eparams_path(path))
 
 
 def _frozen_planes(spark: SparkSession, p: dict) -> DataFrame:
@@ -693,8 +799,7 @@ def absorb_embedding_delta(spark: SparkSession, indexed_emb: DataFrame,
     planning-literal probe / distributed-join fallback, same add-only
     appends, same ``id !=`` redelivery guard as the other tiers."""
     recover_interrupted_compaction(path)
-    with open(os.path.join(path, _EPARAMS)) as fh:
-        p = json.load(fh)
+    p = _read_eparams(path)
     if p["bv_buckets"] != BV_BUCKETS:
         raise ValueError(f"index at {path} written with {p}, "
                          f"incompatible with bv_buckets={BV_BUCKETS}")
@@ -760,9 +865,15 @@ def absorb_embedding_delta(spark: SparkSession, indexed_emb: DataFrame,
             F.col("id").isin(cand_base_ids) if cand_base_ids
             else F.lit(False))
     else:
+        # exclude the delta's own ids (the static branch's left_anti):
+        # a redelivery retry passing an indexed side that already
+        # contains the epoch would otherwise duplicate those vectors
+        # in vec_all and emit duplicate pair rows (ADVICE r16 pattern)
         ids = (cand.select(F.col("vec_a").alias("id"))
                .unionByName(cand.select(F.col("vec_b").alias("id")))
-               .distinct())
+               .distinct()
+               .join(delta_ids.withColumnRenamed("doc_id", "id"),
+                     "id", "left_anti"))
         base_cand = indexed_emb.join(ids, "id", "left_semi")
     vec_all = delta_emb.select("id", "v", "nrm").unionByName(
         base_cand.select("id", "v", "nrm"))
@@ -794,7 +905,10 @@ def absorb_embedding_delta(spark: SparkSession, indexed_emb: DataFrame,
          .sortWithinPartitions("bv")
          .write.partitionBy("band", "bvb").mode("append")
          .parquet(os.path.join(path, _BANDS)))
+        for f in (delta_emb, bands_d, cand):
+            f.unpersist()
         return stored_pairs(spark, path)
+    _ABSORB_PERSISTS.extend([delta_emb, bands_d, cand])
     return stored_pairs(spark, path).unionByName(new_pairs)
 
 
@@ -812,8 +926,7 @@ def embedding_index_health(spark: SparkSession, path: str,
     from last_minute_legends_spark.operators.dedup import lsh_params
 
     h = band_index_health(spark, path)
-    with open(os.path.join(path, _EPARAMS)) as fh:
-        p = json.load(fh)
+    p = _read_eparams(path)
     want_bits, want_bands = lsh_params(max(n_total, 2), p["threshold"])
     h.update({
         "written_bits_per_band": p["bits_per_band"],
@@ -840,8 +953,7 @@ def reband_embedding_index(spark: SparkSession, emb: DataFrame,
     import shutil
     import uuid
 
-    with open(os.path.join(path, _EPARAMS)) as fh:
-        p = json.load(fh)
+    p = _read_eparams(path)
     with _compact_lock(path):
         recover_interrupted_compaction(path)
         staging = f"{path}__reband_{os.getpid()}_{uuid.uuid4().hex[:8]}"
@@ -852,18 +964,24 @@ def reband_embedding_index(spark: SparkSession, emb: DataFrame,
             old = f"{path}__old"
             shutil.rmtree(old, ignore_errors=True)
             os.makedirs(old)
+            # the new params ride INSIDE staging/bands (_eparams_path),
+            # so the bands rename below installs geometry and band rows
+            # in one atomic step — a crash anywhere in this sequence
+            # leaves either the old index (recoverable from __old) or
+            # the new one, never new bands with old params (ADVICE r16)
             os.rename(os.path.join(path, _BANDS), os.path.join(old, _BANDS))
             os.rename(os.path.join(path, _PAIRS), os.path.join(old, _PAIRS))
             os.rename(os.path.join(staging, _BANDS),
                       os.path.join(path, _BANDS))
             os.rename(os.path.join(staging, _PAIRS),
                       os.path.join(path, _PAIRS))
-            # params last, atomically: readers between the dir swap and
-            # this replace still parse a complete (old) params file,
-            # and the new bands dir is only probed with the new params
-            # once this lands
-            os.replace(os.path.join(staging, _EPARAMS),
-                       os.path.join(path, _EPARAMS))
+            # drop a stale pre-r17 root-level params file so the
+            # legacy fallback in _read_eparams can never shadow the
+            # in-bands copy
+            try:
+                os.unlink(os.path.join(path, _EPARAMS))
+            except OSError:
+                pass
             shutil.rmtree(old, ignore_errors=True)
         finally:
             shutil.rmtree(staging, ignore_errors=True)

@@ -1,0 +1,301 @@
+"""Bucket-partitioned persistence for maintained cluster labels —
+the last O(corpus)-per-epoch term in the delta-dedup lifecycle made
+epoch-sized (VERDICT r16 #1).
+
+``merge_cluster_labels`` (operators/dedup_delta.py) already folds an
+epoch's new duplicate pairs with EPOCH-SIZED compute: iterative CC
+runs only on the contracted graph (touched labels × new pairs) and
+the corpus-sized labels frame is mapped once through a broadcast
+merge map. But both persistence paths then rewrote the WHOLE labels
+frame per epoch — at 100 TB a full-table rewrite per micro-batch.
+
+This module persists the labels partitioned by
+``lbk = pmod(xxhash64(cluster_id), K)`` (the merge_day_partitioned
+pattern, sources/partitioned_events.py:107). The key property that
+makes the rewrite epoch-sized: an epoch's merge map is epoch-sized,
+every row whose label changes has its OLD cluster_id in the map's
+keys, and every destination label is the min over merged old labels
+— i.e. itself one of the map's keys. So the set of bucket
+directories that can gain, lose, or change a row is exactly
+``buckets(merge-map keys)`` — bounded by the epoch, not the corpus —
+and the rewrite touches only those directories (planning-time
+``lbk IN (...)`` partition pruning on the read, per-directory rename
+swap on the write; untouched bucket files keep byte identity,
+test-locked). Bucketing by cluster_id (not id) is what makes this
+work: when two clusters merge, every member row of the losing
+cluster must change, and those rows are CO-LOCATED in the losing
+label's bucket — bucketed by id they would be spread across every
+bucket and any merge would touch the whole table.
+
+Crash/redelivery story (matches the band-index discipline):
+- the per-bucket swap renames the live dir to ``<dir>__old`` before
+  installing the staged replacement; ``recover_labels_store`` (called
+  from every read path) restores a dir stranded mid-swap;
+- a fold interrupted mid-swap leaves SOME buckets pre-merge and some
+  post-merge — consistent under re-fold, because the merge is
+  confluent: re-running the same epoch maps already-merged edges to
+  la == lb no-ops and re-derives exactly the outstanding merges
+  (locked by the redelivery test in tests/test_labels_store.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LABELS = "labels"
+_LPARAMS = "_labels_store_params.json"
+
+# Minimum bucket count for the partitioned layout. Layout-only (never
+# enters the label semantics). The default build SIZES the bucket
+# count to the label count (next power of two of
+# rows / TARGET_ROWS_PER_BUCKET, floored at LABEL_BUCKETS — the
+# spark.sql.shuffle.partitions sizing discipline): what makes a
+# FIXED-SIZE epoch's fold flat as the corpus grows is bounded bucket
+# SIZE, not bounded bucket count — an epoch touches O(epoch) buckets
+# of O(TARGET) rows each, so fold I/O ∝ epoch at any corpus size
+# (measured by the dedup_clusters_delta_fixed ladder cell).
+LABEL_BUCKETS = 64
+TARGET_ROWS_PER_BUCKET = 4_096
+
+
+def _auto_buckets(n_rows: int) -> int:
+    import math
+
+    need = max(1, (n_rows + TARGET_ROWS_PER_BUCKET - 1)
+               // TARGET_ROWS_PER_BUCKET)
+    return max(LABEL_BUCKETS, 1 << math.ceil(math.log2(need)))
+
+
+def _lbk(col, n_buckets: int):
+    """Partition bucket of a cluster label — xxhash64 routing, layout
+    only (the operators/dedup_delta.py ``_bvb`` discipline)."""
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets))
+
+
+def _params_path(path: str) -> str:
+    # params live INSIDE the data dir so any future staged swap of the
+    # whole layout carries them atomically (the _eparams_path lesson)
+    return os.path.join(path, _LABELS, _LPARAMS)
+
+
+def write_labels_store(labels: DataFrame, path: str,
+                       n_buckets: int | None = None) -> None:
+    """One-time base build: (id, cluster_id) partitioned by the
+    cluster-label hash bucket, id-sorted files. ``n_buckets=None``
+    sizes the bucket count to the label count (see _auto_buckets).
+
+    The params file records the SCHEMA alongside n_buckets: a
+    legitimately EMPTY store (a seed corpus with no duplicate pairs
+    yet) has zero partition dirs, and a schema-less partitioned read
+    would fail UNABLE_TO_INFER_SCHEMA — every read therefore supplies
+    the recorded schema."""
+    lab = labels.select("id", "cluster_id")
+    if n_buckets is None:
+        n_buckets = _auto_buckets(lab.count())
+    with_bucket = lab.withColumn("lbk", _lbk(F.col("cluster_id"),
+                                             n_buckets))
+    (with_bucket
+     .repartition(F.col("lbk"))
+     .sortWithinPartitions("id")
+     .write.partitionBy("lbk").mode("overwrite")
+     .parquet(os.path.join(path, _LABELS)))
+    tmp = _params_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"n_buckets": n_buckets,
+                   "schema": with_bucket.schema.json()}, fh)
+    os.replace(tmp, _params_path(path))
+
+
+def _read_params(path: str) -> dict:
+    with open(_params_path(path)) as fh:
+        return json.load(fh)
+
+
+def _store_df(spark: SparkSession, path: str, params: dict) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(params["schema"]))
+    return (spark.read.schema(schema)
+            .parquet(os.path.join(path, _LABELS)))
+
+
+def read_labels_store(spark: SparkSession, path: str) -> DataFrame:
+    """(id, cluster_id) over the whole store."""
+    recover_labels_store(path)
+    return (_store_df(spark, path, _read_params(path))
+            .select("id", "cluster_id"))
+
+
+def recover_labels_store(path: str) -> bool:
+    """Restore bucket dirs stranded mid-swap by a crashed fold: a
+    ``lbk=<b>__old`` beside a MISSING live dir moves back; beside a
+    present live dir the swap finished — drop the leftover."""
+    root = os.path.join(path, _LABELS)
+    if not os.path.isdir(root):
+        return False
+    restored = False
+    for name in os.listdir(root):
+        if not name.endswith("__old"):
+            continue
+        live = os.path.join(root, name[:-len("__old")])
+        saved = os.path.join(root, name)
+        if not os.path.exists(live):
+            try:
+                os.rename(saved, live)
+                restored = True
+            except OSError:
+                if not os.path.exists(live):
+                    raise
+        else:
+            shutil.rmtree(saved, ignore_errors=True)
+    return restored
+
+
+def merge_labels_store(spark: SparkSession, path: str,
+                       new_edges: DataFrame,
+                       write: bool = True) -> DataFrame:
+    """Fold one epoch's new duplicate pairs into the persisted labels
+    and return the FULL updated (id, cluster_id) frame —
+    value-identical to ``connected_components`` over the whole
+    accumulated pair graph (the merge_cluster_labels contract, same
+    contracted-graph compute), with per-epoch label I/O bounded by
+    the epoch:
+
+    - label lookup for the edges' endpoints: one narrow equi-join
+      against the store (projected scan — the one corpus-sized READ
+      the fold semantically needs);
+    - contracted-graph CC → an epoch-sized merge map;
+    - rewrite (``write=True``): ONLY the bucket directories holding a
+      merge-map key are read (planning-time ``lbk IN (...)`` — Spark
+      prunes the other partitions off the listing), remapped through
+      the broadcast map, and swapped in per-directory; every other
+      bucket file is untouched byte-for-byte. New nodes insert into
+      their destination label's bucket, which is always a touched
+      bucket (destination labels are merge-map keys).
+
+    ``write=False`` computes the same result read-only (shared cached
+    stores — the absorb ``append=False`` discipline): untouched
+    buckets pass through as a partition-pruned complement scan.
+
+    A no-op epoch (every edge already intra-cluster, every node
+    already labeled) touches ZERO buckets."""
+    from last_minute_legends_spark.operators.dedup import (
+        connected_components,
+    )
+
+    recover_labels_store(path)
+    params = _read_params(path)
+    n_buckets = params["n_buckets"]
+    root = os.path.join(path, _LABELS)
+    store = _store_df(spark, path, params)
+
+    nodes_new = (new_edges.select(F.col("doc_a").alias("id"))
+                 .unionByName(new_edges.select(F.col("doc_b").alias("id")))
+                 .distinct())
+    # endpoint label lookup; nodes never seen before enter as their
+    # own singletons and are flagged for insertion
+    looked = (nodes_new.join(store.select("id", "cluster_id"),
+                             "id", "left")
+              .select("id",
+                      F.coalesce("cluster_id", F.col("id"))
+                      .alias("cluster_id"),
+                      F.col("cluster_id").isNull().alias("_fresh"))
+              .persist())
+    la = looked.select(F.col("id").alias("doc_a"),
+                       F.col("cluster_id").alias("la"))
+    lb = looked.select(F.col("id").alias("doc_b"),
+                       F.col("cluster_id").alias("lb"))
+    contracted = (
+        new_edges.join(la, "doc_a").join(lb, "doc_b")
+        .filter(F.col("la") != F.col("lb"))
+        .select(F.least("la", "lb").alias("doc_a"),
+                F.greatest("la", "lb").alias("doc_b"))
+        .distinct()
+    )
+    merges = connected_components(contracted)
+    remap = (merges.filter(F.col("id") != F.col("cluster_id"))
+             .select(F.col("id").alias("cluster_id"),
+                     F.col("cluster_id").alias("_new"))
+             .persist())
+
+    # the touched-bucket set: buckets of every merge-map key (old AND
+    # new labels — destinations gain rows) plus the fresh singletons'
+    # destination labels. Bounded by n_buckets after distinct — a
+    # driver collect of at most K small ints, never row data.
+    fresh = looked.filter(F.col("_fresh"))
+    touch_labels = (remap.select(F.col("cluster_id").alias("l"))
+                    .unionByName(remap.select(F.col("_new").alias("l")))
+                    .unionByName(fresh.select(
+                        F.col("cluster_id").alias("l"))))
+    touched = sorted({
+        int(r.b) for r in
+        touch_labels.select(_lbk(F.col("l"), n_buckets).alias("b"))
+        .distinct().collect()
+    })
+    if not touched:
+        looked.unpersist()
+        remap.unpersist()
+        return read_labels_store(spark, path)
+
+    in_touched = F.col("lbk").isin(touched)
+    # fresh singleton rows, final label applied (their own id may have
+    # been merged away in the same fold)
+    fresh_rows = (fresh.join(F.broadcast(remap), "cluster_id", "left")
+                  .select("id", F.coalesce("_new", "cluster_id")
+                          .alias("cluster_id")))
+    updated = (
+        store.filter(in_touched)  # planning-time partition pruning
+        .select("id", "cluster_id")
+        .join(F.broadcast(remap), "cluster_id", "left")
+        .select("id", F.coalesce("_new", "cluster_id").alias("cluster_id"))
+        .unionByName(fresh_rows)
+    )
+
+    if not write:
+        out = (store.filter(~in_touched).select("id", "cluster_id")
+               .unionByName(updated))
+        # the persisted frames back the LAZY result — register them
+        # for the caller's post-materialization release (the absorb
+        # append=False discipline, VERDICT r16 #6)
+        from last_minute_legends_spark.operators.dedup_delta import (
+            _ABSORB_PERSISTS,
+        )
+        _ABSORB_PERSISTS.extend([looked, remap])
+        return out
+
+    # stage ONLY the touched buckets, then swap each directory in.
+    # Every updated row's destination bucket is itself touched (see
+    # module docstring), so the complement partitions need no staging
+    # and keep byte identity.
+    staging = f"{root}__merge_staged_{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    (updated.withColumn("lbk", _lbk(F.col("cluster_id"), n_buckets))
+     .repartition(F.col("lbk"))
+     .sortWithinPartitions("id")
+     .write.partitionBy("lbk").mode("overwrite").parquet(staging))
+    try:
+        for b in touched:
+            live = os.path.join(root, f"lbk={b}")
+            src = os.path.join(staging, f"lbk={b}")
+            old = f"{live}__old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(live):
+                os.rename(live, old)
+            if os.path.exists(src):
+                os.rename(src, live)
+            # a bucket can legitimately empty out (all its clusters
+            # merged into other buckets): no staged dir → live stays
+            # absent
+            shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    looked.unpersist()
+    remap.unpersist()
+    # refresh: the swap changed files under the read path
+    spark.catalog.refreshByPath(root)
+    return read_labels_store(spark, path)

@@ -468,12 +468,16 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ["x1", "x2", "x3"], "y", iters=QM_ITERS, lr=QM_LR)
     z = (F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
          + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3"))
-    return sig.select(
+    # eager materialize + unpersist sig: persist hygiene across the
+    # driver's 116-entry single-session sweep (VERDICT r16 #6)
+    out = sig.select(
         "doc_id",
         F.col("y").cast("long").alias("label"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
         .alias("model_score"),
-    ).orderBy("doc_id")
+    ).orderBy("doc_id").localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
 
 
 def _quality_model_sql(iters: int = QM_ITERS, lr: float = QM_LR) -> str:

@@ -314,10 +314,19 @@ def dedup_embedding_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"v1-mod5-t{COSINE_THRESHOLD}")
     layout_cache.build_once(idx, lambda tmp: write_embedding_index(
         base, tmp, COSINE_THRESHOLD))
-    # read-only absorb: the cached layout is shared across processes
-    return absorb_embedding_delta(
+    # read-only absorb: the cached layout is shared across processes.
+    # Eager materialize + release (VERDICT r16 #6 persist hygiene)
+    from last_minute_legends_spark.operators.dedup_delta import (
+        release_absorb_persists,
+    )
+
+    out = absorb_embedding_delta(
         spark, base, delta, idx, append=False,
-    ).orderBy("vec_a", "vec_b")
+    ).orderBy("vec_a", "vec_b").localCheckpoint(eager=True)
+    for f in (base, emb):
+        f.unpersist()
+    release_absorb_persists()
+    return out
 
 
 def dedup_minhash_lsh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,12 +484,22 @@ def dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         perm_hash=md5_perm_hash, band_hash=concat_band_key))
     # read-only absorb (append=False): the cached layout is shared
     # across calls/processes, so the query must not mutate it — the
-    # append lifecycle is exercised on private copies in tests
-    return absorb_delta(
+    # append lifecycle is exercised on private copies in tests.
+    # Eagerly materialize the (small) pair frame, then release the
+    # absorb's internal persists: the driver runs 116 entries through
+    # one session, so leaked persists accumulate executor storage
+    # across the sweep (VERDICT r16 #6)
+    from last_minute_legends_spark.operators.dedup_delta import (
+        release_absorb_persists,
+    )
+
+    out = absorb_delta(
         spark, base, delta, idx, JACCARD_THRESHOLD,
         perm_hash=md5_perm_hash, band_hash=concat_band_key,
         append=False,
-    ).orderBy("doc_a", "doc_b")
+    ).orderBy("doc_a", "doc_b").localCheckpoint(eager=True)
+    release_absorb_persists()
+    return out
 
 
 def stream_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,7 +559,7 @@ def dedup_clusters_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         concat_band_key, md5_perm_hash,
     )
     from last_minute_legends_spark.operators.dedup_delta import (
-        absorb_delta, merge_cluster_labels, stored_pairs,
+        absorb_delta, stored_pairs,
         write_band_index,
     )
     from last_minute_legends_spark.sources import layout_cache
@@ -557,16 +576,25 @@ def dedup_clusters_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         perm_hash=md5_perm_hash, band_hash=concat_band_key))
     stored = stored_pairs(spark, idx)
     # the labels ARE the maintained state a deployment persists
-    # between epochs — cache them per corpus fingerprint beside the
-    # band index (one CC run per corpus, absorb+merge per epoch)
+    # between epochs — cached per corpus fingerprint as the
+    # BUCKET-PARTITIONED store (operators/labels_store.py, r17): the
+    # fold's relabel reads only the bucket partitions holding a
+    # merge-map key (planning-time lbk IN (...)), so per-epoch label
+    # I/O is epoch-sized, not corpus-sized (VERDICT r16 #1). The
+    # shared cache is read-only, so the merge runs write=False (the
+    # absorb append=False discipline); the touched-buckets-only
+    # REWRITE path is locked by tests/test_labels_store.py and
+    # measured by the dedup_clusters_delta ladder cells.
+    from last_minute_legends_spark.operators.labels_store import (
+        merge_labels_store, write_labels_store,
+    )
+
     lab_dir = layout_cache.layout_dir(
         "dedup_base_labels",
         os.path.join(sf_dir, "documents.parquet"),
-        f"v1-md5-mod{DELTA_MOD}-t{JACCARD_THRESHOLD}")
-    layout_cache.build_once(lab_dir, lambda tmp: (
-        connected_components(stored_pairs(spark, idx))
-        .write.mode("overwrite").parquet(os.path.join(tmp, "labels"))))
-    base_labels = spark.read.parquet(os.path.join(lab_dir, "labels"))
+        f"v3-store-md5-mod{DELTA_MOD}-t{JACCARD_THRESHOLD}")
+    layout_cache.build_once(lab_dir, lambda tmp: write_labels_store(
+        connected_components(stored_pairs(spark, idx)), tmp))
     full = absorb_delta(
         spark, base, delta, idx, JACCARD_THRESHOLD,
         perm_hash=md5_perm_hash, band_hash=concat_band_key,
@@ -576,8 +604,18 @@ def dedup_clusters_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lookups) — unpersisted, the absorb re-executes per consumer
     new_edges = full.join(stored.select("doc_a", "doc_b"),
                           ["doc_a", "doc_b"], "left_anti").persist()
-    return (merge_cluster_labels(base_labels, new_edges)
-            .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
+    # eager materialize, then release every pinned frame (VERDICT
+    # r16 #6: persists leaked across the driver's 116-entry sweep)
+    from last_minute_legends_spark.operators.dedup_delta import (
+        release_absorb_persists,
+    )
+
+    out = (merge_labels_store(spark, lab_dir, new_edges, write=False)
+           .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+           .localCheckpoint(eager=True))
+    new_edges.unpersist()
+    release_absorb_persists()
+    return out
 
 
 def stream_clusters_delta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -212,10 +212,14 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from last_minute_legends_spark.operators.multimodal import phash_images
 
     sig = phash_images(_phash_payloads(spark, sf_dir)).persist()
-    return hamming_band_pairs(
+    # eager materialize + unpersist: persist hygiene across the
+    # driver's 116-entry single-session sweep (VERDICT r16 #6)
+    out = hamming_band_pairs(
         sig, ["ph0", "ph1"], [32, 32], band_width=16,
         max_hamming=PHASH_MAX_HAMMING,
-    ).orderBy("doc_a", "doc_b")
+    ).orderBy("doc_a", "doc_b").localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
 
 
 def dedup_phash_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,14 +254,27 @@ def dedup_phash_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phash_band_index",
         os.path.join(sf_dir, "documents.parquet"),
         f"v1-mod5-h{PHASH_MAX_HAMMING}")
-    layout_cache.build_once(idx, lambda tmp: write_hamming_index(
-        phash_images(base).persist(), tmp, ["ph0", "ph1"], [32, 32],
-        band_width=16, max_hamming=PHASH_MAX_HAMMING))
+    def _build(tmp: str) -> None:
+        base_sig = phash_images(base).persist()
+        write_hamming_index(base_sig, tmp, ["ph0", "ph1"], [32, 32],
+                            band_width=16,
+                            max_hamming=PHASH_MAX_HAMMING)
+        base_sig.unpersist()
+
+    layout_cache.build_once(idx, _build)
     delta_sig = phash_images(delta).persist()
-    # read-only absorb: the cached layout is shared across processes
-    return absorb_hamming_delta(
+    # read-only absorb: the cached layout is shared across processes.
+    # Eager materialize + release (VERDICT r16 #6 persist hygiene)
+    from last_minute_legends_spark.operators.dedup_delta import (
+        release_absorb_persists,
+    )
+
+    out = absorb_hamming_delta(
         spark, delta_sig, idx, append=False,
-    ).orderBy("doc_a", "doc_b")
+    ).orderBy("doc_a", "doc_b").localCheckpoint(eager=True)
+    delta_sig.unpersist()
+    release_absorb_persists()
+    return out
 
 
 # From-scratch DuckDB replay of the byte-segment aHash + 4x16 banding

@@ -336,6 +336,35 @@ def test_stream_epoch_redelivery_idempotent(spark, sf_dir, tmp_path):
         minhash_lsh_pairs(docs, THRESHOLD))
 
 
+def test_redelivery_fallback_branch_no_shingle_doubling(spark, sf_dir,
+                                                        tmp_path):
+    """ADVICE r16: the verify FALLBACK branch (candidate ids >
+    static_max → shuffle semi-join instead of literals) must exclude
+    the delta's own ids like the static branch does. Scenario: a
+    foreachBatch retry after a crash in the post-land health step —
+    the epoch's band rows are already appended AND the epoch's docs
+    are already in the indexed corpus. Without the left_anti, sh_all
+    carries each delta doc's shingles twice, doubling intersection
+    counts and inflating jaccard (pairs appear that the single-shot
+    run rejects). static_max=0 forces the fallback on both the probe
+    and the verify id fetch."""
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    e1 = docs.filter(F.col("doc_id") % 4 == 0)
+    idx = str(tmp_path / "idx")
+    write_band_index(base, idx, THRESHOLD)
+
+    # first delivery: appends e1's band rows into the layout
+    absorb_delta(spark, base, e1, idx, THRESHOLD, append=True)
+    # retry AFTER the corpus landed: indexed side now CONTAINS e1
+    redelivered = _pairs(absorb_delta(
+        spark, base.unionByName(e1), e1, idx, THRESHOLD,
+        append=False, static_max=0).distinct())
+    single = _pairs(minhash_lsh_pairs(docs, THRESHOLD))
+    assert redelivered == single
+    assert not any(a == b for a, b, _ in redelivered)
+
+
 def test_compaction_lock_serializes_and_steals_stale(spark, sf_dir,
                                                      tmp_path):
     """Two concurrent compactions must not interleave the four-rename
@@ -367,6 +396,68 @@ def test_compaction_lock_serializes_and_steals_stale(spark, sf_dir,
     assert not os.path.exists(f"{idx}__compact.lock")
 
 
+def test_probe_recovery_skips_live_compaction(tmp_path):
+    """ADVICE r16: probe-side recovery must not yank ``__old`` back
+    out from under a LIVE compaction mid-swap — it skips when the
+    lock file names a live foreign owner, and proceeds once the owner
+    is dead (crashed compaction)."""
+    import subprocess
+
+    from last_minute_legends_spark.operators import dedup_delta as dd
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    os.makedirs(os.path.join(f"{path}__old", "bands"))
+
+    proc = subprocess.Popen(["sleep", "60"])
+    try:
+        with open(f"{path}__compact.lock", "w") as fh:
+            fh.write(str(proc.pid))
+        # live owner: apparent mid-swap state is an in-flight swap
+        assert dd.recover_interrupted_compaction(path) is False
+        assert os.path.isdir(os.path.join(f"{path}__old", "bands"))
+    finally:
+        proc.kill()
+        proc.wait()
+    # same lock file, owner now dead: recovery restores the layout
+    assert dd.recover_interrupted_compaction(path) is True
+    assert os.path.isdir(os.path.join(path, "bands"))
+
+
+def test_embedding_params_travel_with_bands_dir(spark, sf_dir, tmp_path):
+    """ADVICE r16: the embedding tier's geometry params must be
+    installed atomically WITH the band rows they describe — they live
+    inside the bands dir (one os.rename swaps both), and compaction's
+    Spark rewrite of the bands dir must carry them across so a
+    compacted index still absorbs."""
+    from last_minute_legends_spark.operators import dedup_delta as dd
+    from last_minute_legends_spark.operators.similarity import (
+        with_unit_vectors,
+    )
+    from last_minute_legends_spark.plans.dedup_q import (
+        COSINE_THRESHOLD, _embedding_corpus,
+    )
+
+    emb = with_unit_vectors(_embedding_corpus(spark, sf_dir)).persist()
+    base = emb.filter(F.col("id") % 2 == 0).persist()
+    idx = str(tmp_path / "eidx")
+    dd.write_embedding_index(base, idx, COSINE_THRESHOLD)
+    assert os.path.exists(dd._eparams_path(idx))
+    assert not os.path.exists(os.path.join(idx, dd._EPARAMS))
+
+    before = {(r.vec_a, r.vec_b) for r in
+              dd.stored_pairs(spark, idx).collect()}
+    dd.compact_band_index(spark, idx)
+    assert os.path.exists(dd._eparams_path(idx)), \
+        "compaction must carry the in-bands params file"
+    # the compacted index still reads its params and absorbs
+    delta = emb.filter(F.col("id") % 2 == 1)
+    out = dd.absorb_embedding_delta(spark, base, delta, idx,
+                                    append=False)
+    got = {(r.vec_a, r.vec_b) for r in out.collect()}
+    assert before <= got
+
+
 def test_stream_absorb_health_trigger_compacts(spark, sf_dir, tmp_path,
                                                monkeypatch):
     """VERDICT r15 #7: the streaming sink itself must run the
@@ -391,16 +482,16 @@ def test_stream_absorb_health_trigger_compacts(spark, sf_dir, tmp_path,
     base.write.mode("overwrite").parquet(corpus)
 
     monkeypatch.setattr(dd, "COMPACT_FILES_PER_DIR", -1)
-    stream_absorb_epoch(spark, e1, 0, idx, corpus, THRESHOLD,
+    stream_absorb_epoch(spark, e1, 1, idx, corpus, THRESHOLD,
                         health_every=2)
-    # epoch 0: no health check (0 % 2 != 1) — appended files remain
+    # epoch 1: no health check (1 % 2 != 0) — appended files remain
     frag = max(len(_glob.glob(os.path.join(d, "*.parquet")))
                for d in _glob.glob(os.path.join(idx, "bands",
                                                 "band=*", "bvb=*")))
     assert frag >= 2, "append should have fragmented at least one dir"
-    stream_absorb_epoch(spark, e2, 1, idx, corpus, THRESHOLD,
+    stream_absorb_epoch(spark, e2, 2, idx, corpus, THRESHOLD,
                         health_every=2)
-    # epoch 1 hits the boundary: forced-on health → compaction ran
+    # epoch 2 hits the boundary: forced-on health → compaction ran
     frag2 = max(len(_glob.glob(os.path.join(d, "*.parquet")))
                 for d in _glob.glob(os.path.join(idx, "bands",
                                                  "band=*", "bvb=*")))
@@ -442,8 +533,10 @@ def test_embedding_delta_equals_single_shot_and_chains(spark, sf_dir,
 
     idx = str(tmp_path / "eidx")
     write_embedding_index(base, idx, COSINE_THRESHOLD)
-    with open(os.path.join(idx, "_embedding_index_params.json")) as fh:
-        p = _json.load(fh)
+    from last_minute_legends_spark.operators.dedup_delta import (
+        _read_eparams,
+    )
+    p = _read_eparams(idx)
     planes = _frozen_planes(spark, p)
 
     def single(frame):
@@ -476,6 +569,7 @@ def test_embedding_index_health_and_reband(spark, sf_dir, tmp_path):
 
     from last_minute_legends_spark.operators.dedup import lsh_params
     from last_minute_legends_spark.operators.dedup_delta import (
+        _read_eparams,
         absorb_embedding_delta,
         embedding_index_health,
         reband_embedding_index,
@@ -511,8 +605,7 @@ def test_embedding_index_health_and_reband(spark, sf_dir, tmp_path):
     d2 = emb.filter(F.col("id") % 3 == 2).persist()
     base_d1 = base.unionByName(d1).persist()
     reband_embedding_index(spark, base_d1, idx)
-    with open(os.path.join(idx, "_embedding_index_params.json")) as fh:
-        p = _json.load(fh)
+    p = _read_eparams(idx)
     assert p["n_indexed"] == base_d1.count()
 
     from last_minute_legends_spark.operators.dedup import (

@@ -113,6 +113,11 @@ CELLS = [
     # cost (the ann_ivf_probe_indexed economics).
     "dedup_delta_fixed",
     "dedup_delta_prop",
+    # r17: the cluster-label fold measured end-to-end INCLUDING the
+    # touched-bucket rewrite I/O (VERDICT r16 #1/#2); the streaming
+    # twin (stream_clusters_delta_xx) is under the streaming section
+    "dedup_clusters_delta_fixed",
+    "dedup_clusters_delta_prop",
     "dedup_phash",        # r15: Arrow-pass aHash + hamming band join
     "zorder_documents",   # r15: Morton rewrite + 2-D scoped dedup read
     "ann_ivf_topk",
@@ -210,6 +215,8 @@ CELLS = [
     # per-batch instead of corpus-scale)
     "stream_outer_join",  # r14: left-outer form — same state bound, plus
     # eviction-time null emission for never-converted views
+    "stream_clusters_delta_xx",  # r17: streaming absorb + bucket-store
+    # label fold, production hashes (VERDICT r16 #7)
     "stream_partitioned_landing",
     "cdc_merge_upsert",
     "compact_small_files",
@@ -605,6 +612,88 @@ def _emb_delta_cell(fixed: bool):
     return cell
 
 
+def _clusters_delta_cell(fixed: bool):
+    """Ladder cells for the INCREMENTAL CLUSTER-LABEL fold (r17,
+    VERDICT r16 #1/#2: the fold's scale claim was test-locked but
+    unmeasured). Per timed run: absorb the epoch against the cached
+    band index (the dedup_delta cells' absorb), derive its NEW edges,
+    then fold them into a private hardlink-clone of the cached
+    bucket-partitioned labels store with ``write=True`` — so the
+    measured cost INCLUDES the touched-bucket rewrite I/O the bucket
+    layout exists to bound. ``fixed`` holds the epoch at
+    FIXED_DELTA_DOCS docs while the corpus (and the labels store,
+    auto-bucketed to corpus size) grows — the flat-ladder claim."""
+    from pyspark.sql import functions as F
+
+    from last_minute_legends_spark.operators.dedup import (
+        connected_components,
+    )
+    from last_minute_legends_spark.operators.dedup_delta import (
+        absorb_delta, stored_pairs, write_band_index,
+    )
+    from last_minute_legends_spark.operators.labels_store import (
+        merge_labels_store, write_labels_store,
+    )
+    from last_minute_legends_spark.sources import layout_cache
+    from last_minute_legends_spark.sources.tables import Catalog
+
+    def cell(spark, sf_dir):
+        import atexit
+        import shutil
+        import tempfile
+
+        docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        if fixed:
+            split = F.col("doc_id") < FIXED_DELTA_DOCS
+            tag = f"fix{FIXED_DELTA_DOCS}"
+        else:
+            split = F.col("doc_id") % 5 == 0
+            tag = "mod5"
+        base, delta = docs.filter(~split), docs.filter(split)
+        idx = layout_cache.layout_dir(
+            "dedup_band_index_ladder",
+            os.path.join(sf_dir, "documents.parquet"), f"v1-xx-{tag}")
+        layout_cache.build_once(
+            idx, lambda tmp: write_band_index(base, tmp, 0.8))
+        lab = layout_cache.layout_dir(
+            "dedup_labels_store_ladder",
+            os.path.join(sf_dir, "documents.parquet"), f"v1-xx-{tag}")
+        layout_cache.build_once(lab, lambda tmp: write_labels_store(
+            connected_components(stored_pairs(spark, idx)), tmp))
+        stored = stored_pairs(spark, idx)
+        full = absorb_delta(spark, base, delta, idx, 0.8, append=False)
+        # persist: the fold consumes the edge set three times (node
+        # extraction + both endpoint lookups) — the registry entry's
+        # reasoning; the runner's clearCache() releases it per run
+        new_edges = full.join(stored.select("doc_a", "doc_b"),
+                              ["doc_a", "doc_b"], "left_anti").persist()
+        # private mutable clone (hardlinks — the streaming pipeline's
+        # _clone_tree economics): the fold MUTATES its store
+        priv = tempfile.mkdtemp(prefix="llm_lab_ladder_")
+        atexit.register(shutil.rmtree, priv, ignore_errors=True)
+        from last_minute_legends_spark.streaming.pipeline import (
+            _clone_tree,
+        )
+        _clone_tree(lab, priv)
+        return merge_labels_store(spark, priv, new_edges, write=True)
+
+    return cell
+
+
+def _stream_clusters_cell(spark, sf_dir):
+    """Streaming label-maintenance ladder (r17, VERDICT r16 #7): the
+    full run_stream_dedup_delta lifecycle with maintain_labels=True on
+    production xxhash64 hashes — per-epoch absorb + bucket-store fold,
+    4 epochs. The cell's claim: per-epoch cost bounded by the epoch on
+    the streaming path too."""
+    from last_minute_legends_spark.streaming.pipeline import (
+        run_stream_dedup_delta,
+    )
+    return run_stream_dedup_delta(spark, sf_dir, n_epochs=4,
+                                  threshold=0.8, cache_tag="xx",
+                                  maintain_labels=True)
+
+
 def _join_agg_cell(spark, sf_dir):
     """r16 (VERDICT r15 #3): the aggregate-push stream join under the
     same 6-batch watermark-ordered delivery as the pair-emitting
@@ -624,6 +713,9 @@ SPECIAL_CELLS = {
     "stream_join_agg_mb": _join_agg_cell,
     "dedup_embedding_delta_fixed": _emb_delta_cell(fixed=True),
     "dedup_embedding_delta_prop": _emb_delta_cell(fixed=False),
+    "dedup_clusters_delta_fixed": _clusters_delta_cell(fixed=True),
+    "dedup_clusters_delta_prop": _clusters_delta_cell(fixed=False),
+    "stream_clusters_delta_xx": _stream_clusters_cell,
 }
 
 
