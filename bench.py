@@ -252,6 +252,9 @@ STREAMING = (
     # r16: the same stream also maintaining keeper labels per
     # micro-batch (contracted-graph merge; full-closure oracle)
     "stream_clusters_delta",
+    # r17: streaming image dedup — per-epoch hamming absorb, no
+    # corpus re-read (cached base hamming index)
+    "stream_phash_delta",
     "stream_partitioned_landing",
     # r13: incremental MV maintenance over the epoch landing (lands,
     # then folds one epoch at a time — timed end-to-end like the

@@ -277,6 +277,30 @@ def dedup_phash_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def stream_phash_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING image dedup (r17, VERDICT r16 #2) — the hamming-tier
+    incremental lifecycle on the Structured Streaming ingest path
+    (streaming/pipeline.py::run_stream_phash_delta), the LAION shape:
+    a quarter of the perceptual-hash corpus seeds the hamming band
+    index, the rest arrives base64-framed over a JSON file-stream
+    topic one epoch per micro-batch, and ``foreachBatch`` absorbs
+    each epoch with signature-sized work (the popcount verify rides
+    the band rows — no corpus re-read, no landing dir), consulting
+    ``band_index_health`` every few epochs. The final stored pair set
+    equals the single-shot dedup_phash output over the full corpus,
+    so the oracle is the UNCHANGED byte-segment replay
+    DEDUP_PHASH_SQL; redelivery idempotence and chained-absorb
+    equality are locked in tests/test_dedup_delta.py /
+    tests/test_labels_store.py patterns (test_stream_phash_delta)."""
+    from last_minute_legends_spark.streaming.pipeline import (
+        run_stream_phash_delta,
+    )
+
+    return run_stream_phash_delta(
+        spark, sf_dir, n_epochs=4, cache_tag="v1",
+    ).orderBy("doc_a", "doc_b")
+
+
 # From-scratch DuckDB replay of the byte-segment aHash + 4x16 banding
 # + hamming verify: byte extraction from hex(blob), per-segment
 # integer cross-multiply bits, two 32-bit words (DuckDB cannot shift
@@ -347,6 +371,7 @@ SPARK = {
     "multimodal_resize": multimodal_resize,
     "dedup_phash": dedup_phash,
     "dedup_phash_delta": dedup_phash_delta,
+    "stream_phash_delta": stream_phash_delta,
 }
 
 # r11: multimodal_resize, driver-hash-green on its first external
@@ -364,6 +389,8 @@ SQL = {
     # r15: the incremental form converges on the identical pair set —
     # same single-shot oracle (the dedup_delta pattern)
     "dedup_phash_delta": DEDUP_PHASH_SQL,
+    # r17: the streaming form chains the same absorbs — same oracle
+    "stream_phash_delta": DEDUP_PHASH_SQL,
 }
 
 LOCAL_SQL = {

@@ -1105,6 +1105,153 @@ def stream_absorb_epoch(spark: SparkSession, batch_df: DataFrame,
             compact_band_index(spark, idx)
 
 
+def stream_phash_absorb_epoch(spark: SparkSession, batch_df: DataFrame,
+                              epoch_id: int, idx: str,
+                              health_every: int = 2) -> None:
+    """ONE epoch of the streaming IMAGE-dedup sink (module-level so
+    the redelivery test can invoke it twice with the same epoch id):
+    perceptual-hash the epoch's payloads in one Arrow pass, absorb
+    the signatures against the persisted hamming band index (add-only
+    appends; the popcount verify rides the band rows, so no corpus
+    read at all), and consult ``band_index_health`` every
+    ``health_every`` epochs. Redelivery is wrong-row-safe the same
+    way the MinHash sink is: the ``doc_id !=`` probe guard plus the
+    final ``distinct()`` absorb duplicate-only appends."""
+    from last_minute_legends_spark.operators.dedup_delta import (
+        absorb_hamming_delta, band_index_health, compact_band_index,
+    )
+    from last_minute_legends_spark.operators.multimodal import (
+        phash_images,
+    )
+
+    sig = phash_images(batch_df.select(
+        "doc_id", F.unbase64(F.col("payload_b64")).alias("payload")))
+    absorb_hamming_delta(spark, sig, idx, append=True)
+    if health_every > 0 and int(epoch_id) > 0 \
+            and int(epoch_id) % health_every == 0:
+        if band_index_health(spark, idx)["compact_recommended"]:
+            compact_band_index(spark, idx)
+
+
+def run_stream_phash_delta(spark: SparkSession, sf_dir: str,
+                           n_epochs: int = 4,
+                           cache_tag: str | None = None) -> DataFrame:
+    """STREAMING INGEST IMAGE DEDUP (r17, VERDICT r16 #2) — the
+    incremental hamming-tier lifecycle (operators/dedup_delta.py::
+    absorb_hamming_delta) driven end-to-end by Structured Streaming:
+    the LAION-ingest shape, deduping a stream of images in flight.
+
+    - the perceptual-hash corpus (documents as opaque binary plus the
+      planted in-place-substituted companions —
+      plans/multimodal_q.py::_phash_payloads, the same frame the
+      batch entries hash) is split into ``n_epochs`` doc_id-range
+      groups; group 0 seeds the write-once hamming band index + the
+      stored pair set;
+    - the remaining groups arrive as a JSON file-stream topic
+      (payloads base64-framed on the wire — the binary-over-text
+      discipline of the Confluent wire tests), one group per
+      micro-batch, and ``foreachBatch`` absorbs each epoch:
+      signature-sized work only, since the hamming verify's popcount
+      arithmetic rides the band rows of BOTH sides — absorbing an
+      epoch never re-reads the indexed corpus (no landing dir at
+      all, unlike the MinHash form);
+    - every ``health_every`` epochs the sink consults
+      ``band_index_health`` and compacts when it fires.
+
+    Returns the stored pair set after the last epoch ==
+    the single-shot dedup_phash output over the full corpus
+    (per-document banding decomposes exactly; chained-absorb equality
+    is test-locked), so the registry entry carries the UNCHANGED
+    byte-segment replay oracle DEDUP_PHASH_SQL."""
+    from last_minute_legends_spark.operators.dedup_delta import (
+        stored_pairs, write_hamming_index,
+    )
+    from last_minute_legends_spark.operators.multimodal import (
+        phash_images,
+    )
+    from last_minute_legends_spark.plans.multimodal_q import (
+        PHASH_MAX_HAMMING, _phash_payloads,
+    )
+
+    staging = tempfile.mkdtemp(prefix="llm_spark_spd_")
+    atexit.register(shutil.rmtree, staging, ignore_errors=True)
+    payloads = _phash_payloads(spark, sf_dir)
+
+    fracs = [i / n_epochs for i in range(1, n_epochs)]
+    cuts = payloads.agg(F.expr(
+        f"percentile(doc_id, array({', '.join(map(str, fracs))}))"
+    ).alias("c")).collect()[0].c
+    grp = F.lit(0)
+    for c in cuts:
+        grp = grp + (F.col("doc_id") > F.lit(float(c))).cast("int")
+    tagged = payloads.withColumn("_grp", grp)
+
+    idx = f"{staging}/idx"
+    base = tagged.filter(F.col("_grp") == 0).drop("_grp")
+
+    def _build(tmp: str) -> None:
+        sig = phash_images(base).persist()
+        write_hamming_index(sig, tmp, ["ph0", "ph1"], [32, 32],
+                            band_width=16,
+                            max_hamming=PHASH_MAX_HAMMING)
+        sig.unpersist()
+
+    if cache_tag:
+        from last_minute_legends_spark.sources.layout_cache import (
+            build_once, layout_dir,
+        )
+
+        cached = build_once(
+            layout_dir("stream_phash_delta_base",
+                       os.path.join(sf_dir, "documents.parquet"),
+                       f"v1-{cache_tag}-e{n_epochs}-h{PHASH_MAX_HAMMING}"),
+            _build)
+        _clone_tree(cached, idx)
+    else:
+        _build(idx)
+
+    n_files = 8
+    os.makedirs(f"{staging}/in")
+    groups = []
+    for i in range(1, n_epochs):
+        gdir = f"{staging}/grp{i:03d}"
+        (tagged.filter(F.col("_grp") == i).drop("_grp")
+         .select(F.to_json(F.struct(
+             F.col("doc_id"),
+             F.base64(F.col("payload")).alias("payload_b64"))).alias("value"))
+         .repartition(n_files)
+         .write.mode("overwrite").text(gdir))
+        groups.append([
+            (f, os.path.join(f"{staging}/in",
+                             f"g{i:03d}-{os.path.basename(f)}"))
+            for f in sorted(glob.glob(os.path.join(gdir, "part-*")))])
+
+    parsed = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", n_files)
+        .load(f"{staging}/in")
+        .select(F.from_json(F.col("value"),
+                            "doc_id long, payload_b64 string").alias("d"))
+        .select("d.*")
+    )
+
+    def absorb(batch_df, epoch_id):
+        stream_phash_absorb_epoch(spark, batch_df, epoch_id, idx)
+
+    with sentinel_paced(spark):
+        q = (parsed.writeStream.foreachBatch(absorb)
+             .option("checkpointLocation", f"{staging}/ckpt")
+             .start())
+        deliver_group(groups[0])
+        q.processAllAvailable()
+        for g in groups[1:]:
+            deliver_group(g)
+            q.processAllAvailable()
+        q.stop()
+
+    return stored_pairs(spark, idx).distinct()
+
+
 def run_stream_dedup_delta(spark: SparkSession, sf_dir: str,
                            n_epochs: int = 4, threshold: float = 0.8,
                            perm_hash=None, band_hash=None,

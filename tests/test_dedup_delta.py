@@ -500,6 +500,82 @@ def test_stream_absorb_health_trigger_compacts(spark, sf_dir, tmp_path,
         minhash_lsh_pairs(docs, THRESHOLD))
 
 
+def test_stream_phash_delta_matches_single_shot(spark, sf_dir):
+    """The streaming image-dedup lifecycle (r17, VERDICT r16 #2): a
+    quarter of the phash corpus seeds the hamming index, the rest
+    streams in base64-framed one epoch per micro-batch — the final
+    stored pair set must equal single-shot hamming_band_pairs over
+    the full corpus (the oracle the registry entry carries)."""
+    from last_minute_legends_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from last_minute_legends_spark.operators.multimodal import (
+        phash_images,
+    )
+    from last_minute_legends_spark.plans.multimodal_q import (
+        PHASH_MAX_HAMMING, _phash_payloads,
+    )
+    from last_minute_legends_spark.streaming.pipeline import (
+        run_stream_phash_delta,
+    )
+
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in
+           run_stream_phash_delta(spark, sf_dir, n_epochs=4).collect()}
+    sig = phash_images(_phash_payloads(spark, sf_dir)).persist()
+    want = {(r.doc_a, r.doc_b, r.hamming) for r in hamming_band_pairs(
+        sig, ["ph0", "ph1"], [32, 32], band_width=16,
+        max_hamming=PHASH_MAX_HAMMING).collect()}
+    sig.unpersist()
+    assert want, "vacuous: planted companions must pair"
+    assert got == want
+
+
+def test_stream_phash_epoch_redelivery_idempotent(spark, sf_dir,
+                                                  tmp_path):
+    """Delivering the SAME image epoch twice through the streaming
+    sink must fabricate no self-pairs and leave the final stored pair
+    set (after distinct) exactly the single-shot result."""
+    from last_minute_legends_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from last_minute_legends_spark.operators.dedup_delta import (
+        stored_pairs, write_hamming_index,
+    )
+    from last_minute_legends_spark.operators.multimodal import (
+        phash_images,
+    )
+    from last_minute_legends_spark.plans.multimodal_q import (
+        PHASH_MAX_HAMMING, _phash_payloads,
+    )
+    from last_minute_legends_spark.streaming.pipeline import (
+        stream_phash_absorb_epoch,
+    )
+
+    payloads = _phash_payloads(spark, sf_dir)
+    base = payloads.filter(F.col("doc_id") % 2 == 0)
+    e1 = payloads.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "idx")
+    sig_b = phash_images(base).persist()
+    write_hamming_index(sig_b, idx, ["ph0", "ph1"], [32, 32],
+                        band_width=16, max_hamming=PHASH_MAX_HAMMING)
+    sig_b.unpersist()
+
+    wire = e1.select("doc_id",
+                     F.base64(F.col("payload")).alias("payload_b64"))
+    stream_phash_absorb_epoch(spark, wire, 1, idx)
+    stream_phash_absorb_epoch(spark, wire, 1, idx)  # redelivery
+
+    got = stored_pairs(spark, idx).distinct()
+    assert got.filter(F.col("doc_a") == F.col("doc_b")).count() == 0
+    sig_all = phash_images(payloads).persist()
+    want = {(r.doc_a, r.doc_b, r.hamming) for r in hamming_band_pairs(
+        sig_all, ["ph0", "ph1"], [32, 32], band_width=16,
+        max_hamming=PHASH_MAX_HAMMING).collect()}
+    sig_all.unpersist()
+    assert {(r.doc_a, r.doc_b, r.hamming)
+            for r in got.collect()} == want
+
+
 def test_embedding_delta_equals_single_shot_and_chains(spark, sf_dir,
                                                        tmp_path):
     """The embedding-family delta (sign-LSH tier, VERDICT r15 #1):
