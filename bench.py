@@ -119,6 +119,9 @@ HEADLINE = [
     "text_quality",
     "text_tfidf_topterms",
     "text_vocab_topk",
+    # r17: interpolated bigram LM — size-gated broadcast/shuffle
+    # scoring join on (w1, w2)
+    "text_bigram_logprob",
     "training_set",
     "train_val_split",
     "multimodal_features",

@@ -700,6 +700,126 @@ ORDER BY doc_id
 """
 
 
+# Interpolation weight for the bigram LM: p = λ·p(w2|w1) + (1-λ)·p(w2).
+# 0.75 is exactly representable in binary, so Spark and DuckDB compute
+# bit-identical probabilities.
+BIGRAM_LAMBDA = 0.75
+
+# Broadcast/shuffle gate for the bigram-table scoring join. The
+# unigram vocab is Heaps-sublinear and always broadcasts; the BIGRAM
+# table is the first LM state that outgrows a broadcast at corpus
+# scale (Heaps-regime growth in corpus size), so the join adapts: a
+# table at or under this many distinct bigrams is broadcast, above it
+# the scoring join shuffles on (w1, w2) — the DELTA_STATIC_MAX
+# size-gate discipline applied to a join strategy. The crossover is
+# measured by the r17 ladder's forced-regime cells
+# (text_bigram_logprob_bcast / _shuf in tools/scale_bench.py,
+# recorded in scale_local.json / BASELINE_LOCAL.md) — see those
+# records for the numbers; the gate exists to stop a driver/executor
+# OOM at genuine 100 TB bigram counts, where the table is GiBs of
+# strings no matter what local-mode timing says.
+BIGRAM_BROADCAST_MAX = 16_000_000
+
+
+def _bigram_logprob(spark: SparkSession, sf_dir: str,
+                    broadcast_max: int = BIGRAM_BROADCAST_MAX) -> DataFrame:
+    from last_minute_legends_spark.functions.text import words
+
+    docs = _docs_spread(spark, sf_dir)
+    arr = docs.select("doc_id", words(F.col("text")).alias("w"))
+    n = F.size("w")
+    pair = F.zip_with(
+        F.slice("w", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("w", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    bg = (arr.select("doc_id", F.explode(pair).alias("b"))
+          .select("doc_id", "b.w1", "b.w2"))
+    tok = arr.select(F.explode("w").alias("tok"))
+    c1 = tok.groupBy("tok").agg(F.count("*").cast("double").alias("c1"))
+    total = c1.agg(F.sum("c1").alias("tot"))
+    c2 = bg.groupBy("w1", "w2").agg(
+        F.count("*").cast("double").alias("c2")).persist()
+
+    # size-gated join strategy (see BIGRAM_BROADCAST_MAX)
+    if c2.limit(broadcast_max + 1).count() <= broadcast_max:
+        c2_side = F.broadcast(c2)
+    else:
+        c2_side = c2
+    ctx = c1.select(F.col("tok").alias("w1"), F.col("c1").alias("cctx"))
+    uni = c1.select(F.col("tok").alias("w2"), F.col("c1").alias("cuni"))
+    p = (F.lit(BIGRAM_LAMBDA) * (F.col("c2") / F.col("cctx"))
+         + F.lit(1.0 - BIGRAM_LAMBDA) * (F.col("cuni") / F.col("tot")))
+    neg_ll = F.avg(-F.log(p))
+    out = (
+        bg.join(c2_side, ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(uni), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(neg_ll, 4).alias("avg_neg_logprob"),
+            F.round(F.exp(F.round(neg_ll, 4)), 2).alias("ppl"),
+        )
+        .orderBy("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    c2.unpersist()
+    return out
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained INTERPOLATED BIGRAM-LM scoring (r17, VERDICT
+    r16 #3 — the KenLM order-2 shape): each document's mean negative
+    log-likelihood and perplexity under
+    p(w2|w1) = λ·c(w1,w2)/c(w1) + (1-λ)·c(w2)/N, trained on the
+    corpus itself. Where the unigram entry's model state always
+    broadcasts (Heaps-sublinear vocab), the bigram table is the first
+    LM state that CAN'T at 100 TB — the scoring join is therefore
+    size-gated between broadcast and a shuffle on (w1, w2)
+    (BIGRAM_BROADCAST_MAX, crossover measured in the r17 ladder's
+    forced-regime cells, not asserted).
+
+    Plan: one narrow pass builds per-doc bigram structs via
+    slice+zip_with (no positional self-join, no window), one
+    map-side-combinable agg each for c2/c1, then the adaptive scoring
+    join and a final per-doc agg. Docs with fewer than two tokens
+    have no bigrams and drop out (the oracle's join does the same).
+    Oracle: full DuckDB replay (TEXT_BIGRAM_SQL) — same tokenizer,
+    same interpolation arithmetic, 4dp/2dp rounding on both engines."""
+    return _bigram_logprob(spark, sf_dir)
+
+
+TEXT_BIGRAM_SQL = rf"""
+WITH d AS (
+    SELECT doc_id,
+           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+    FROM documents
+), bg AS (
+    SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+    FROM d, UNNEST(generate_series(1, len(w) - 1)) t(i)
+), c2 AS (
+    SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM bg GROUP BY w1, w2
+), t AS (
+    SELECT unnest(w) AS tok FROM d
+), c1 AS (
+    SELECT tok, CAST(count(*) AS DOUBLE) AS c1 FROM t GROUP BY tok
+), tot AS (
+    SELECT sum(c1) AS tot FROM c1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln({BIGRAM_LAMBDA} * (c2 / ctx.c1) + {1.0 - BIGRAM_LAMBDA} * (uni.c1 / tot))), 4) AS avg_neg_logprob,
+       round(exp(round(avg(-ln({BIGRAM_LAMBDA} * (c2 / ctx.c1) + {1.0 - BIGRAM_LAMBDA} * (uni.c1 / tot))), 4)), 2) AS ppl
+FROM bg
+JOIN c2 USING (w1, w2)
+JOIN c1 ctx ON bg.w1 = ctx.tok
+JOIN c1 uni ON bg.w2 = uni.tok, tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained BPE merge table (operators/bpe.py): 16 merge
     rounds over the word-frequency table. Iterative by nature →
@@ -845,6 +965,7 @@ SPARK = {
     "mixture_sample": mixture_sample_weighted,
     "corpus_stats": corpus_stats,
     "text_unigram_logprob": text_unigram_logprob,
+    "text_bigram_logprob": text_bigram_logprob,
     "train_bpe": train_bpe_merges,
     "bpe_tokenize": bpe_tokenize,
     "text_quality_model": text_quality_model,
@@ -873,6 +994,8 @@ SQL = {
     "mixture_sample": MIXTURE_SAMPLE_SQL,
     "corpus_stats": CORPUS_STATS_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_SQL,
+    # r17: the order-2 LM — full interpolated-probability replay
+    "text_bigram_logprob": TEXT_BIGRAM_SQL,
     "train_bpe": TRAIN_BPE_SQL,
     "bpe_tokenize": BPE_TOKENIZE_SQL,
     # r15: the learned scorer — the oracle replays the whole GD loop

@@ -164,6 +164,9 @@ CELLS = [
     "text_vocab_topk",
     "corpus_stats",
     "text_unigram_logprob",
+    "text_bigram_logprob",        # r17: order-2 LM, adaptive join
+    "text_bigram_logprob_bcast",  # forced broadcast regime —
+    "text_bigram_logprob_shuf",   # the measured join crossover
     "train_bpe",
     "bpe_tokenize",
     "text_quality_model",  # r15: GD fit = 8 fixed aggregate jobs over
@@ -680,6 +683,19 @@ def _clusters_delta_cell(fixed: bool):
     return cell
 
 
+def _bigram_cell(force: str):
+    """Forced-regime bigram-LM cells (r17, VERDICT r16 #3): the same
+    query with the scoring join pinned to broadcast or shuffle — the
+    measured crossover BIGRAM_BROADCAST_MAX documents."""
+    def cell(spark, sf_dir):
+        from last_minute_legends_spark.plans.curation_q import (
+            _bigram_logprob,
+        )
+        mx = (1 << 62) if force == "bcast" else 0
+        return _bigram_logprob(spark, sf_dir, broadcast_max=mx)
+    return cell
+
+
 def _stream_clusters_cell(spark, sf_dir):
     """Streaming label-maintenance ladder (r17, VERDICT r16 #7): the
     full run_stream_dedup_delta lifecycle with maintain_labels=True on
@@ -716,6 +732,8 @@ SPECIAL_CELLS = {
     "dedup_clusters_delta_fixed": _clusters_delta_cell(fixed=True),
     "dedup_clusters_delta_prop": _clusters_delta_cell(fixed=False),
     "stream_clusters_delta_xx": _stream_clusters_cell,
+    "text_bigram_logprob_bcast": _bigram_cell("bcast"),
+    "text_bigram_logprob_shuf": _bigram_cell("shuf"),
 }
 
 
