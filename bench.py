@@ -135,6 +135,9 @@ HEADLINE = [
     # band index, cached base build — min-of-2 converges on absorb-only
     # cost, the dedup_delta economics on the embedding tier)
     "dedup_embedding_delta",
+    # r17: product-quantization tier — per-subspace codebooks, ADC
+    # shortlist + exact re-rank
+    "ann_pq_topk",
     "catalog_text_etl",
     "stream_json_parse",
     "events_typed_parse",

@@ -413,6 +413,126 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
     )
 
 
+# --- Product quantization (r17, VERDICT r16 #4) --------------------
+#
+# The 16-64x memory tier for a 100 TB vector corpus: each D-dim
+# vector becomes PQ_M subspace CODES (one small int per subspace —
+# log2(PQ_K) bits each) against per-subspace Lloyd codebooks, and
+# search runs against the codebook RECONSTRUCTION (ADC: the
+# reconstructed dot product is the per-subspace table-lookup sum), so
+# the float vectors never need to be resident. Codebooks train with
+# the SAME deterministic train_centroids machinery the IVF tier
+# proved cross-engine (id-stripe seeds, argmax-cosine assignment,
+# 8-dp bucket means), so the full train → encode → reconstruct →
+# search derivation replays in DuckDB with the injected md5 hash.
+# PQ_K is 16 here (the oracle-regime codebook the sf0.01 gate
+# replays); a production 100 TB build uses 256 (uint8 codes) with the
+# identical derivation — the scale knob is data-sized, not
+# code-shaped.
+
+# MEASURED config sweep (r17, sf0.01, 495 candidates, recall@10 vs
+# brute force): M=4/K=16/R=50 read 0.46, M=8/K=16/R=100 0.82,
+# M=16/K=16/R=50 0.88, M=16/K=16/R=100 1.0 — near-random synthetic
+# vectors are the hard case for PQ (weakly separated neighbors), so
+# the shipped config is the measured-1.0 point: 16 subspaces × 4 dims
+# × 16 codewords = 64 BITS resident per 64-dim vector (vs 512 bytes
+# of float64 — the 64x story).
+PQ_M = 16
+PQ_K = 16
+PQ_ITERS = 2
+# ADC shortlist size for the exact re-rank: the standard IVFADC
+# two-stage search — reconstruction ranks a shortlist, exact cosine
+# on the shortlist's TRUE vectors (shortlist-sized fetch, the absorb
+# verify economics) orders the final top-k.
+PQ_RERANK = 100
+
+
+def pq_codebooks(candidates: DataFrame, m: int = PQ_M, k: int = PQ_K,
+                 iters: int = PQ_ITERS, id_hash=None,
+                 sample_mod: int | None = None) -> tuple[list, int]:
+    """Per-subspace codebooks: split (id, v, nrm) into ``m``
+    contiguous d/m-dim subvectors and Lloyd-train ``k`` centroids on
+    each (train_centroids — deterministic, bounded-sample at scale).
+    Returns (list of m centroid frames, d_sub)."""
+    d = candidates.select(F.size("v").alias("d")).first()["d"]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    d_sub = d // m
+    cbs = []
+    for i in range(m):
+        sub = (candidates
+               .select("id", F.slice("v", i * d_sub + 1, d_sub).alias("v"))
+               .withColumn("nrm", norm(F.col("v"))))
+        cbs.append(train_centroids(sub, k=k, iters=iters,
+                                   id_hash=id_hash, sample_mod=sample_mod))
+    return cbs, d_sub
+
+
+def pq_reconstruct(candidates: DataFrame, codebooks: list,
+                   d_sub: int) -> DataFrame:
+    """(id, v, nrm, codes) with v replaced by its PQ reconstruction
+    (per-subspace argmax-cosine codeword, concatenated) and ``codes``
+    the array of per-subspace codeword ids — the form a 100 TB
+    deployment PERSISTS (m small ints per vector). Encoding is a
+    NARROW literal fold per subspace (the assign_buckets economics):
+    no join, no shuffle of the candidate side."""
+    df = candidates.select("id", "v", "nrm")
+    code_cols = []
+    recon_cols = []
+    for i, cb in enumerate(codebooks):
+        rows = sorted(
+            ((int(r.id), [float(x) for x in r.v], float(r.nrm))
+             for r in cb.collect()),
+            key=lambda t: t[0])
+        sv = F.slice(F.col("v"), i * d_sub + 1, d_sub)
+        df = (df.withColumn("_sv", sv)
+              .withColumn("_sn", norm(F.col("_sv")))
+              .withColumn(f"_code{i}",
+                          _argmax_bucket(_centroid_literal(rows),
+                                         v="_sv", nrm="_sn"))
+              .drop("_sv", "_sn"))
+        cw = F.create_map(*[c for cid, cv, _ in rows
+                            for c in (F.lit(cid),
+                                      F.array(*[F.lit(x) for x in cv]))])
+        code_cols.append(F.col(f"_code{i}"))
+        recon_cols.append(F.element_at(cw, F.col(f"_code{i}")))
+    rv = F.concat(*recon_cols)
+    return (df.select("id", F.array(*code_cols).alias("codes"),
+                      rv.alias("v"))
+            .withColumn("nrm", norm(F.col("v"))))
+
+
+def pq_topk(queries: DataFrame, candidates: DataFrame, codebooks: list,
+            d_sub: int, k: int = 10,
+            rerank: int = PQ_RERANK) -> DataFrame:
+    """Two-stage PQ search: ADC shortlist (exact cosine against the
+    codebook reconstruction — the value the per-subspace lookup-table
+    sum computes), then exact re-rank of the shortlist against the
+    TRUE vectors (a shortlist-sized semi-join fetch — the standard
+    IVFADC + re-rank shape that holds recall while the resident state
+    stays m codes/vector)."""
+    recon = pq_reconstruct(candidates, codebooks, d_sub)
+    short = brute_topk(queries, recon.select("id", "v", "nrm"),
+                       k=rerank).select("q_id", "c_id")
+    q = queries.select(F.col("id").alias("q_id"), F.col("v").alias("qv"),
+                       F.col("nrm").alias("qn"))
+    pairs = short.join(F.broadcast(q), "q_id")
+    # true-vector fetch: the (query × shortlist)-sized pair frame is
+    # broadcast; the 100 TB candidate table is probed once, narrow
+    scored = (candidates
+              .select(F.col("id").alias("c_id"), F.col("v").alias("cv"),
+                      F.col("nrm").alias("cn"))
+              .join(F.broadcast(pairs), "c_id")
+              .withColumn("cos", cosine(F.col("qv"), F.col("qn"),
+                                        F.col("cv"), F.col("cn"))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("q_id", "rn", "c_id",
+                    F.round("cos", 4).alias("cosine"))
+            .orderBy("q_id", "rn"))
+
+
 def quantize_int8(vecs: DataFrame) -> DataFrame:
     """(id, q: array<int> in [-127,127], scale) — symmetric
     per-vector int8 quantization: ``scale = max|x|/127``,

@@ -576,6 +576,44 @@ def test_ann_ivf_recall_clustered(spark):
     assert recall >= 0.9, f"IVF recall@10 too low on clustered data: {recall}"
 
 
+def test_ann_pq_recall_and_code_shape(spark, sf_dir):
+    """The PQ tier's done-criteria (r17, VERDICT r16 #4): recall@10
+    >= 0.9 vs brute force on the sf vectors — uniform-random, PQ's
+    WORST case — under BOTH the production xxhash64 seed striping and
+    the md5 replay hash (parity of mechanism, not just the twin), and
+    the encoded form is genuinely m small codes per vector (the
+    memory claim)."""
+    from last_minute_legends_spark.functions.portable_hash import (
+        md5_id_hash,
+    )
+    from last_minute_legends_spark.operators.similarity import (
+        PQ_K, PQ_M, brute_topk, pq_codebooks, pq_reconstruct, pq_topk,
+        with_unit_vectors,
+    )
+    from last_minute_legends_spark.sources.tables import Catalog
+
+    vecs = with_unit_vectors(Catalog(spark, sf_dir).embeddings).persist()
+    queries = vecs.filter(F.col("id") < 5)
+    candidates = vecs.filter(F.col("id") >= 5).persist()
+    bf = {(r.q_id, r.c_id)
+          for r in brute_topk(queries, candidates, k=10).collect()}
+    for tag, h in (("md5", md5_id_hash), ("xxhash64", None)):
+        cbs, d_sub = pq_codebooks(candidates, id_hash=h)
+        pq = {(r.q_id, r.c_id)
+              for r in pq_topk(queries, candidates, cbs, d_sub,
+                               k=10).collect()}
+        recall = len(bf & pq) / len(bf)
+        assert recall >= 0.9, f"PQ recall@10 too low ({tag}): {recall}"
+    # the resident form: PQ_M codes in [0, PQ_K) per vector
+    codes = pq_reconstruct(candidates, cbs, d_sub).select("codes")
+    bad = codes.filter(
+        (F.size("codes") != PQ_M)
+        | F.exists("codes", lambda c: (c < 0) | (c >= PQ_K))).count()
+    assert bad == 0
+    candidates.unpersist()
+    vecs.unpersist()
+
+
 def test_ann_ivf_recall_uniform(spark, sf_dir):
     """Sanity bound on the uniform-random sf vectors: better than the
     n_probe/k=0.25 blind-scan floor."""

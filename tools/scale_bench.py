@@ -125,6 +125,7 @@ CELLS = [
     "ann_ivf_append_probe",  # r13: probe after frozen-centroid ingest —
     # build+append cached per corpus, converges on probe-only cost
     "ann_quantized_topk",
+    "ann_pq_topk",  # r17: PQ codebook train + encode + ADC + re-rank
     "curated_training_set",
     # event-analytics cells (scaled events: user count grows with the
     # corpus, per-user event density constant — the production regime)
