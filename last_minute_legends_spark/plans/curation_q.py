@@ -740,8 +740,11 @@ def _bigram_logprob(spark: SparkSession, sf_dir: str,
     c2 = bg.groupBy("w1", "w2").agg(
         F.count("*").cast("double").alias("c2")).persist()
 
-    # size-gated join strategy (see BIGRAM_BROADCAST_MAX)
-    if c2.limit(broadcast_max + 1).count() <= broadcast_max:
+    # size-gated join strategy (see BIGRAM_BROADCAST_MAX). limit()
+    # takes a java int, so an effectively-unbounded gate (the forced
+    # broadcast ladder cell) skips the probe instead of overflowing
+    if broadcast_max >= (1 << 31) - 1 \
+            or c2.limit(broadcast_max + 1).count() <= broadcast_max:
         c2_side = F.broadcast(c2)
     else:
         c2_side = c2
