@@ -711,13 +711,17 @@ BIGRAM_LAMBDA = 0.75
 # scale (Heaps-regime growth in corpus size), so the join adapts: a
 # table at or under this many distinct bigrams is broadcast, above it
 # the scoring join shuffles on (w1, w2) — the DELTA_STATIC_MAX
-# size-gate discipline applied to a join strategy. The crossover is
-# measured by the r17 ladder's forced-regime cells
-# (text_bigram_logprob_bcast / _shuf in tools/scale_bench.py,
-# recorded in scale_local.json / BASELINE_LOCAL.md) — see those
-# records for the numbers; the gate exists to stop a driver/executor
-# OOM at genuine 100 TB bigram counts, where the table is GiBs of
-# strings no matter what local-mode timing says.
+# size-gate discipline applied to a join strategy. MEASURED (r17
+# forced-regime ladder cells, scale_local.json): broadcast beats the
+# shuffle at every mult this box holds — x10 4.2 vs 4.5 s, x30
+# (5.6M bigrams) 9.2 vs 10.8, x100 (16.18M bigrams) 23.8 vs 42.0 —
+# the hash-map build is cheaper than shuffling the corpus-sized
+# exploded token stream, the classic broadcast-join rule. The gate
+# is therefore a MEMORY cap, not a speed crossover: at 16M+ rows of
+# string pairs the broadcast is GiB-scale per executor, the regime
+# where a real cluster OOMs. The x100 corpus lands just past it
+# (auto ran the shuffle there, 35.9 s — faster than the forced
+# shuffle's 42.0 because the gate's count() leaves c2 cached).
 BIGRAM_BROADCAST_MAX = 16_000_000
 
 
@@ -740,11 +744,15 @@ def _bigram_logprob(spark: SparkSession, sf_dir: str,
     c2 = bg.groupBy("w1", "w2").agg(
         F.count("*").cast("double").alias("c2")).persist()
 
-    # size-gated join strategy (see BIGRAM_BROADCAST_MAX). limit()
-    # takes a java int, so an effectively-unbounded gate (the forced
-    # broadcast ladder cell) skips the probe instead of overflowing
+    # size-gated join strategy (see BIGRAM_BROADCAST_MAX): a full
+    # count() on the PERSISTED c2, not a limit-probe — the scoring
+    # join needs all of c2 regardless, so the count materializes the
+    # cache the join then reuses, while a limit(n).count() probe
+    # short-circuits and leaves the cache partial (measured at x100:
+    # the limit-probe form re-derived c2 for the broadcast and read
+    # 70.6 s where the probe-free broadcast reads 23.8 s)
     if broadcast_max >= (1 << 31) - 1 \
-            or c2.limit(broadcast_max + 1).count() <= broadcast_max:
+            or c2.count() <= broadcast_max:
         c2_side = F.broadcast(c2)
     else:
         c2_side = c2
