@@ -211,15 +211,31 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from last_minute_legends_spark.operators.multimodal import phash_images
 
-    sig = phash_images(_phash_payloads(spark, sf_dir)).persist()
+    sig, lazy = _dedup_phash_plan(spark, sf_dir)
     # eager materialize + unpersist: persist hygiene across the
     # driver's 116-entry single-session sweep (VERDICT r16 #6)
-    out = hamming_band_pairs(
-        sig, ["ph0", "ph1"], [32, 32], band_width=16,
-        max_hamming=PHASH_MAX_HAMMING,
-    ).orderBy("doc_a", "doc_b").localCheckpoint(eager=True)
+    out = lazy.localCheckpoint(eager=True)
     sig.unpersist()
     return out
+
+
+def _dedup_phash_plan(spark: SparkSession, sf_dir: str):
+    """(persisted signature frame, LAZY pair frame) — the
+    pre-materialization plan the no-blob-shuffle contract is asserted
+    on (tests/test_plans.py): the public entry eagerly checkpoints
+    for persist hygiene, which collapses its visible plan to a
+    LogicalRDD scan."""
+    from last_minute_legends_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from last_minute_legends_spark.operators.multimodal import phash_images
+
+    sig = phash_images(_phash_payloads(spark, sf_dir)).persist()
+    lazy = hamming_band_pairs(
+        sig, ["ph0", "ph1"], [32, 32], band_width=16,
+        max_hamming=PHASH_MAX_HAMMING,
+    ).orderBy("doc_a", "doc_b")
+    return sig, lazy
 
 
 def dedup_phash_delta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -353,7 +353,19 @@ def test_multimodal_blobs_never_shuffled(spark, sf_dir, name):
     the MapInPandas there must be scan+project only."""
     from last_minute_legends_spark.plans.queries import QUERIES
 
-    plan = _plan(QUERIES[name](spark, sf_dir))
+    if name == "dedup_phash":
+        # the public entry eagerly checkpoints (persist hygiene,
+        # r17), collapsing its plan to a LogicalRDD — assert on the
+        # pre-materialization frame instead
+        from last_minute_legends_spark.plans.multimodal_q import (
+            _dedup_phash_plan,
+        )
+
+        sig, lazy = _dedup_phash_plan(spark, sf_dir)
+        plan = _plan(lazy)
+        sig.unpersist()
+    else:
+        plan = _plan(QUERIES[name](spark, sf_dir))
     assert "MapInPandas" in plan, f"{name}: expected an Arrow pass"
     below = plan.split("MapInPandas", 1)[1]
     # shuffle exchanges are the forbidden shape; dedup_phash's planted
