@@ -639,16 +639,35 @@ def main() -> None:
     # (their full-precision values are in bench_local.json regardless)
     # until the line fits, recording how many were elided so a reader
     # knows the map is a suffix-truncated view, not the whole suite.
+    # r17: prefer a suffix-truncated batch map WITH the streaming
+    # section over a complete batch map without it — the streaming
+    # lifecycle cells have no other stdout record, and the r17 run
+    # (77 batch + 18 streaming cells) silently lost all 18 to the
+    # (2/1, False) rungs while 20+ sub-second batch cells kept seats
     if len(line) > 1950:
         by_cost = sorted(timings, key=lambda k: timings[k])
+        payload["streaming"] = {k: fmt_secs(v, 1)
+                                for k, v in streaming.items()}
         omitted = 0
-        while len(line) > 1950 and omitted < len(by_cost):
+        # keep at least half the batch map; past that the streaming
+        # section is costing too much and is dropped instead
+        while len(line) > 1950 and omitted < len(by_cost) // 2:
             omitted += 1
             keep = set(by_cost[omitted:])
             payload["queries"] = {k: fmt_secs(v, 1)
                                   for k, v in timings.items() if k in keep}
             payload["queries_omitted"] = omitted
             line = json.dumps(payload, separators=(",", ":"))
+        if len(line) > 1950:
+            payload.pop("streaming", None)
+            while len(line) > 1950 and omitted < len(by_cost):
+                omitted += 1
+                keep = set(by_cost[omitted:])
+                payload["queries"] = {k: fmt_secs(v, 1)
+                                      for k, v in timings.items()
+                                      if k in keep}
+                payload["queries_omitted"] = omitted
+                line = json.dumps(payload, separators=(",", ":"))
     assert len(line) <= 1990, f"bench stdout line {len(line)} > capture window"
     # stop() BEFORE printing: any JVM shutdown noise on stderr then
     # precedes the JSON line instead of eating the tail of the
