@@ -261,6 +261,9 @@ STREAMING = (
     # r17: streaming image dedup — per-epoch hamming absorb, no
     # corpus re-read (cached base hamming index)
     "stream_phash_delta",
+    # r17: streaming embedding dedup — frozen-plane absorb per epoch,
+    # geometry-drift/compaction maintenance consulted in the sink
+    "stream_embedding_delta",
     "stream_partitioned_landing",
     # r13: incremental MV maintenance over the epoch landing (lands,
     # then folds one epoch at a time — timed end-to-end like the

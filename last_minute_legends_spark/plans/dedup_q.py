@@ -329,6 +329,32 @@ def dedup_embedding_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def stream_embedding_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING embedding dedup (r17) — the last near-dup tier's
+    incremental lifecycle on the Structured Streaming ingest path
+    (streaming/pipeline.py::run_stream_embedding_delta), completing
+    the set beside MinHash (stream_dedup_delta, r15) and image
+    (stream_phash_delta, r17): a quarter of the planted embedding
+    corpus seeds the frozen-geometry sign-LSH band index, the rest
+    arrives as JSON double arrays over a file-stream topic one epoch
+    per micro-batch, and ``foreachBatch`` absorbs each epoch
+    (delta-sized plane dots, size-gated literal probes, exact-cosine
+    verify against the landed corpus) with the tier's FULL
+    maintenance loop consulted per epoch boundary (geometry-drift
+    re-band, else fragmentation compaction). Final stored pair set ==
+    the single-shot dedup_embedding output, so the oracle is the
+    UNCHANGED exact all-pairs DEDUP_EMBEDDING_SQL — the hash match
+    proves the chained decomposition AND the LSH recall at the seed
+    geometry."""
+    from last_minute_legends_spark.streaming.pipeline import (
+        run_stream_embedding_delta,
+    )
+
+    return run_stream_embedding_delta(
+        spark, sf_dir, n_epochs=4, cache_tag="v1",
+    ).orderBy("vec_a", "vec_b")
+
+
 def dedup_minhash_lsh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_minhash_lsh`` with the portable md5-prefix hash
     injected (functions/portable_hash.py) in place of the production
@@ -1004,6 +1030,7 @@ SPARK = {
     "dedup_simhash_replay": dedup_simhash_replay,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_delta": dedup_embedding_delta,
+    "stream_embedding_delta": stream_embedding_delta,
     "dedup_clusters": dedup_clusters,
     "dedup_substring": dedup_substring,
     "dedup_substring_clean": dedup_substring_clean,
@@ -1045,6 +1072,10 @@ SQL = {
     # decomposition lossless (the dedup_delta oracle pattern on the
     # embedding tier)
     "dedup_embedding_delta": DEDUP_EMBEDDING_SQL,
+    # r17: the streaming form chains the same frozen-plane absorbs —
+    # same exact all-pairs oracle, recall at the seed geometry proven
+    # by the hash match
+    "stream_embedding_delta": DEDUP_EMBEDDING_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     # r11-new: in the gate window for their first external
     # observation (two long-green OLAP lenders moved to LOCAL_SQL —

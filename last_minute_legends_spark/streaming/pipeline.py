@@ -1252,6 +1252,175 @@ def run_stream_phash_delta(spark: SparkSession, sf_dir: str,
     return stored_pairs(spark, idx).distinct()
 
 
+def stream_embedding_absorb_epoch(spark: SparkSession,
+                                  batch_df: DataFrame, epoch_id: int,
+                                  idx: str, corpus: str,
+                                  health_every: int = 2) -> None:
+    """ONE epoch of the streaming EMBEDDING-dedup sink (module-level
+    for the redelivery test): unit-norm the epoch's vectors, absorb
+    against the persisted frozen-plane band index (the indexed side —
+    read only for the candidate-only exact-cosine verify — is the
+    corpus landed so far), land the epoch as an OVERWRITTEN subdir
+    (redelivery replaces, never double-lands), and consult BOTH
+    maintenance triggers every ``health_every`` epochs: file
+    fragmentation (compact) and the tier's unique band-geometry
+    drift (reband at the grown corpus size)."""
+    from last_minute_legends_spark.functions.vectors import norm
+    from last_minute_legends_spark.operators.dedup_delta import (
+        absorb_embedding_delta, compact_band_index,
+        embedding_index_health, reband_embedding_index,
+    )
+
+    delta = (batch_df.select("id", "v")
+             .withColumn("nrm", norm(F.col("v"))))
+    indexed = (spark.read.option("recursiveFileLookup", "true")
+               .parquet(corpus))
+    absorb_embedding_delta(spark, indexed, delta, idx, append=True)
+    (delta.write.mode("overwrite")
+     .parquet(os.path.join(corpus, f"epoch{int(epoch_id):06d}")))
+    if health_every > 0 and int(epoch_id) > 0 \
+            and int(epoch_id) % health_every == 0:
+        n_total = (spark.read.option("recursiveFileLookup", "true")
+                   .parquet(corpus).count())
+        h = embedding_index_health(spark, idx, n_total=n_total)
+        if h["reband_recommended"]:
+            emb = (spark.read.option("recursiveFileLookup", "true")
+                   .parquet(corpus))
+            reband_embedding_index(spark, emb, idx)
+        elif h["compact_recommended"]:
+            compact_band_index(spark, idx)
+
+
+def run_stream_embedding_delta(spark: SparkSession, sf_dir: str,
+                               n_epochs: int = 4,
+                               cache_tag: str | None = None) -> DataFrame:
+    """STREAMING INGEST EMBEDDING DEDUP (r17) — the third and last
+    near-dup tier's incremental lifecycle driven end-to-end by
+    Structured Streaming, completing the set (MinHash r15, hamming/
+    image stream_phash_delta r17): semantic dedup of a vector stream
+    in flight, the frozen-hyperplane absorb per micro-batch.
+
+    - the planted embedding corpus (plans/dedup_q.py::
+      _embedding_corpus — the same frame the batch entries hash) is
+      split into ``n_epochs`` id-range groups; group 0 seeds the
+      frozen-geometry sign-LSH band index (adaptive width at the SEED
+      corpus size — absorbs re-derive identical planes from the
+      params, nothing model-sized shipped) and lands as the corpus
+      base;
+    - the remaining groups arrive as a JSON file-stream topic
+      (vectors as JSON double arrays — Jackson round-trips IEEE
+      doubles exactly), one group per micro-batch; ``foreachBatch``
+      absorbs each epoch (delta-sized plane dots, size-gated literal
+      probes, exact-cosine verify fetching candidate vectors from the
+      landed corpus) then lands the epoch for the next batch's verify
+      side;
+    - every ``health_every`` epochs the sink consults
+      ``embedding_index_health``: geometry drift → staged atomic
+      re-band, else fragmentation → compaction — the full maintenance
+      loop of this tier, on the streaming path.
+
+    Returns the stored pair set after the last epoch == the
+    single-shot dedup_embedding output over the full corpus (the
+    lossless per-vector banding decomposition, chained), so the
+    registry entry carries the UNCHANGED exact all-pairs oracle
+    DEDUP_EMBEDDING_SQL — recall at the frozen seed geometry is part
+    of what the hash match proves."""
+    from last_minute_legends_spark.functions.vectors import norm
+    from last_minute_legends_spark.operators.dedup_delta import (
+        stored_pairs, write_embedding_index,
+    )
+    from last_minute_legends_spark.operators.similarity import (
+        with_unit_vectors,
+    )
+    from last_minute_legends_spark.plans.dedup_q import (
+        COSINE_THRESHOLD, _embedding_corpus,
+    )
+
+    staging = tempfile.mkdtemp(prefix="llm_spark_sed_")
+    atexit.register(shutil.rmtree, staging, ignore_errors=True)
+    emb = with_unit_vectors(_embedding_corpus(spark, sf_dir))
+
+    fracs = [i / n_epochs for i in range(1, n_epochs)]
+    cuts = emb.agg(F.expr(
+        f"percentile(id, array({', '.join(map(str, fracs))}))"
+    ).alias("c")).collect()[0].c
+    grp = F.lit(0)
+    for c in cuts:
+        grp = grp + (F.col("id") > F.lit(float(c))).cast("int")
+    tagged = emb.withColumn("_grp", grp)
+
+    idx = f"{staging}/idx"
+    corpus = f"{staging}/corpus"
+    base = tagged.filter(F.col("_grp") == 0).drop("_grp")
+
+    def _build(tmp: str) -> None:
+        b = base.persist()
+        write_embedding_index(b, os.path.join(tmp, "idx"),
+                              COSINE_THRESHOLD)
+        (b.select("id", "v", "nrm").write.mode("overwrite")
+         .parquet(os.path.join(tmp, "corpus")))
+        b.unpersist()
+
+    if cache_tag:
+        from last_minute_legends_spark.sources.layout_cache import (
+            build_once, layout_dir,
+        )
+
+        cached = build_once(
+            layout_dir("stream_embedding_delta_base",
+                       os.path.join(sf_dir, "embeddings.parquet"),
+                       f"v1-{cache_tag}-e{n_epochs}-t{COSINE_THRESHOLD}"),
+            _build)
+        _clone_tree(os.path.join(cached, "idx"), idx)
+        _clone_tree(os.path.join(cached, "corpus"), corpus)
+    else:
+        os.makedirs(staging, exist_ok=True)
+        tmpb = f"{staging}/build"
+        _build(tmpb)
+        os.rename(os.path.join(tmpb, "idx"), idx)
+        os.rename(os.path.join(tmpb, "corpus"), corpus)
+
+    n_files = 8
+    os.makedirs(f"{staging}/in")
+    groups = []
+    for i in range(1, n_epochs):
+        gdir = f"{staging}/grp{i:03d}"
+        (tagged.filter(F.col("_grp") == i).drop("_grp")
+         .select(F.to_json(F.struct("id", "v")).alias("value"))
+         .repartition(n_files)
+         .write.mode("overwrite").text(gdir))
+        groups.append([
+            (f, os.path.join(f"{staging}/in",
+                             f"g{i:03d}-{os.path.basename(f)}"))
+            for f in sorted(glob.glob(os.path.join(gdir, "part-*")))])
+
+    parsed = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", n_files)
+        .load(f"{staging}/in")
+        .select(F.from_json(F.col("value"),
+                            "id long, v array<double>").alias("d"))
+        .select("d.*")
+    )
+
+    def absorb(batch_df, epoch_id):
+        stream_embedding_absorb_epoch(spark, batch_df, epoch_id, idx,
+                                      corpus)
+
+    with sentinel_paced(spark):
+        q = (parsed.writeStream.foreachBatch(absorb)
+             .option("checkpointLocation", f"{staging}/ckpt")
+             .start())
+        deliver_group(groups[0])
+        q.processAllAvailable()
+        for g in groups[1:]:
+            deliver_group(g)
+            q.processAllAvailable()
+        q.stop()
+
+    return stored_pairs(spark, idx).distinct()
+
+
 def run_stream_dedup_delta(spark: SparkSession, sf_dir: str,
                            n_epochs: int = 4, threshold: float = 0.8,
                            perm_hash=None, band_hash=None,

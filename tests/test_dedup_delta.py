@@ -576,6 +576,104 @@ def test_stream_phash_epoch_redelivery_idempotent(spark, sf_dir,
             for r in got.collect()} == want
 
 
+def test_stream_embedding_delta_matches_single_shot(spark, sf_dir,
+                                                    tmp_path):
+    """The streaming embedding-dedup lifecycle (r17): a quarter of
+    the planted vector corpus seeds the frozen-geometry index, the
+    rest streams in as JSON double arrays — the final stored pair set
+    must equal single-shot embedding_lsh_pairs over the full corpus
+    AT THE SEED GEOMETRY (the frozen-plane chained decomposition),
+    which on this corpus equals the exact all-pairs oracle the
+    registry entry carries."""
+    from last_minute_legends_spark.operators.dedup import (
+        embedding_lsh_pairs,
+    )
+    from last_minute_legends_spark.operators.dedup_delta import (
+        _frozen_planes, _read_eparams, write_embedding_index,
+    )
+    from last_minute_legends_spark.operators.similarity import (
+        with_unit_vectors,
+    )
+    from last_minute_legends_spark.plans.dedup_q import (
+        COSINE_THRESHOLD, _embedding_corpus,
+    )
+    from last_minute_legends_spark.streaming.pipeline import (
+        run_stream_embedding_delta,
+    )
+
+    got = {(r.vec_a, r.vec_b, r.cosine) for r in
+           run_stream_embedding_delta(spark, sf_dir,
+                                      n_epochs=4).collect()}
+    # single-shot at the SAME seed geometry: re-derive the quarter's
+    # frozen params the stream trained with
+    emb = with_unit_vectors(_embedding_corpus(spark, sf_dir)).persist()
+    cut = emb.agg(F.expr("percentile(id, array(0.25))")
+                  .alias("c")).collect()[0].c[0]
+    seed_idx = str(tmp_path / "seed_idx")
+    write_embedding_index(emb.filter(F.col("id") <= float(cut)),
+                          seed_idx, COSINE_THRESHOLD)
+    p = _read_eparams(seed_idx)
+    planes = _frozen_planes(spark, p)
+    want = {(r.vec_a, r.vec_b, r.cosine) for r in embedding_lsh_pairs(
+        emb, planes=planes, threshold=COSINE_THRESHOLD,
+        n_bands=p["n_bands"]).collect()}
+    emb.unpersist()
+    assert want, "vacuous: planted near-dups must pair"
+    assert got == want
+
+
+def test_stream_embedding_epoch_redelivery_idempotent(spark, sf_dir,
+                                                      tmp_path):
+    """Delivering the SAME vector epoch twice — including the
+    retry-after-corpus-landed shape, where the verify's indexed side
+    already contains the epoch — must fabricate no self-pairs and
+    leave the final pair set exactly the chained result."""
+    from last_minute_legends_spark.operators.dedup import (
+        embedding_lsh_pairs,
+    )
+    from last_minute_legends_spark.operators.dedup_delta import (
+        _frozen_planes, _read_eparams, stored_pairs,
+        write_embedding_index,
+    )
+    from last_minute_legends_spark.operators.similarity import (
+        with_unit_vectors,
+    )
+    from last_minute_legends_spark.plans.dedup_q import (
+        COSINE_THRESHOLD, _embedding_corpus,
+    )
+    from last_minute_legends_spark.streaming.pipeline import (
+        stream_embedding_absorb_epoch,
+    )
+
+    emb = with_unit_vectors(_embedding_corpus(spark, sf_dir)).persist()
+    base = emb.filter(F.col("id") % 2 == 0).persist()
+    e1 = emb.filter(F.col("id") % 2 == 1)
+    idx = str(tmp_path / "idx")
+    corpus = str(tmp_path / "corpus")
+    write_embedding_index(base, idx, COSINE_THRESHOLD)
+    base.select("id", "v", "nrm").write.mode("overwrite").parquet(corpus)
+
+    wire = e1.select("id", "v")
+    stream_embedding_absorb_epoch(spark, wire, 1, idx, corpus)
+    stream_embedding_absorb_epoch(spark, wire, 1, idx, corpus)
+
+    landed = (spark.read.option("recursiveFileLookup", "true")
+              .parquet(corpus))
+    assert landed.count() == emb.count()  # one copy of the epoch
+
+    got = stored_pairs(spark, idx).distinct()
+    assert got.filter(F.col("vec_a") == F.col("vec_b")).count() == 0
+    p = _read_eparams(idx)
+    planes = _frozen_planes(spark, p)
+    want = {(r.vec_a, r.vec_b, r.cosine) for r in embedding_lsh_pairs(
+        emb, planes=planes, threshold=COSINE_THRESHOLD,
+        n_bands=p["n_bands"]).collect()}
+    assert {(r.vec_a, r.vec_b, r.cosine)
+            for r in got.collect()} == want
+    base.unpersist()
+    emb.unpersist()
+
+
 def test_embedding_delta_equals_single_shot_and_chains(spark, sf_dir,
                                                        tmp_path):
     """The embedding-family delta (sign-LSH tier, VERDICT r15 #1):
