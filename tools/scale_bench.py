@@ -221,6 +221,9 @@ CELLS = [
     # eviction-time null emission for never-converted views
     "stream_clusters_delta_xx",  # r17: streaming absorb + bucket-store
     # label fold, production hashes (VERDICT r16 #7)
+    "stream_phash_delta",      # r17: streaming image-dedup lifecycle
+    "stream_embedding_delta",  # r17: streaming embedding-dedup
+    # lifecycle (frozen-plane absorbs; base build cached per corpus)
     "stream_partitioned_landing",
     "cdc_merge_upsert",
     "compact_small_files",
