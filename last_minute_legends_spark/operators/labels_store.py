@@ -134,10 +134,40 @@ def read_labels_store(spark: SparkSession, path: str) -> DataFrame:
 def recover_labels_store(path: str) -> bool:
     """Restore bucket dirs stranded mid-swap by a crashed fold: a
     ``lbk=<b>__old`` beside a MISSING live dir moves back; beside a
-    present live dir the swap finished — drop the leftover."""
+    present live dir the swap finished — drop the leftover.
+
+    Runs from every read path, so (the band-index lesson, ADVICE r16)
+    it must tolerate a LIVE fold: when the store's merge lock names a
+    live foreign owner, the apparent mid-swap state is an in-flight
+    swap — skip rather than yank ``__old`` back out from under it."""
+    from last_minute_legends_spark.operators.dedup_delta import (
+        _lock_owner_alive,
+    )
+
+    lock = f"{path}__merge.lock"
+    if os.path.exists(lock) and _lock_owner_alive(lock):
+        try:
+            with open(lock) as fh:
+                owner = int(fh.read().strip() or "0")
+        except (OSError, ValueError):
+            owner = 0
+        if owner != os.getpid():
+            return False
     root = os.path.join(path, _LABELS)
     if not os.path.isdir(root):
         return False
+    # a crashed fold's process-unique staging dir is dead weight once
+    # its owner pid is gone — sweep it so orphans don't accumulate
+    for name in os.listdir(path):
+        if "__merge_staged_" in name:
+            try:
+                pid = int(name.rsplit("_", 1)[-1])
+                os.kill(pid, 0)
+            except (ValueError, ProcessLookupError):
+                shutil.rmtree(os.path.join(path, name),
+                              ignore_errors=True)
+            except OSError:
+                pass  # EPERM: live foreign owner — leave it
     restored = False
     for name in os.listdir(root):
         if not name.endswith("__old"):
@@ -154,6 +184,49 @@ def recover_labels_store(path: str) -> bool:
         else:
             shutil.rmtree(saved, ignore_errors=True)
     return restored
+
+
+class _merge_lock:
+    """Exclusive per-store fold lock (the dedup_delta._compact_lock
+    sentinel with errno-precise liveness — EPERM is a LIVE foreign
+    owner, only ESRCH steals): two concurrent write-folds would
+    interleave their per-bucket swaps into a half-A-half-B labeling,
+    so writers serialize; readers consult the lock in
+    recover_labels_store instead of taking it."""
+
+    def __init__(self, path: str):
+        self.lock = f"{path}__merge.lock"
+
+    def __enter__(self):
+        from last_minute_legends_spark.operators.dedup_delta import (
+            _lock_owner_alive,
+        )
+
+        for _ in range(2):
+            try:
+                fd = os.open(self.lock,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                if not _lock_owner_alive(self.lock):
+                    try:
+                        os.unlink(self.lock)
+                    except OSError:
+                        pass
+                    continue
+                raise RuntimeError(
+                    f"label fold on {self.lock[:-len('__merge.lock')]!r} "
+                    "already in flight — retry after it finishes")
+        raise RuntimeError(f"could not acquire {self.lock}")
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.lock)
+        except OSError:
+            pass
+        return False
 
 
 def merge_labels_store(spark: SparkSession, path: str,
@@ -183,7 +256,20 @@ def merge_labels_store(spark: SparkSession, path: str,
     buckets pass through as a partition-pruned complement scan.
 
     A no-op epoch (every edge already intra-cluster, every node
-    already labeled) touches ZERO buckets."""
+    already labeled) touches ZERO buckets. Write-folds hold the
+    store's merge lock for their whole duration (lookup → contracted
+    CC → swap): interleaved per-bucket swaps from two concurrent
+    folds would leave a half-A-half-B labeling, and fold SEMANTICS
+    require serialization anyway (each fold's merge map is computed
+    against the labeling it rewrites)."""
+    if write:
+        with _merge_lock(path):
+            return _merge_impl(spark, path, new_edges, write=True)
+    return _merge_impl(spark, path, new_edges, write=False)
+
+
+def _merge_impl(spark: SparkSession, path: str, new_edges: DataFrame,
+                write: bool) -> DataFrame:
     from last_minute_legends_spark.operators.dedup import (
         connected_components,
     )

@@ -189,6 +189,50 @@ def test_stream_epoch_label_redelivery_converges(spark, sf_dir,
     assert _labels(read_labels_store(spark, labels)) == expect
 
 
+def test_merge_lock_serializes_and_recovery_skips_live(spark, tmp_path):
+    """Concurrency discipline (the band-index lessons, pre-empted):
+    a write-fold against a store whose merge lock names a LIVE
+    foreign owner refuses (interleaved bucket swaps would corrupt the
+    labeling); probe-side recovery skips the apparent mid-swap state
+    of a live fold; a DEAD owner's lock is stolen, its stale staging
+    dir swept, and the fold proceeds."""
+    import subprocess
+
+    import pytest
+
+    path = str(tmp_path / "store")
+    write_labels_store(spark.createDataFrame(
+        [(1, 1), (2, 1)], "id long, cluster_id long"), path)
+    root = os.path.join(path, "labels")
+
+    proc = subprocess.Popen(["sleep", "60"])
+    try:
+        with open(f"{path}__merge.lock", "w") as fh:
+            fh.write(str(proc.pid))
+        with pytest.raises(RuntimeError, match="in flight"):
+            merge_labels_store(spark, path, _edges(spark, [(1, 5)]))
+        bucket = next(d for d in os.listdir(root)
+                      if d.startswith("lbk="))
+        os.rename(os.path.join(root, bucket),
+                  os.path.join(root, bucket + "__old"))
+        assert recover_labels_store(path) is False  # live fold: skip
+        os.rename(os.path.join(root, bucket + "__old"),
+                  os.path.join(root, bucket))
+    finally:
+        proc.kill()
+        proc.wait()
+
+    # dead owner: lock stolen, stale staging swept, fold proceeds
+    with open(f"{path}__merge.lock", "w") as fh:
+        fh.write(str(proc.pid))
+    stale = os.path.join(path, f"labels__merge_staged_{proc.pid}")
+    os.makedirs(stale)
+    out = merge_labels_store(spark, path, _edges(spark, [(1, 5)]))
+    assert _labels(out) == {(1, 1), (2, 1), (5, 1)}
+    assert not os.path.exists(stale)
+    assert not os.path.exists(f"{path}__merge.lock")
+
+
 def test_recover_stranded_bucket_dir(spark, tmp_path):
     """A crash between the rename-out and rename-in of a bucket swap
     leaves ``lbk=<b>__old`` beside a missing live dir — the next read
