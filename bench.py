@@ -113,6 +113,9 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_simhash_replay",
     "dedup_embedding",
+    # r17b: SemDeDup — deterministic k-means + within-cluster prune
+    # (min-of-2 converges on assign+prune; training is the first run)
+    "dedup_semantic",
     "dedup_clusters",
     "ann_bruteforce_topk",
     "ann_ivf_topk",

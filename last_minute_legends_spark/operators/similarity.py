@@ -559,3 +559,58 @@ def dequantize(qvecs: DataFrame) -> DataFrame:
     on quantized inputs."""
     v = F.transform(F.col("q"), lambda x: x * F.col("scale"))
     return qvecs.select("id", v.alias("v")).withColumn("nrm", norm(F.col("v")))
+
+
+# --- Semantic dedup (SemDeDup) --------------------------------------
+#
+# Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication", arXiv:2303.09540): k-means cluster
+# the embedding space, then compare pairs ONLY within a cluster —
+# the clustering bounds the quadratic term the sign-LSH tier
+# (operators/dedup.py::embedding_lsh_pairs) bounds with random
+# hyperplanes. The two tiers are complementary: LSH recalls pairs
+# above a hard cosine threshold; SemDeDup groups by learned density
+# and is the shape used to PRUNE (keep one representative per
+# semantic duplicate group), which is why its output here is a
+# per-document keep/drop verdict, not a pair set.
+#
+# Determinism/scale: centroids come from train_centroids (id-stripe
+# seeds, argmax-cosine assignment, 8-dp means — the exact derivation
+# the DuckDB Lloyd replay value-checks cross-engine); assignment is
+# a NARROW literal fold (no shuffle of the corpus); the within-
+# cluster pair generation is one self-equi-join on bucket, so with
+# k ∝ n/TARGET_BUCKET_ROWS cluster sizes — and therefore pairs per
+# cluster — stay CONSTANT as the corpus grows: total cost linear,
+# never all-pairs.
+
+
+def semantic_keep(emb: DataFrame, centroids: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Per-document SemDeDup verdict: (id, bucket, keep, dup_of,
+    dup_cos) where a document is dropped (keep = 0) iff a SMALLER-id
+    member of its cluster sits within ``threshold`` cosine —
+    ``dup_of`` is the smallest such id (the kept representative the
+    drop dedups onto) and ``dup_cos`` that pair's exact cosine.
+    Min-id keeper election matches the repo's connected-components
+    convention; every verdict is deterministic (no RNG, exact
+    arithmetic), so the whole train → assign → prune derivation
+    replays in DuckDB (plans/dedup_q.py::DEDUP_SEMANTIC_SQL)."""
+    bucketed = assign_buckets(emb, centroids)
+    a = bucketed.select("bucket", F.col("id").alias("id_a"),
+                        F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = bucketed.select("bucket", F.col("id").alias("id_b"),
+                        F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = (a.join(b, "bucket")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", cosine(F.col("va"), F.col("na"),
+                                       F.col("vb"), F.col("nb")))
+             .filter(F.col("cos") >= threshold))
+    dom = (pairs.groupBy("id_b")
+           .agg(F.min("id_a").alias("dup_of"),
+                F.min_by("cos", "id_a").alias("dup_cos"))
+           .withColumnRenamed("id_b", "id"))
+    return (bucketed.select("id", "bucket")
+            .join(dom, "id", "left")
+            .select("id", "bucket",
+                    F.col("dup_of").isNull().cast("int").alias("keep"),
+                    "dup_of", F.round("dup_cos", 4).alias("dup_cos")))

@@ -131,6 +131,42 @@ def _ivf_assign_cte(name: str, cent: str, src: str = "cand") -> str:
 )"""
 
 
+def _lloyd_ctes(src: str, k: int, iters: int, prefix: str = "") -> list[str]:
+    """The unrolled deterministic Lloyd derivation as a reusable CTE
+    chain over ``src`` (an (id, v, nrm) relation): id-stripe seed
+    selection (``{prefix}cent0``) → ``iters`` iterations of
+    argmax-cosine assignment → 8-dp per-dimension bucket means → norm
+    re-form (empty buckets keep their centroid), ending in
+    ``{prefix}cent{iters}``. Shared verbatim by the IVF replay, the
+    per-subspace PQ replay, the IVF-PQ composition, and the semantic
+    dedup oracle (plans/dedup_q.py) — one training derivation,
+    replayed wherever train_centroids is the Spark-side model."""
+    parts = [f"""{prefix}cent0 AS MATERIALIZED (
+    SELECT bucket AS cent_id, arg_min(v, id) AS cv, arg_min(nrm, id) AS cn
+    FROM (SELECT id, v, nrm, {_IVF_DH} % {k} AS bucket FROM {src})
+    GROUP BY bucket
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(_ivf_assign_cte(f"{prefix}assign{i}",
+                                     f"{prefix}cent{i - 1}", src=src))
+        parts.append(f"""{prefix}means{i} AS MATERIALIZED (
+    SELECT bucket, list(m ORDER BY pos) AS mv
+    FROM (
+        SELECT bucket, pos, round(avg(v[pos]), 8) AS m
+        FROM {prefix}assign{i}, UNNEST(generate_series(1, len(v))) t(pos)
+        GROUP BY bucket, pos
+    ) GROUP BY bucket
+)""")
+        parts.append(f"""{prefix}cent{i} AS MATERIALIZED (
+    SELECT ct.cent_id,
+           coalesce(m.mv, ct.cv) AS cv,
+           CASE WHEN m.mv IS NULL THEN ct.cn
+                ELSE sqrt(list_dot_product(m.mv, m.mv)) END AS cn
+    FROM {prefix}cent{i - 1} ct LEFT JOIN {prefix}means{i} m ON m.bucket = ct.cent_id
+)""")
+    return parts
+
+
 def _ivf_replay_sql(with_append_delta: bool = False) -> str:
     """From-scratch DuckDB unroll of the full IVF derivation (the
     BPE-oracle pattern): id-stripe seed selection → IVF_ITERS Lloyd
@@ -145,29 +181,8 @@ def _ivf_replay_sql(with_append_delta: bool = False) -> str:
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
     FROM embeddings
 ), qry AS MATERIALIZED (SELECT * FROM n WHERE id < {N_QUERIES}),
-cand AS MATERIALIZED (SELECT * FROM n WHERE id >= {N_QUERIES}),
-cent0 AS MATERIALIZED (
-    SELECT bucket AS cent_id, arg_min(v, id) AS cv, arg_min(nrm, id) AS cn
-    FROM (SELECT id, v, nrm, {_IVF_DH} % {N_CENTROIDS} AS bucket FROM cand)
-    GROUP BY bucket
-)"""]
-    for i in range(1, IVF_ITERS + 1):
-        parts.append(_ivf_assign_cte(f"assign{i}", f"cent{i - 1}"))
-        parts.append(f"""means{i} AS MATERIALIZED (
-    SELECT bucket, list(m ORDER BY pos) AS mv
-    FROM (
-        SELECT bucket, pos, round(avg(v[pos]), 8) AS m
-        FROM assign{i}, UNNEST(generate_series(1, len(v))) t(pos)
-        GROUP BY bucket, pos
-    ) GROUP BY bucket
-)""")
-        parts.append(f"""cent{i} AS MATERIALIZED (
-    SELECT ct.cent_id,
-           coalesce(m.mv, ct.cv) AS cv,
-           CASE WHEN m.mv IS NULL THEN ct.cn
-                ELSE sqrt(list_dot_product(m.mv, m.mv)) END AS cn
-    FROM cent{i - 1} ct LEFT JOIN means{i} m ON m.bucket = ct.cent_id
-)""")
+cand AS MATERIALIZED (SELECT * FROM n WHERE id >= {N_QUERIES})"""]
+    parts.extend(_lloyd_ctes("cand", N_CENTROIDS, IVF_ITERS))
     parts.append(_ivf_assign_cte("bucketed", f"cent{IVF_ITERS}"))
     search_side = "bucketed"
     if with_append_delta:
@@ -507,29 +522,7 @@ dim AS MATERIALIZED (SELECT len(v) // {PQ_M} AS d FROM cand LIMIT 1)"""]
            sqrt(list_dot_product(v[{lo}:{hi}], v[{lo}:{hi}])) AS nrm
     FROM cand
 )""")
-        parts.append(f"""s{m}cent0 AS MATERIALIZED (
-    SELECT bucket AS cent_id, arg_min(v, id) AS cv, arg_min(nrm, id) AS cn
-    FROM (SELECT id, v, nrm, {_IVF_DH} % {PQ_K} AS bucket FROM sub{m})
-    GROUP BY bucket
-)""")
-        for i in range(1, PQ_ITERS + 1):
-            parts.append(_ivf_assign_cte(f"s{m}assign{i}",
-                                         f"s{m}cent{i - 1}", src=f"sub{m}"))
-            parts.append(f"""s{m}means{i} AS MATERIALIZED (
-    SELECT bucket, list(m ORDER BY pos) AS mv
-    FROM (
-        SELECT bucket, pos, round(avg(v[pos]), 8) AS m
-        FROM s{m}assign{i}, UNNEST(generate_series(1, len(v))) t(pos)
-        GROUP BY bucket, pos
-    ) GROUP BY bucket
-)""")
-            parts.append(f"""s{m}cent{i} AS MATERIALIZED (
-    SELECT ct.cent_id,
-           coalesce(m.mv, ct.cv) AS cv,
-           CASE WHEN m.mv IS NULL THEN ct.cn
-                ELSE sqrt(list_dot_product(m.mv, m.mv)) END AS cn
-    FROM s{m}cent{i - 1} ct LEFT JOIN s{m}means{i} m ON m.bucket = ct.cent_id
-)""")
+        parts.extend(_lloyd_ctes(f"sub{m}", PQ_K, PQ_ITERS, prefix=f"s{m}"))
         parts.append(_ivf_assign_cte(f"s{m}coded", f"s{m}cent{PQ_ITERS}",
                                      src=f"sub{m}"))
     # reconstruction: per-subspace codeword vectors concatenated in

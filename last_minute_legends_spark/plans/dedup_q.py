@@ -355,6 +355,93 @@ def stream_embedding_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
+# --- Semantic dedup (SemDeDup) — r17 --------------------------------
+# k-means-bounded near-dup pruning (Abbas et al. 2023,
+# arXiv:2303.09540): cluster the embedding space, compare only
+# within a cluster, keep the min-id representative of each duplicate
+# group. The FIFTH near-dup tier beside jaccard / minhash / simhash /
+# sign-LSH — the one whose candidate bound is LEARNED density rather
+# than hashed randomness, and the standard shape for pruning
+# web-scale training corpora by semantic redundancy. Geometry at the
+# sf0.01 gate: SEM_K = 8 clusters (the production form scales k with
+# the corpus so cluster size — and pairs per cluster — stays
+# constant; see operators/similarity.py::semantic_keep). tau = 0.7 is
+# SemDeDup's operating regime (looser than the 0.95 near-dup bar:
+# semantic redundancy, not copy detection).
+SEM_K = 8
+SEM_ITERS = 3
+SEM_TAU = 0.7
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the planted embedding corpus: deterministic
+    Lloyd k-means (train_centroids — the IVF tier's cross-engine-
+    proven derivation, md5-injected like ann_pq_topk so the DuckDB
+    oracle replays the ENTIRE train → assign → within-cluster prune
+    pipeline) → narrow argmax-cosine assignment → per-document
+    keep/drop verdict with the kept representative and its exact
+    cosine. The planted near-dups (+0.1 on component 1, every 50th
+    vector) are what the verdict must catch: they land in their
+    source's cluster and read cosine ≈ 1, so a missed assignment,
+    wrong tiebreak, or drifted mean breaks the value hash."""
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.operators.similarity import (
+        semantic_keep, train_centroids,
+    )
+
+    emb = with_unit_vectors(_embedding_corpus(spark, sf_dir)).persist()
+    cent = train_centroids(emb, k=SEM_K, iters=SEM_ITERS,
+                           id_hash=md5_id_hash)
+    out = (semantic_keep(emb, cent, SEM_TAU)
+           .withColumnRenamed("id", "vec_id")
+           .orderBy("vec_id")
+           .localCheckpoint(eager=True))
+    emb.unpersist()
+    return out
+
+
+def _semantic_sql() -> str:
+    """Full-derivation DuckDB replay: planted corpus → unrolled Lloyd
+    (plans/ann_q.py::_lloyd_ctes — the SAME CTE chain the IVF/PQ
+    replays use) → argmax-cosine assignment → within-cluster pairs →
+    min-id keeper election."""
+    from last_minute_legends_spark.plans.ann_q import (
+        _ivf_assign_cte, _lloyd_ctes,
+    )
+
+    parts = ["""base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), planted AS (
+    SELECT vec_id + (SELECT max(vec_id) + 1 FROM base) AS vec_id,
+           list_concat([v[1] + 0.1], v[2:]) AS v
+    FROM base WHERE vec_id % 50 = 0
+), allv AS (
+    SELECT * FROM base UNION ALL SELECT * FROM planted
+), n AS MATERIALIZED (
+    SELECT vec_id AS id, v, sqrt(list_dot_product(v, v)) AS nrm FROM allv
+)"""]
+    parts.extend(_lloyd_ctes("n", SEM_K, SEM_ITERS, prefix="sd"))
+    parts.append(_ivf_assign_cte("sdb", f"sdcent{SEM_ITERS}", src="n"))
+    return "WITH " + ",\n".join(parts) + f""",
+pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b,
+           list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+    FROM sdb a JOIN sdb b ON a.bucket = b.bucket AND a.id < b.id
+), dom AS (
+    SELECT id_b AS id, min(id_a) AS dup_of, arg_min(cos, id_a) AS dup_cos
+    FROM pairs WHERE cos >= {SEM_TAU} GROUP BY id_b
+)
+SELECT s.id AS vec_id, s.bucket,
+       CAST(d.id IS NULL AS INT) AS keep, d.dup_of,
+       round(d.dup_cos, 4) AS dup_cos
+FROM sdb s LEFT JOIN dom d ON d.id = s.id
+ORDER BY vec_id
+"""
+
+
+DEDUP_SEMANTIC_SQL = _semantic_sql()
+
+
 def dedup_minhash_lsh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_minhash_lsh`` with the portable md5-prefix hash
     injected (functions/portable_hash.py) in place of the production
@@ -1029,6 +1116,7 @@ SPARK = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_replay": dedup_simhash_replay,
     "dedup_embedding": dedup_embedding,
+    "dedup_semantic": dedup_semantic,
     "dedup_embedding_delta": dedup_embedding_delta,
     "stream_embedding_delta": stream_embedding_delta,
     "dedup_clusters": dedup_clusters,
@@ -1067,6 +1155,9 @@ SQL = {
     # ran locally since r7, now registered with full ORACLE_SQL)
     "dedup_simhash_replay": DEDUP_SIMHASH_REPLAY_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    # r17: SemDeDup — full train→assign→prune derivation replayed
+    # (unrolled Lloyd via the shared _lloyd_ctes chain)
+    "dedup_semantic": DEDUP_SEMANTIC_SQL,
     # r16: incremental absorb vs the SAME exact all-pairs SQL — the
     # hash match proves frozen-plane recall AND the delta
     # decomposition lossless (the dedup_delta oracle pattern on the

@@ -2189,3 +2189,70 @@ def test_zorder_documents_skipping(spark, tmp_path):
     assert overlap_fraction(plain) == 1.0, (
         "plain layout unexpectedly skippable — the comparison is "
         "meaningless if the generator clusters sources")
+
+
+def test_semantic_keep_planted_sound_complete(spark):
+    """SemDeDup verdict semantics on a deterministic planted corpus,
+    under BOTH the md5 replay hash and the production xxhash64
+    striping: (1) every planted near-dup is dropped onto its source
+    (min-id keeper, exact cosine); (2) soundness — every drop's
+    (dup_of, id) pair really reads >= tau by exact cosine; (3)
+    completeness — no kept doc has a same-cluster smaller-id
+    neighbor >= tau; (4) the plan is equi-join shaped (no
+    CartesianProduct: the cluster bound is what makes SemDeDup
+    linear)."""
+    import hashlib
+
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.functions.vectors import cosine
+    from last_minute_legends_spark.operators.similarity import (
+        assign_buckets, semantic_keep, train_centroids, with_unit_vectors,
+    )
+
+    def detvec(tag, dim=16):
+        return [
+            (int.from_bytes(hashlib.sha256(f"{tag}:{d}".encode()).digest()[:8],
+                            "big") / 2.0**64) * 2 - 1
+            for d in range(dim)
+        ]
+
+    rows = [(i, detvec(f"s{i}")) for i in range(60)]
+    planted = ((0, 100), (7, 107), (21, 121))
+    for src, dup_id in planted:
+        v = list(rows[src][1])
+        v[0] += 0.01
+        rows.append((dup_id, v))
+    emb = with_unit_vectors(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ).persist()
+    tau = 0.7
+    a = emb.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                   F.col("nrm").alias("na"))
+    b = emb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                   F.col("nrm").alias("nb"))
+    exact = {(r.id_a, r.id_b): r.cos for r in
+             a.join(b, F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", cosine(F.col("va"), F.col("na"),
+                                       F.col("vb"), F.col("nb")))
+             .filter(F.col("cos") >= tau).collect()}
+    for tag, h in (("md5", md5_id_hash), ("xxhash64", None)):
+        cent = train_centroids(emb, k=4, iters=2, id_hash=h)
+        out = semantic_keep(emb, cent, tau)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{tag}: all-pairs plan"
+        verdict = {r.id: r for r in out.collect()}
+        for src, dup_id in planted:
+            v = verdict[dup_id]
+            assert v.keep == 0 and v.dup_of == src, f"{tag}: missed {dup_id}"
+        bucket_of = {r.id: r.bucket
+                     for r in assign_buckets(emb, cent).collect()}
+        for vid, v in verdict.items():
+            if v.keep == 0:
+                assert (v.dup_of, vid) in exact, f"{tag}: unsound drop {vid}"
+                assert bucket_of[v.dup_of] == bucket_of[vid]
+            else:
+                cluster_nbrs = [(a_id, b_id) for (a_id, b_id) in exact
+                                if b_id == vid
+                                and bucket_of[a_id] == bucket_of[vid]]
+                assert not cluster_nbrs, f"{tag}: incomplete keep {vid}"
+    emb.unpersist()
