@@ -141,6 +141,9 @@ HEADLINE = [
     # r17: product-quantization tier — per-subspace codebooks, ADC
     # shortlist + exact re-rank
     "ann_pq_topk",
+    # r17b: the IVF-PQ composition (coarse probes restrict the ADC
+    # scan; codebook cache shared with ann_pq_topk)
+    "ann_ivfpq_topk",
     "catalog_text_etl",
     "stream_json_parse",
     "events_typed_parse",

@@ -469,14 +469,16 @@ def pq_codebooks(candidates: DataFrame, m: int = PQ_M, k: int = PQ_K,
 
 
 def pq_reconstruct(candidates: DataFrame, codebooks: list,
-                   d_sub: int) -> DataFrame:
+                   d_sub: int, keep: tuple = ()) -> DataFrame:
     """(id, v, nrm, codes) with v replaced by its PQ reconstruction
     (per-subspace argmax-cosine codeword, concatenated) and ``codes``
     the array of per-subspace codeword ids — the form a 100 TB
     deployment PERSISTS (m small ints per vector). Encoding is a
     NARROW literal fold per subspace (the assign_buckets economics):
-    no join, no shuffle of the candidate side."""
-    df = candidates.select("id", "v", "nrm")
+    no join, no shuffle of the candidate side. ``keep`` names extra
+    input columns to carry through (e.g. the IVF bucket, so IVF-PQ
+    needs no id re-join after encoding)."""
+    df = candidates.select("id", "v", "nrm", *keep)
     code_cols = []
     recon_cols = []
     for i, cb in enumerate(codebooks):
@@ -498,7 +500,7 @@ def pq_reconstruct(candidates: DataFrame, codebooks: list,
         recon_cols.append(F.element_at(cw, F.col(f"_code{i}")))
     rv = F.concat(*recon_cols)
     return (df.select("id", F.array(*code_cols).alias("codes"),
-                      rv.alias("v"))
+                      rv.alias("v"), *keep)
             .withColumn("nrm", norm(F.col("v"))))
 
 
@@ -519,6 +521,61 @@ def pq_topk(queries: DataFrame, candidates: DataFrame, codebooks: list,
     pairs = short.join(F.broadcast(q), "q_id")
     # true-vector fetch: the (query × shortlist)-sized pair frame is
     # broadcast; the 100 TB candidate table is probed once, narrow
+    scored = (candidates
+              .select(F.col("id").alias("c_id"), F.col("v").alias("cv"),
+                      F.col("nrm").alias("cn"))
+              .join(F.broadcast(pairs), "c_id")
+              .withColumn("cos", cosine(F.col("qv"), F.col("qn"),
+                                        F.col("cv"), F.col("cn"))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("q_id", "rn", "c_id",
+                    F.round("cos", 4).alias("cosine"))
+            .orderBy("q_id", "rn"))
+
+
+def ivfpq_topk(queries: DataFrame, candidates: DataFrame,
+               centroids: DataFrame, codebooks: list, d_sub: int,
+               k: int = 10, n_probe: int = 2,
+               rerank: int = PQ_RERANK) -> DataFrame:
+    """IVF-PQ (the FAISS IVFADC composition — Jegou et al. 2011):
+    coarse IVF centroids prune the SEARCH to n_probe buckets, PQ
+    codes shrink the RESIDENT state to m small ints per vector, and
+    the two compose multiplicatively — at 100 TB the index is a
+    bucket-partitioned parquet of (id, codes) where a probe reads
+    n_probe/k_coarse of the data and scans reconstruction-sized rows,
+    with the float vectors fetched only for the shortlist re-rank
+    (the candidate-only-fetch economics every delta absorb uses).
+
+    Stages, all deterministic and DuckDB-replayable
+    (plans/ann_q.py::ANN_IVFPQ_SQL): (1) argmax-cosine bucket per
+    candidate (narrow literal fold); (2) PQ encode + reconstruct
+    (narrow, bucket carried through — no re-join); (3) per-query
+    n_probe coarse probes; (4) ADC shortlist of ``rerank`` by
+    reconstructed cosine WITHIN probed buckets only; (5) exact
+    re-rank of the shortlist's true vectors."""
+    bucketed = assign_buckets(candidates, centroids)
+    recon = pq_reconstruct(bucketed, codebooks, d_sub, keep=("bucket",))
+    cent = centroids.select(
+        F.col("id").alias("cent_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"))
+    q = queries.select(
+        F.col("id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"))
+    q_scored = q.join(F.broadcast(cent)).withColumn(
+        "cos", cosine(F.col("qv"), F.col("qn"), F.col("cv"), F.col("cn")))
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    probes = (q_scored.withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= n_probe)
+              .select("q_id", "qv", "qn", F.col("cent_id").alias("bucket")))
+    adc = F.broadcast(probes).join(recon, "bucket").withColumn(
+        "cos", cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")))
+    ws = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
+    short = (adc.withColumn("srn", F.row_number().over(ws))
+             .filter(F.col("srn") <= rerank)
+             .select("q_id", F.col("id").alias("c_id")))
+    pairs = short.join(F.broadcast(q), "q_id")
     scored = (candidates
               .select(F.col("id").alias("c_id"), F.col("v").alias("cv"),
                       F.col("nrm").alias("cn"))

@@ -494,6 +494,124 @@ def _ensure_pq_codebooks(spark: SparkSession, sf_dir: str,
     return cbs, p["d_sub"]
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (r17b) — the composed FAISS-standard tier for a 100 TB
+    vector corpus: coarse IVF pruning bounds what a probe READS
+    (n_probe/k_coarse of the data), PQ codes bound what the index
+    STORES (m small ints per vector), exact re-rank on the
+    shortlist's true vectors holds recall. Both component
+    derivations are the oracle-proven ones (train_centroids coarse
+    model == ann_ivf_topk_replay's; codebooks == ann_pq_topk's,
+    shared cache), and the composed DuckDB oracle (ANN_IVFPQ_SQL)
+    replays coarse Lloyd + 16 per-subspace Lloyds + encode +
+    probe-restricted ADC shortlist + re-rank end-to-end — the
+    driver value-checks the COMPOSITION, not just the parts.
+
+    Measured recall@10 vs the same-probe exact IVF search = 1.0 at
+    sf0.01 (the ADC shortlist of 100 within ~125-row probed buckets
+    is near-exhaustive; asserted >= 0.9 in tests/test_operators.py
+    against ann_ivf_topk, isolating PQ loss from probe loss)."""
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.operators.similarity import ivfpq_topk
+
+    vecs = _vectors(spark, sf_dir, spread=True)
+    queries = vecs.filter(F.col("id") < N_QUERIES)
+    candidates = vecs.filter(F.col("id") >= N_QUERIES).persist()
+    centroids = train_centroids(candidates, k=N_CENTROIDS,
+                                iters=IVF_ITERS, id_hash=md5_id_hash)
+    cbs, d_sub = _ensure_pq_codebooks(spark, sf_dir, candidates)
+    out = (ivfpq_topk(queries, candidates, centroids, cbs, d_sub,
+                      k=TOP_K, n_probe=IVF_N_PROBE)
+           .localCheckpoint(eager=True))
+    candidates.unpersist()
+    return out
+
+
+def _ivfpq_replay_sql() -> str:
+    """The composed IVF-PQ oracle: the coarse-Lloyd chain and probe
+    selection from _ivf_replay_sql, the per-subspace codebook chains
+    and reconstruction from _pq_replay_sql, and an ADC shortlist
+    RESTRICTED to each query's probed buckets — then the exact
+    re-rank tail. All chains come from the shared _lloyd_ctes."""
+    from last_minute_legends_spark.operators.similarity import (
+        PQ_ITERS, PQ_K, PQ_M, PQ_RERANK,
+    )
+
+    parts = [f"""n AS MATERIALIZED (
+    SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), qry AS MATERIALIZED (SELECT * FROM n WHERE id < {N_QUERIES}),
+cand AS MATERIALIZED (SELECT * FROM n WHERE id >= {N_QUERIES}),
+dim AS MATERIALIZED (SELECT len(v) // {PQ_M} AS d FROM cand LIMIT 1)"""]
+    parts.extend(_lloyd_ctes("cand", N_CENTROIDS, IVF_ITERS))
+    parts.append(_ivf_assign_cte("bucketed", f"cent{IVF_ITERS}"))
+    qcos = _IVF_COS.format(a="q", b="ct")
+    parts.append(f"""probes AS MATERIALIZED (
+    SELECT q_id, bucket FROM (
+        SELECT q.id AS q_id, ct.cent_id AS bucket,
+               row_number() OVER (
+                   PARTITION BY q.id
+                   ORDER BY {qcos} DESC, ct.cent_id) AS rn
+        FROM qry q CROSS JOIN cent{IVF_ITERS} ct
+    ) WHERE rn <= {IVF_N_PROBE}
+)""")
+    for m in range(PQ_M):
+        lo = f"(SELECT d FROM dim) * {m} + 1"
+        hi = f"(SELECT d FROM dim) * {m + 1}"
+        parts.append(f"""sub{m} AS MATERIALIZED (
+    SELECT id, v[{lo}:{hi}] AS v,
+           sqrt(list_dot_product(v[{lo}:{hi}], v[{lo}:{hi}])) AS nrm
+    FROM cand
+)""")
+        parts.extend(_lloyd_ctes(f"sub{m}", PQ_K, PQ_ITERS, prefix=f"s{m}"))
+        parts.append(_ivf_assign_cte(f"s{m}coded", f"s{m}cent{PQ_ITERS}",
+                                     src=f"sub{m}"))
+    joins = "\n    ".join(
+        f"JOIN s{m}coded a{m} ON a{m}.id = c.id "
+        f"JOIN s{m}cent{PQ_ITERS} w{m} ON w{m}.cent_id = a{m}.bucket"
+        for m in range(PQ_M))
+    concat = " || ".join(f"w{m}.cv" for m in range(PQ_M))
+    parts.append(f"""recon AS MATERIALIZED (
+    SELECT c.id, c.bucket, {concat} AS rv
+    FROM bucketed c
+    {joins}
+)""")
+    parts.append(f"""shortlist AS MATERIALIZED (
+    SELECT q_id, c_id FROM (
+        SELECT p.q_id, r.id AS c_id,
+               row_number() OVER (
+                   PARTITION BY p.q_id
+                   ORDER BY list_dot_product(q.v, r.rv)
+                            / (q.nrm * sqrt(list_dot_product(r.rv, r.rv)))
+                            DESC, r.id) AS rn
+        FROM probes p
+        JOIN recon r ON r.bucket = p.bucket
+        JOIN qry q ON q.id = p.q_id
+    ) WHERE rn <= {PQ_RERANK}
+)""")
+    return "WITH " + ",\n".join(parts) + f""",
+scored AS (
+    SELECT s.q_id, s.c_id,
+           list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+    FROM shortlist s
+    JOIN qry q ON q.id = s.q_id
+    JOIN cand c ON c.id = s.c_id
+), ranked AS (
+    SELECT q_id, c_id, cos,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, c_id) AS rn
+    FROM scored
+)
+SELECT q_id, rn, c_id, round(cos, 4) AS cosine
+FROM ranked WHERE rn <= {TOP_K}
+ORDER BY q_id, rn
+"""
+
+
+ANN_IVFPQ_SQL = _ivfpq_replay_sql()
+
+
 def _pq_replay_sql() -> str:
     """From-scratch DuckDB unroll of the full PQ derivation (the
     _ivf_replay_sql pattern applied per subspace): for each of PQ_M
@@ -623,6 +741,7 @@ SPARK = {
     "ann_ivf_append_probe": ann_ivf_append_probe,
     "ann_quantized_topk": ann_quantized_topk,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
 }
 
 SQL = {
@@ -644,6 +763,9 @@ SQL = {
     # r17: the PQ tier — 16 per-subspace unrolled-Lloyd trainings +
     # encode + reconstruct + ADC shortlist + exact re-rank, replayed
     "ann_pq_topk": ANN_PQ_SQL,
+    # r17b: the IVF-PQ composition — coarse Lloyd + probes + subspace
+    # Lloyds + probe-restricted ADC shortlist + re-rank, replayed
+    "ann_ivfpq_topk": ANN_IVFPQ_SQL,
 }
 
 LOCAL_SQL = {

@@ -2256,3 +2256,34 @@ def test_semantic_keep_planted_sound_complete(spark):
                                 and bucket_of[a_id] == bucket_of[vid]]
                 assert not cluster_nbrs, f"{tag}: incomplete keep {vid}"
     emb.unpersist()
+
+
+def test_ann_ivfpq_recall_vs_ivf(spark, sf_dir):
+    """IVF-PQ isolates its PQ loss from its probe loss: with the same
+    n_probe coarse probes, the ADC-shortlist + exact-re-rank result
+    must recover >= 0.9 of the EXACT in-bucket search (ann_ivf
+    derivation). Probe loss is ann_ivf's own measured property."""
+    from last_minute_legends_spark.plans.ann_q import (
+        IVF_ITERS, IVF_N_PROBE, N_CENTROIDS, N_QUERIES, TOP_K, _vectors,
+    )
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.operators.similarity import (
+        ivf_topk, ivfpq_topk, pq_codebooks, train_centroids,
+    )
+
+    vecs = _vectors(spark, sf_dir).persist()
+    queries = vecs.filter(F.col("id") < N_QUERIES)
+    candidates = vecs.filter(F.col("id") >= N_QUERIES).persist()
+    cent = train_centroids(candidates, k=N_CENTROIDS, iters=IVF_ITERS,
+                           id_hash=md5_id_hash)
+    cbs, d_sub = pq_codebooks(candidates, id_hash=md5_id_hash)
+    ivf = {(r.q_id, r.c_id)
+           for r in ivf_topk(queries, candidates, cent, k=TOP_K,
+                             n_probe=IVF_N_PROBE).collect()}
+    pq = {(r.q_id, r.c_id)
+          for r in ivfpq_topk(queries, candidates, cent, cbs, d_sub,
+                              k=TOP_K, n_probe=IVF_N_PROBE).collect()}
+    recall = len(ivf & pq) / len(ivf)
+    assert recall >= 0.9, f"IVF-PQ recall vs exact-IVF too low: {recall}"
+    candidates.unpersist()
+    vecs.unpersist()
