@@ -162,6 +162,8 @@ HEADLINE = [
     "multimodal_resize",
     "simulate_events",
     "mixture_sample",
+    # r17b: seeded reproducible epoch shuffle + shard assignment
+    "global_shuffle",
     "corpus_stats",
     "text_unigram_logprob",
     # round-8: previously unbenched registry entries

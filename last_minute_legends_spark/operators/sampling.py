@@ -24,7 +24,7 @@ statistically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 16^8: the md5-prefix bucket space. Rates map to thresholds in
@@ -94,3 +94,33 @@ def mixture_sample(docs: DataFrame,
         )
         .select(id_col, source_col, F.round(F.col("_rate"), 6).alias("rate"))
     )
+
+
+def global_shuffle(docs: DataFrame, seed: str = "shuffle-v1",
+                   n_shards: int = 16,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Seeded deterministic GLOBAL shuffle + shard assignment — the
+    write shape every epoch of LLM training consumes (docs in a
+    pseudo-random order, split into same-sized shards), made
+    reproducible without any RNG state: the shuffle key is the
+    portable 60-bit md5 hash of (seed, id), so a re-run — or a second
+    engine (the DuckDB oracle replays this exactly) — derives the
+    identical permutation, and a NEW epoch order is just a new seed
+    string.
+
+    Returns (id, shard, pos): shard = key mod ``n_shards``, pos = the
+    1-based rank within the shard by (key, id). At 100 TB this is
+    precisely Spark's repartition-by-shard + sort-within-partition
+    write path (the window's partitionBy(shard) IS that exchange —
+    no global sort anywhere); ``n_shards`` is sized so one shard fits
+    one writer task, and the hash assignment balances shards to
+    within sqrt-law noise regardless of input order or skew."""
+    from last_minute_legends_spark.functions.portable_hash import md5_hash60
+
+    keyed = docs.select(
+        F.col(id_col),
+        md5_hash60(F.lit(seed), F.col(id_col)).alias("_skey"),
+    ).withColumn("shard", F.pmod(F.col("_skey"), F.lit(n_shards)))
+    w = Window.partitionBy("shard").orderBy("_skey", id_col)
+    return (keyed.withColumn("pos", F.row_number().over(w))
+            .select(id_col, "shard", "pos"))

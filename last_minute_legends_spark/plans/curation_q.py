@@ -576,6 +576,38 @@ ORDER BY doc_id
 """
 
 
+GS_SEED = "shuffle-v1"
+GS_SHARDS = 16
+
+
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle + shard assignment
+    (operators/sampling.py::global_shuffle) over the documents table
+    — the epoch-order producer that complements pack_shards'
+    sequential token packing. Portable md5 keying, so the DuckDB
+    oracle replays the permutation bit-for-bit."""
+    from last_minute_legends_spark.operators.sampling import global_shuffle
+
+    docs = Catalog(spark, sf_dir).documents
+    return global_shuffle(docs, seed=GS_SEED,
+                          n_shards=GS_SHARDS).orderBy("doc_id")
+
+
+GLOBAL_SHUFFLE_SQL = f"""
+WITH k AS (
+    SELECT doc_id,
+           ('0x' || substr(md5('{GS_SEED}:' || CAST(doc_id AS VARCHAR)),
+                           1, 15))::UBIGINT::BIGINT AS skey
+    FROM documents
+)
+SELECT doc_id, skey % {GS_SHARDS} AS shard,
+       row_number() OVER (PARTITION BY skey % {GS_SHARDS}
+                          ORDER BY skey, doc_id) AS pos
+FROM k
+ORDER BY doc_id
+"""
+
+
 def mixture_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted domain-mixture rebalancing. The synthetic corpus has
     perfectly balanced sources (uniform weights would degenerate to
@@ -974,6 +1006,7 @@ SPARK = {
     "curated_training_set": curated_training_set,
     "pack_shards": pack_training_shards,
     "mixture_sample": mixture_sample_weighted,
+    "global_shuffle": global_shuffle_shards,
     "corpus_stats": corpus_stats,
     "text_unigram_logprob": text_unigram_logprob,
     "text_bigram_logprob": text_bigram_logprob,
@@ -1003,6 +1036,9 @@ SQL = {
     "curated_training_set": CURATED_TRAINING_SET_SQL,
     "pack_shards": PACK_SHARDS_SQL,
     "mixture_sample": MIXTURE_SAMPLE_SQL,
+    # r17b: seeded reproducible epoch shuffle — portable md5
+    # permutation replayed exactly
+    "global_shuffle": GLOBAL_SHUFFLE_SQL,
     "corpus_stats": CORPUS_STATS_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_SQL,
     # r17: the order-2 LM — full interpolated-probability replay

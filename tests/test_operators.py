@@ -2287,3 +2287,33 @@ def test_ann_ivfpq_recall_vs_ivf(spark, sf_dir):
     assert recall >= 0.9, f"IVF-PQ recall vs exact-IVF too low: {recall}"
     candidates.unpersist()
     vecs.unpersist()
+
+
+def test_global_shuffle_reproducible_balanced(spark, sf_dir):
+    """Epoch-shuffle contract: same seed == identical permutation,
+    different seed == a genuinely different order; positions are a
+    1..shard_size dense rank per shard; hash sharding balances; and
+    the plan's only wide node is the shard exchange (the
+    repartition+sortWithinPartitions write shape — no global sort)."""
+    from last_minute_legends_spark.operators.sampling import global_shuffle
+    from last_minute_legends_spark.sources.tables import Catalog
+
+    docs = Catalog(spark, sf_dir).documents
+    a = global_shuffle(docs, seed="e1", n_shards=4)
+    b = global_shuffle(docs, seed="e1", n_shards=4)
+    c = global_shuffle(docs, seed="e2", n_shards=4)
+    ra = sorted((r.doc_id, r.shard, r.pos) for r in a.collect())
+    rb = sorted((r.doc_id, r.shard, r.pos) for r in b.collect())
+    rc = sorted((r.doc_id, r.shard, r.pos) for r in c.collect())
+    assert ra == rb
+    assert ra != rc
+    by_shard = {}
+    for _, s, p in ra:
+        by_shard.setdefault(s, []).append(p)
+    n = len(ra)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {s} gap"
+        assert len(ps) > n / 4 * 0.5, f"shard {s} unbalanced"
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # shard window (+AQE read)
+    assert "rangepartitioning" not in plan.lower(), "global sort leaked in"
