@@ -116,6 +116,9 @@ HEADLINE = [
     # r17b: SemDeDup — deterministic k-means + within-cluster prune
     # (min-of-2 converges on assign+prune; training is the first run)
     "dedup_semantic",
+    # r17b: its frozen-geometry incremental form (cached index build,
+    # epoch-sized absorb with bucket-pruned probe)
+    "dedup_semantic_delta",
     "dedup_clusters",
     "ann_bruteforce_topk",
     "ann_ivf_topk",

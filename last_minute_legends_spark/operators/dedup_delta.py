@@ -1053,3 +1053,135 @@ def merge_cluster_labels(labels: DataFrame,
         lab_all.join(F.broadcast(remap), "cluster_id", "left")
         .select("id", F.coalesce("_new", "cluster_id").alias("cluster_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental SEMANTIC dedup (the SemDeDup tier's delta lifecycle):
+# the k-means geometry is the frozen model — analogous to the
+# embedding tier's frozen hyperplanes and the IVF index's frozen
+# centroids — so newly ingested documents assign to the EXISTING
+# clusters with one narrow literal fold and compare only against the
+# stored members of the clusters they land in. Ingestion order is id
+# order (new docs carry higher ids), which is what makes min-id
+# keeper verdicts MONOTONE: a stored document's verdict can never be
+# changed by a later arrival, so the verdict store is append-only and
+# an epoch's absorb is epoch x bounded-cluster-size work, never a
+# corpus rescan.
+
+_SEM_ASSIGN = "assign"
+_SEM_VERDICTS = "verdicts"
+_SEM_PARAMS = "_semantic_index_params.json"
+
+
+def write_semantic_index(emb: DataFrame, path: str, threshold: float,
+                         k: int, iters: int, id_hash=None) -> None:
+    """Build the semantic index over the base corpus: train the
+    frozen centroid model (train_centroids — deterministic, bounded
+    sample at scale), persist it as model-sized JSON, write the
+    (bucket, id) membership table partitioned by bucket (so an
+    absorb's probe is a planning-time-pruned read of only the
+    clusters its epoch touches), and compute + persist the base
+    verdicts once (semantic_keep — they are final under id-ordered
+    ingestion)."""
+    import json as _json
+
+    from last_minute_legends_spark.operators.similarity import (
+        semantic_keep, train_centroids,
+    )
+
+    cent = train_centroids(emb, k=k, iters=iters, id_hash=id_hash)
+    rows = sorted((int(r.id), [float(x) for x in r.v], float(r.nrm))
+                  for r in cent.collect())
+    os.makedirs(path, exist_ok=True)
+    from last_minute_legends_spark.operators.similarity import with_bucket
+    assigned = with_bucket(emb.select("id", "v", "nrm"), rows)
+    # epoch=0 is the base build; every absorbed epoch lands in its own
+    # epoch=<min id> subdir, OVERWRITTEN whole — a foreachBatch
+    # redelivery of the same epoch replaces its own rows and nothing
+    # else (the per-epoch-subdir redelivery discipline the MinHash /
+    # hamming / embedding tiers use for their corpus landings)
+    (assigned.select("id", "bucket")
+     .repartition(1, "bucket").sortWithinPartitions("bucket", "id")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(path, _SEM_ASSIGN, "epoch=0")))
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(rows, "id int, v array<double>, nrm double")
+    (semantic_keep(emb, cent_df, threshold)
+     .write.mode("overwrite")
+     .parquet(os.path.join(path, _SEM_VERDICTS, "epoch=0")))
+    tmp = os.path.join(path, f"{_SEM_PARAMS}.tmp{os.getpid()}")
+    with open(tmp, "w") as fh:
+        _json.dump({"threshold": threshold, "k": k, "iters": iters,
+                    "centroids": rows}, fh)
+    os.replace(tmp, os.path.join(path, _SEM_PARAMS))
+
+
+def absorb_semantic_delta(spark: SparkSession, corpus: DataFrame,
+                          delta: DataFrame, path: str,
+                          append: bool = False) -> DataFrame:
+    """Fold one epoch of new (higher-id) vectors into the semantic
+    index and return the FULL maintained verdict frame (stored ∪
+    epoch): the epoch assigns against the frozen centroids (narrow),
+    reads ONLY its touched clusters' membership (bucket-partitioned
+    pruned scan), fetches stored members' vectors candidate-only from
+    the corpus (the absorb-verify economics — the index never stores
+    vectors), and verdicts each epoch doc against stored-smaller-id ∪
+    epoch-smaller-id same-cluster neighbors. ``append=True`` lands
+    the epoch's membership rows and verdicts into the store
+    (idempotent per epoch: per-bucket overwrite of the epoch's own
+    subdir would be the streaming form's redelivery discipline)."""
+    import json as _json
+
+    from last_minute_legends_spark.functions.vectors import cosine
+    from last_minute_legends_spark.operators.similarity import with_bucket
+
+    with open(os.path.join(path, _SEM_PARAMS)) as fh:
+        p = _json.load(fh)
+    rows = [(int(i), [float(x) for x in v], float(n))
+            for i, v, n in p["centroids"]]
+    tau = float(p["threshold"])
+    d = with_bucket(delta.select("id", "v", "nrm"), rows).persist()
+    _ABSORB_PERSISTS.append(d)
+    bks = sorted(int(r.bucket) for r in d.select("bucket").distinct().collect())
+    stored = (spark.read.parquet(os.path.join(path, _SEM_ASSIGN))
+              .filter(F.col("bucket").isin(bks))
+              .select("id", "bucket"))
+    # candidate-only vector fetch for the touched clusters' members
+    cand = corpus.select("id", "v", "nrm").join(stored, "id")
+    da = cand.select("bucket", F.col("id").alias("id_a"),
+                     F.col("v").alias("va"), F.col("nrm").alias("na"))
+    ia = d.select("bucket", F.col("id").alias("id_a"),
+                  F.col("v").alias("va"), F.col("nrm").alias("na"))
+    db = d.select("bucket", F.col("id").alias("id_b"),
+                  F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = (da.unionByName(ia).join(db, "bucket")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", cosine(F.col("va"), F.col("na"),
+                                       F.col("vb"), F.col("nb")))
+             .filter(F.col("cos") >= tau))
+    dom = (pairs.groupBy("id_b")
+           .agg(F.min("id_a").alias("dup_of"),
+                F.min_by("cos", "id_a").alias("dup_cos"))
+           .withColumnRenamed("id_b", "id"))
+    epoch_verdicts = (
+        d.select("id", "bucket")
+        .join(dom, "id", "left")
+        .select("id", "bucket",
+                F.col("dup_of").isNull().cast("int").alias("keep"),
+                "dup_of", F.round("dup_cos", 4).alias("dup_cos")))
+    if append:
+        # redelivery-safe landing: the epoch's rows live in their own
+        # epoch=<min id> subdirs and are OVERWRITTEN whole on retry
+        ep = int(d.agg(F.min("id")).first()[0])
+        epoch_verdicts.write.mode("overwrite").parquet(
+            os.path.join(path, _SEM_VERDICTS, f"epoch={ep}"))
+        (d.select("id", "bucket")
+         .repartition(1, "bucket").sortWithinPartitions("bucket", "id")
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(os.path.join(path, _SEM_ASSIGN, f"epoch={ep}")))
+        return (spark.read.parquet(os.path.join(path, _SEM_VERDICTS))
+                .select("id", "bucket", "keep", "dup_of", "dup_cos"))
+    stored_verdicts = (spark.read
+                       .parquet(os.path.join(path, _SEM_VERDICTS))
+                       .select("id", "bucket", "keep", "dup_of", "dup_cos"))
+    return stored_verdicts.unionByName(epoch_verdicts)

@@ -442,6 +442,94 @@ ORDER BY vec_id
 DEDUP_SEMANTIC_SQL = _semantic_sql()
 
 
+def dedup_semantic_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SemDeDup — the semantic tier joins the delta
+    lifecycle (operators/dedup_delta.py::absorb_semantic_delta): the
+    k-means geometry trained on the base corpus is the FROZEN model
+    (the embedding tier's frozen-hyperplane / IVF frozen-centroid
+    pattern), membership is a write-once bucket-partitioned layout,
+    and an epoch of newly ingested vectors (ids above the 80th
+    percentile — ingestion order IS id order, which makes min-id
+    verdicts monotone and the verdict store append-only) assigns
+    narrowly, reads only its touched clusters, fetches stored
+    members' vectors candidate-only, and verdicts against
+    stored-smaller-id ∪ epoch-smaller-id neighbors. Final frame ==
+    the single-shot frozen-geometry prune over the full corpus, so
+    the oracle replays base-only Lloyd + assign-all + prune — a
+    missed cross pair (stored probe) or intra-epoch pair both break
+    the hash: the planted dups below the split arrive as cross
+    pairs, the ones above as intra-epoch pairs."""
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.operators.dedup_delta import (
+        absorb_semantic_delta, release_absorb_persists,
+        write_semantic_index,
+    )
+    from last_minute_legends_spark.sources import layout_cache
+
+    emb = with_unit_vectors(_embedding_corpus(spark, sf_dir)).persist()
+    mx = int(Catalog(spark, sf_dir).embeddings
+             .agg(F.max("vec_id")).first()[0])
+    split = int(mx * 0.8)
+    base = emb.filter(F.col("id") < split)
+    delta = emb.filter(F.col("id") >= split)
+    idx = layout_cache.layout_dir(
+        "sem_index", os.path.join(sf_dir, "embeddings.parquet"),
+        f"v2-split80-k{SEM_K}i{SEM_ITERS}t{SEM_TAU}")
+    layout_cache.build_once(idx, lambda tmp: write_semantic_index(
+        base, tmp, SEM_TAU, SEM_K, SEM_ITERS, id_hash=md5_id_hash))
+    out = (absorb_semantic_delta(spark, emb, delta, idx, append=False)
+           .withColumnRenamed("id", "vec_id")
+           .orderBy("vec_id").localCheckpoint(eager=True))
+    emb.unpersist()
+    release_absorb_persists()
+    return out
+
+
+def _semantic_delta_sql() -> str:
+    """Frozen-geometry replay: Lloyd over the BASE subset only,
+    assignment of the full corpus against the final base centroids,
+    then the identical within-cluster min-id prune tail."""
+    from last_minute_legends_spark.plans.ann_q import (
+        _ivf_assign_cte, _lloyd_ctes,
+    )
+
+    parts = ["""base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), planted AS (
+    SELECT vec_id + (SELECT max(vec_id) + 1 FROM base) AS vec_id,
+           list_concat([v[1] + 0.1], v[2:]) AS v
+    FROM base WHERE vec_id % 50 = 0
+), allv AS (
+    SELECT * FROM base UNION ALL SELECT * FROM planted
+), n AS MATERIALIZED (
+    SELECT vec_id AS id, v, sqrt(list_dot_product(v, v)) AS nrm FROM allv
+), sp AS (
+    SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT) AS s FROM base
+), bn AS MATERIALIZED (
+    SELECT n.id, n.v, n.nrm FROM n, sp WHERE n.id < sp.s
+)"""]
+    parts.extend(_lloyd_ctes("bn", SEM_K, SEM_ITERS, prefix="sd"))
+    parts.append(_ivf_assign_cte("sdb", f"sdcent{SEM_ITERS}", src="n"))
+    return "WITH " + ",\n".join(parts) + f""",
+pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b,
+           list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+    FROM sdb a JOIN sdb b ON a.bucket = b.bucket AND a.id < b.id
+), dom AS (
+    SELECT id_b AS id, min(id_a) AS dup_of, arg_min(cos, id_a) AS dup_cos
+    FROM pairs WHERE cos >= {SEM_TAU} GROUP BY id_b
+)
+SELECT s.id AS vec_id, s.bucket,
+       CAST(d.id IS NULL AS INT) AS keep, d.dup_of,
+       round(d.dup_cos, 4) AS dup_cos
+FROM sdb s LEFT JOIN dom d ON d.id = s.id
+ORDER BY vec_id
+"""
+
+
+DEDUP_SEMANTIC_DELTA_SQL = _semantic_delta_sql()
+
+
 def dedup_minhash_lsh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_minhash_lsh`` with the portable md5-prefix hash
     injected (functions/portable_hash.py) in place of the production
@@ -1117,6 +1205,7 @@ SPARK = {
     "dedup_simhash_replay": dedup_simhash_replay,
     "dedup_embedding": dedup_embedding,
     "dedup_semantic": dedup_semantic,
+    "dedup_semantic_delta": dedup_semantic_delta,
     "dedup_embedding_delta": dedup_embedding_delta,
     "stream_embedding_delta": stream_embedding_delta,
     "dedup_clusters": dedup_clusters,
@@ -1158,6 +1247,9 @@ SQL = {
     # r17: SemDeDup — full train→assign→prune derivation replayed
     # (unrolled Lloyd via the shared _lloyd_ctes chain)
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
+    # r17b: frozen-geometry incremental form — base-only Lloyd,
+    # assign-all, same prune tail
+    "dedup_semantic_delta": DEDUP_SEMANTIC_DELTA_SQL,
     # r16: incremental absorb vs the SAME exact all-pairs SQL — the
     # hash match proves frozen-plane recall AND the delta
     # decomposition lossless (the dedup_delta oracle pattern on the

@@ -891,3 +891,109 @@ def test_stream_clusters_delta_matches_single_shot(spark, sf_dir):
         minhash_lsh_pairs(docs, THRESHOLD)).collect()}
     assert want, "vacuous: corpus must produce clusters"
     assert got == want
+
+
+def test_semantic_delta_chains_and_redelivery(spark, sf_dir, tmp_path):
+    """The semantic tier's delta lifecycle: absorbing two id-ordered
+    epochs with ``append=True`` converges on the single-shot
+    frozen-geometry verdict frame (semantic_keep over the full corpus
+    with the base-trained centroids), a REDELIVERY of the last epoch
+    leaves the store bit-identical (per-epoch overwritten subdirs),
+    and base verdicts never change across absorbs (the monotonicity
+    that makes the store append-only)."""
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.operators.dedup_delta import (
+        absorb_semantic_delta, release_absorb_persists,
+        write_semantic_index,
+    )
+    from last_minute_legends_spark.operators.similarity import (
+        semantic_keep, train_centroids, with_unit_vectors,
+    )
+
+    import hashlib as _h
+
+    def detvec(tag, dim=16):
+        return [
+            (int.from_bytes(_h.sha256(f"{tag}:{d}".encode()).digest()[:8],
+                            "big") / 2.0**64) * 2 - 1
+            for d in range(dim)
+        ]
+
+    rows = [(i, detvec(f"s{i}")) for i in range(60)]
+    # dups across the epoch boundaries: 3->70 (base->ep1), 25->85
+    # (base->ep2), 72->88 (ep1->ep2), 81/86 intra-ep2 of base 40
+    for src, dup_id in ((3, 70), (25, 85), (40, 81), (40, 86)):
+        v = list(rows[src][1]); v[0] += 0.01
+        rows.append((dup_id, v))
+    v72 = list(rows[50][1]); v72[0] += 0.01
+    rows.append((72, v72))
+    v88 = list(v72); v88[1] += 0.005
+    rows.append((88, v88))
+    emb = with_unit_vectors(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ).persist()
+    tau = 0.7
+    base = emb.filter(F.col("id") < 60)
+    ep1 = emb.filter((F.col("id") >= 60) & (F.col("id") < 80))
+    ep2 = emb.filter(F.col("id") >= 80)
+    idx = str(tmp_path / "sem_idx")
+    write_semantic_index(base, idx, tau, k=4, iters=2,
+                         id_hash=md5_id_hash)
+
+    def verdicts(df):
+        return {(r.id, r.bucket, r.keep, r.dup_of, r.dup_cos)
+                for r in df.collect()}
+
+    base_v = verdicts(spark.read.parquet(os.path.join(idx, "verdicts"))
+                      .select("id", "bucket", "keep", "dup_of", "dup_cos"))
+    absorb_semantic_delta(spark, emb, ep1, idx, append=True)
+    out2 = absorb_semantic_delta(spark, emb, ep2, idx, append=True)
+    cent = train_centroids(base, k=4, iters=2, id_hash=md5_id_hash)
+    expect = verdicts(semantic_keep(emb, cent, tau))
+    assert verdicts(out2) == expect
+    # dup routing: cross pairs found via the stored probe, intra via
+    # the epoch self-compare
+    got = {r.id: r.dup_of for r in out2.collect() if r.keep == 0}
+    # every planted dup is dropped; its keeper is its source UNLESS a
+    # smaller-id chance >=tau cluster-mate exists (min-id election —
+    # the == expect assert above already proves exact agreement)
+    assert {70, 72, 85, 88, 81, 86} <= set(got)
+    assert got[70] == 3 and got[72] == 50
+    # 88 is planted off 72, but min-id election collapses the chain
+    # onto the ORIGINAL base keeper 50 — the transitive-keeper shape
+    assert got[88] == 50
+    assert got[81] == 40 and got[86] == 40
+    assert got[85] <= 25
+    # base verdicts unchanged by two absorbs
+    final_base = {t for t in verdicts(out2) if t[0] < 60}
+    assert final_base == base_v
+
+    def tree_digest(root, skip_epoch):
+        # untouched epochs must survive a redelivery byte-for-byte;
+        # the redelivered epoch is OVERWRITTEN (fresh part-file
+        # uuids), so its guarantee is content equality, not bytes
+        h = _h.sha256()
+        for dirpath, _, files in sorted(os.walk(root)):
+            if f"epoch={skip_epoch}" in dirpath:
+                continue
+            for f in sorted(files):
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(dirpath, f)
+                h.update(os.path.relpath(p, root).encode())
+                h.update(open(p, "rb").read())
+        return h.hexdigest()
+
+    ep2_min = 81
+    before = tree_digest(idx, ep2_min)
+    assign_before = {(r.id, r.bucket) for r in spark.read.parquet(
+        os.path.join(idx, "assign")).select("id", "bucket").collect()}
+    out_re = absorb_semantic_delta(spark, emb, ep2, idx, append=True)
+    assert verdicts(out_re) == expect
+    assert tree_digest(idx, ep2_min) == before, \
+        "redelivery touched other epochs' files"
+    assign_after = {(r.id, r.bucket) for r in spark.read.parquet(
+        os.path.join(idx, "assign")).select("id", "bucket").collect()}
+    assert assign_after == assign_before, "redelivery duplicated rows"
+    emb.unpersist()
+    release_absorb_persists()
