@@ -1074,7 +1074,8 @@ _SEM_PARAMS = "_semantic_index_params.json"
 
 
 def write_semantic_index(emb: DataFrame, path: str, threshold: float,
-                         k: int, iters: int, id_hash=None) -> None:
+                         k: int, iters: int, id_hash=None,
+                         sample_mod: int | None = None) -> None:
     """Build the semantic index over the base corpus: train the
     frozen centroid model (train_centroids — deterministic, bounded
     sample at scale), persist it as model-sized JSON, write the
@@ -1089,7 +1090,10 @@ def write_semantic_index(emb: DataFrame, path: str, threshold: float,
         semantic_keep, train_centroids,
     )
 
-    cent = train_centroids(emb, k=k, iters=iters, id_hash=id_hash)
+    import uuid as _uuid
+
+    cent = train_centroids(emb, k=k, iters=iters, id_hash=id_hash,
+                           sample_mod=sample_mod)
     rows = sorted((int(r.id), [float(x) for x in r.v], float(r.nrm))
                   for r in cent.collect())
     os.makedirs(path, exist_ok=True)
@@ -1109,11 +1113,25 @@ def write_semantic_index(emb: DataFrame, path: str, threshold: float,
     (semantic_keep(emb, cent_df, threshold)
      .write.mode("overwrite")
      .parquet(os.path.join(path, _SEM_VERDICTS, "epoch=0")))
-    tmp = os.path.join(path, f"{_SEM_PARAMS}.tmp{os.getpid()}")
+    # params ride INSIDE the assign dir and a matching build tag
+    # INSIDE the verdicts dir, so a retrain's two dir renames can be
+    # crash-audited: geometry and membership install atomically
+    # together, and recover_semantic_retrain detects a verdicts dir
+    # from a different build (the embedding tier's params-travel-with-
+    # bands fix, ADVICE r16, applied here from day one)
+    tag = _uuid.uuid4().hex
+    tmp = os.path.join(path, _SEM_ASSIGN, f".params.tmp{os.getpid()}")
     with open(tmp, "w") as fh:
         _json.dump({"threshold": threshold, "k": k, "iters": iters,
+                    "sample_mod": sample_mod,
+                    "id_hash": "md5" if id_hash is not None else "xx",
+                    "n_indexed_at_build": emb.count(), "tag": tag,
                     "centroids": rows}, fh)
-    os.replace(tmp, os.path.join(path, _SEM_PARAMS))
+    os.replace(tmp, os.path.join(path, _SEM_ASSIGN, _SEM_PARAMS))
+    ttmp = os.path.join(path, _SEM_VERDICTS, f".tag.tmp{os.getpid()}")
+    with open(ttmp, "w") as fh:
+        fh.write(tag)
+    os.replace(ttmp, os.path.join(path, _SEM_VERDICTS, "_SEM_TAG"))
 
 
 def absorb_semantic_delta(spark: SparkSession, corpus: DataFrame,
@@ -1135,7 +1153,8 @@ def absorb_semantic_delta(spark: SparkSession, corpus: DataFrame,
     from last_minute_legends_spark.functions.vectors import cosine
     from last_minute_legends_spark.operators.similarity import with_bucket
 
-    with open(os.path.join(path, _SEM_PARAMS)) as fh:
+    recover_semantic_retrain(path)
+    with open(os.path.join(path, _SEM_ASSIGN, _SEM_PARAMS)) as fh:
         p = _json.load(fh)
     rows = [(int(i), [float(x) for x in v], float(n))
             for i, v, n in p["centroids"]]
@@ -1185,3 +1204,121 @@ def absorb_semantic_delta(spark: SparkSession, corpus: DataFrame,
                        .parquet(os.path.join(path, _SEM_VERDICTS))
                        .select("id", "bucket", "keep", "dup_of", "dup_cos"))
     return stored_verdicts.unionByName(epoch_verdicts)
+
+
+def _sem_read_params(path: str) -> dict:
+    import json as _json
+    with open(os.path.join(path, _SEM_ASSIGN, _SEM_PARAMS)) as fh:
+        return _json.load(fh)
+
+
+def _sem_consistent(path: str) -> bool:
+    """True iff the assign dir's params and the verdicts dir's build
+    tag agree — the invariant a crash mid-retrain can break."""
+    try:
+        p = _sem_read_params(path)
+        with open(os.path.join(path, _SEM_VERDICTS, "_SEM_TAG")) as fh:
+            return fh.read().strip() == p["tag"]
+    except (OSError, KeyError, ValueError):
+        return False
+
+
+def recover_semantic_retrain(path: str) -> bool:
+    """Crash recovery for an interrupted semantic-index retrain,
+    called from every read path: if a ``__old_sem`` sibling exists
+    and the live dirs are inconsistent (missing, or assign and
+    verdicts carry different build tags), restore the old store
+    whole; if the live dirs are consistent, the swap completed — drop
+    the leftover. Returns True when it restored."""
+    import shutil
+
+    old = f"{path}__old_sem"
+    if not os.path.isdir(old):
+        return False
+    if _sem_consistent(path):
+        shutil.rmtree(old, ignore_errors=True)
+        return False
+    for d in (_SEM_ASSIGN, _SEM_VERDICTS):
+        src = os.path.join(old, d)
+        if os.path.isdir(src):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            os.rename(src, os.path.join(path, d))
+    shutil.rmtree(old, ignore_errors=True)
+    return True
+
+
+def semantic_index_health(spark: SparkSession, path: str) -> dict:
+    """Geometry-drift trigger for the semantic index: the frozen
+    k-means model was sized for the corpus at build time
+    (k ≈ n / SEM_TARGET_CLUSTER_ROWS); as absorbs grow the membership
+    store, mean cluster size — and therefore within-cluster pair cost
+    per epoch — drifts up. Fires ``retrain_recommended`` when the
+    adaptive k for the CURRENT population departs from the written k
+    by 4x either way (2 bits — the embedding tier's
+    REBAND_BITS_DRIFT economics on the cluster axis). Cost: one
+    params read + one footer-count scan (row-count-only parquet read,
+    no data pages)."""
+    from last_minute_legends_spark.operators.similarity import (
+        semantic_scaled_params,
+    )
+
+    p = _sem_read_params(path)
+    n = spark.read.parquet(os.path.join(path, _SEM_ASSIGN)).count()
+    rec_k, _ = semantic_scaled_params(int(n))
+    k = int(p["k"])
+    return {
+        "n_indexed": int(n),
+        "n_indexed_at_build": int(p.get("n_indexed_at_build", 0)),
+        "written_k": k,
+        "adaptive_k": rec_k,
+        "retrain_recommended": rec_k >= 4 * k or k >= 4 * rec_k,
+    }
+
+
+def retrain_semantic_index(spark: SparkSession, emb: DataFrame,
+                           path: str) -> None:
+    """The retrain pass ``semantic_index_health`` recommends: a full
+    rebuild at the CURRENT population's adaptive geometry (fresh k,
+    bounded training sample, fresh membership + verdicts), staged
+    into a process-unique sibling and swapped in under the compaction
+    lock — both live dirs move to ``__old_sem`` first, the staged
+    dirs rename in, and a crash anywhere leaves either a consistent
+    old store (restored by recover_semantic_retrain via the build-tag
+    audit) or the consistent new one. The IVF staged atomic-swap
+    retrain applied to the dedup axis; paid only when the corpus has
+    outgrown its clusters ~4x."""
+    import shutil
+    import uuid as _uuid
+
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.operators.similarity import (
+        semantic_scaled_params,
+    )
+
+    p = _sem_read_params(path)
+    with _compact_lock(path):
+        recover_semantic_retrain(path)
+        staging = f"{path}__retrain_{os.getpid()}_{_uuid.uuid4().hex[:8]}"
+        os.makedirs(staging)
+        try:
+            n = emb.count()
+            k, mod = semantic_scaled_params(int(n))
+            write_semantic_index(
+                emb, staging, float(p["threshold"]), k=k,
+                iters=int(p["iters"]),
+                id_hash=md5_id_hash if p.get("id_hash") == "md5" else None,
+                sample_mod=mod)
+            old = f"{path}__old_sem"
+            shutil.rmtree(old, ignore_errors=True)
+            os.makedirs(old)
+            os.rename(os.path.join(path, _SEM_ASSIGN),
+                      os.path.join(old, _SEM_ASSIGN))
+            os.rename(os.path.join(path, _SEM_VERDICTS),
+                      os.path.join(old, _SEM_VERDICTS))
+            os.rename(os.path.join(staging, _SEM_ASSIGN),
+                      os.path.join(path, _SEM_ASSIGN))
+            os.rename(os.path.join(staging, _SEM_VERDICTS),
+                      os.path.join(path, _SEM_VERDICTS))
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)

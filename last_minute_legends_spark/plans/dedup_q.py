@@ -474,7 +474,7 @@ def dedup_semantic_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = emb.filter(F.col("id") >= split)
     idx = layout_cache.layout_dir(
         "sem_index", os.path.join(sf_dir, "embeddings.parquet"),
-        f"v2-split80-k{SEM_K}i{SEM_ITERS}t{SEM_TAU}")
+        f"v3-split80-k{SEM_K}i{SEM_ITERS}t{SEM_TAU}")
     layout_cache.build_once(idx, lambda tmp: write_semantic_index(
         base, tmp, SEM_TAU, SEM_K, SEM_ITERS, id_hash=md5_id_hash))
     out = (absorb_semantic_delta(spark, emb, delta, idx, append=False)

@@ -68,7 +68,7 @@ ORACLE_WINDOW = 50
 #   - the remaining slots go to the least-recently-hash-green
 #     oracle-capable entries (full driver value compare).
 # Never-observed keys rank stalest of all, so a new operator's oracle
-# enters the window the round it ships. With ~103 oracle-capable keys
+# enters the window the round it ships. With ~112 oracle-capable keys
 # and 45 oracle slots, every oracle entry is driver-value-checked at
 # least every 3 rounds; ties break by registration order.
 import json as _json

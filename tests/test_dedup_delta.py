@@ -997,3 +997,81 @@ def test_semantic_delta_chains_and_redelivery(spark, sf_dir, tmp_path):
     assert assign_after == assign_before, "redelivery duplicated rows"
     emb.unpersist()
     release_absorb_persists()
+
+
+def test_semantic_index_health_retrain_and_recovery(spark, tmp_path):
+    """The semantic tier's maintenance loop: a store built small stays
+    healthy until absorbs grow the population ~4x past its geometry,
+    retrain_semantic_index rebuilds at the adaptive k under the lock
+    (verdicts == the scaled single-shot over the current population),
+    and a crash mid-swap (old dirs moved out, new verdicts not yet in)
+    is healed by recover_semantic_retrain on the next read via the
+    build-tag audit."""
+    import shutil
+
+    from last_minute_legends_spark.operators.dedup_delta import (
+        _SEM_ASSIGN, _SEM_VERDICTS, absorb_semantic_delta,
+        recover_semantic_retrain, release_absorb_persists,
+        retrain_semantic_index, semantic_index_health,
+        write_semantic_index,
+    )
+    from last_minute_legends_spark.operators.similarity import (
+        semantic_keep, semantic_scaled_params, train_centroids,
+        with_unit_vectors,
+    )
+
+    import hashlib as _h
+
+    def detvec(tag, dim=8):
+        return [
+            (int.from_bytes(_h.sha256(f"{tag}:{d}".encode()).digest()[:8],
+                            "big") / 2.0**64) * 2 - 1
+            for d in range(dim)
+        ]
+
+    rows = [(i, detvec(f"g{i}")) for i in range(4200)]
+    emb = with_unit_vectors(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ).persist()
+    base = emb.filter(F.col("id") < 1000)
+    idx = str(tmp_path / "sem_g")
+    write_semantic_index(base, idx, 0.7, k=8, iters=1)
+    h0 = semantic_index_health(spark, idx)
+    assert not h0["retrain_recommended"] and h0["written_k"] == 8
+    # absorb growth: 1000 -> 4200 rows; adaptive k = 4200//256 = 16 —
+    # only 2x, still healthy; force the 4x regime by absorbing into a
+    # geometry sized for 256 rows
+    delta = emb.filter(F.col("id") >= 1000)
+    absorb_semantic_delta(spark, emb, delta, idx, append=True)
+    h1 = semantic_index_health(spark, idx)
+    assert h1["n_indexed"] == 4200 and h1["adaptive_k"] == 16
+    assert not h1["retrain_recommended"]
+    # shrink written_k in params to simulate a build from the 256-row
+    # era (4200/256 -> k=16 >= 4*4): health must fire
+    import json as _json
+    pp = os.path.join(idx, _SEM_ASSIGN,
+                      "_semantic_index_params.json")
+    p = _json.load(open(pp))
+    p["k"] = 4
+    _json.dump(p, open(pp, "w"))
+    assert semantic_index_health(spark, idx)["retrain_recommended"]
+    retrain_semantic_index(spark, emb, idx)
+    h2 = semantic_index_health(spark, idx)
+    assert not h2["retrain_recommended"] and h2["written_k"] == 16
+    k, mod = semantic_scaled_params(4200)
+    cent = train_centroids(emb, k=k, iters=1, sample_mod=mod)
+    expect = {(r.id, r.keep) for r in semantic_keep(emb, cent, 0.7)
+              .select("id", "keep").collect()}
+    got_df = (spark.read.parquet(os.path.join(idx, _SEM_VERDICTS))
+              .select("id", "keep"))
+    assert {(r.id, r.keep) for r in got_df.collect()} == expect
+    # crash mid-swap: old dirs moved out, new verdicts absent
+    old = idx + "__old_sem"
+    os.makedirs(old, exist_ok=True)
+    shutil.move(os.path.join(idx, _SEM_VERDICTS),
+                os.path.join(old, _SEM_VERDICTS))
+    assert recover_semantic_retrain(idx), "recovery did not restore"
+    assert semantic_index_health(spark, idx)["written_k"] == 16
+    assert not os.path.isdir(old)
+    emb.unpersist()
+    release_absorb_persists()

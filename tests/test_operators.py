@@ -2317,3 +2317,53 @@ def test_global_shuffle_reproducible_balanced(spark, sf_dir):
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # shard window (+AQE read)
     assert "rangepartitioning" not in plan.lower(), "global sort leaked in"
+
+
+def test_semantic_np_kernel_matches_sql(spark, sf_dir):
+    """The numpy Gram-matrix kernel (production-scaled path) must
+    agree with the exact-sequential SQL form on verdicts: identical
+    (id, bucket, keep, dup_of) and dup_cos within final-ulp rounding
+    — on both the planted registry corpus and a denser synthetic one
+    where chance >= tau neighbors exercise the tiebreaks."""
+    import hashlib as _h
+
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.operators.similarity import (
+        semantic_keep, semantic_keep_np, train_centroids,
+        with_unit_vectors,
+    )
+    from last_minute_legends_spark.plans.dedup_q import _embedding_corpus
+
+    def detvec(tag, dim=8):
+        return [
+            (int.from_bytes(_h.sha256(f"{tag}:{d}".encode()).digest()[:8],
+                            "big") / 2.0**64) * 2 - 1
+            for d in range(dim)
+        ]
+
+    rows = [(i, detvec(f"p{i}")) for i in range(500)]
+    for src_id, dup in ((4, 600), (77, 640), (320, 700)):
+        v = list(rows[src_id][1]); v[0] += 0.01
+        rows.append((dup, v))
+    dense = with_unit_vectors(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"))
+    corpora = [
+        with_unit_vectors(_embedding_corpus(spark, sf_dir)),
+        dense,
+    ]
+    for emb in corpora:
+        emb = emb.persist()
+        cent = train_centroids(emb, k=6, iters=2, id_hash=md5_id_hash)
+        sql_v = {r.id: (r.bucket, r.keep, r.dup_of, r.dup_cos)
+                 for r in semantic_keep(emb, cent, 0.7).collect()}
+        np_v = {r.id: (r.bucket, r.keep, r.dup_of, r.dup_cos)
+                for r in semantic_keep_np(emb, cent, 0.7).collect()}
+        assert set(sql_v) == set(np_v)
+        for vid, (b, k, d, c) in sql_v.items():
+            nb, nk, nd, nc = np_v[vid]
+            assert (b, k, d) == (nb, nk, nd), f"{vid}: {sql_v[vid]} vs {np_v[vid]}"
+            if c is None:
+                assert nc is None
+            else:
+                assert abs(c - nc) <= 1e-4, f"{vid}: cos {c} vs {nc}"
+        emb.unpersist()

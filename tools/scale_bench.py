@@ -101,6 +101,11 @@ CELLS = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding",
+    # r17b: SemDeDup at the production geometry (adaptive k, bounded
+    # training sample) + its frozen-geometry fixed-epoch absorb (index
+    # cached per corpus — the flat-ladder lifecycle claim)
+    "dedup_semantic_scaled",
+    "dedup_semantic_delta_fixed",
     "dedup_clusters",
     "dedup_substring",        # r11: Lee-et-al span dedup
     "dedup_substring_clean",  # r11: its keep-first repair pass
@@ -126,6 +131,7 @@ CELLS = [
     # build+append cached per corpus, converges on probe-only cost
     "ann_quantized_topk",
     "ann_pq_topk",  # r17: PQ codebook train + encode + ADC + re-rank
+    "ann_ivfpq_topk",  # r17b: coarse probes restrict the ADC scan
     "curated_training_set",
     # event-analytics cells (scaled events: user count grows with the
     # corpus, per-user event density constant — the production regime)
@@ -178,6 +184,7 @@ CELLS = [
     "dedup_paragraph",
     "pack_shards",
     "mixture_sample",
+    "global_shuffle",  # r17b: seeded epoch shuffle (one exchange)
     "decontaminate",
     "decontaminate_fuzzy",  # r13: asymmetric broadcast LSH — the %7 eval
     # (r14: this key now means the PRODUCTION xxhash64 form; the
@@ -725,6 +732,58 @@ def _join_agg_cell(spark, sf_dir):
     return run_stream_join_agg_pipeline(spark, sf_dir, n_batches=6)
 
 
+def _semantic_scaled_cell(spark, sf_dir):
+    """Single-shot SemDeDup at the production geometry (r17b): the k ∝
+    corpus / bounded-training-sample form over the planted corpus —
+    this is the WRITE-ONCE index-build cost curve (the IVF-build
+    analog; its amortized read path is the _delta_fixed cell)."""
+    from last_minute_legends_spark.operators.similarity import (
+        semantic_scaled_keep, with_unit_vectors,
+    )
+    from last_minute_legends_spark.plans.dedup_q import _embedding_corpus
+
+    emb = with_unit_vectors(_embedding_corpus(spark, sf_dir))
+    return semantic_scaled_keep(emb, 0.7)
+
+
+def _semantic_delta_fixed_cell(spark, sf_dir):
+    """Fixed-epoch semantic absorb against a growing cached
+    frozen-geometry index (r17b): the top FIXED_DELTA_VECS ids are the
+    epoch (ingestion order is id order — the monotone-verdict
+    contract), everything below is the indexed base. Per-epoch cost =
+    narrow k-fold assign + bucket-pruned probe of touched clusters +
+    epoch-sized verify — the flat-ladder claim."""
+    from pyspark.sql import functions as F
+
+    from last_minute_legends_spark.operators.dedup_delta import (
+        absorb_semantic_delta, write_semantic_index,
+    )
+    from last_minute_legends_spark.operators.similarity import (
+        semantic_scaled_params, with_unit_vectors,
+    )
+    from last_minute_legends_spark.plans.dedup_q import _embedding_corpus
+    from last_minute_legends_spark.sources import layout_cache
+
+    emb = with_unit_vectors(_embedding_corpus(spark, sf_dir)).persist()
+    cut = int(emb.select("id").orderBy(F.desc("id"))
+              .limit(FIXED_DELTA_VECS).agg(F.min("id")).first()[0])
+    base = emb.filter(F.col("id") < cut)
+    delta = emb.filter(F.col("id") >= cut)
+    idx = layout_cache.layout_dir(
+        "sem_index_ladder",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        f"v1-fix{FIXED_DELTA_VECS}")
+
+    def _build(tmp):
+        n = base.count()
+        k, mod = semantic_scaled_params(n)
+        write_semantic_index(base, tmp, 0.7, k=k, iters=3,
+                             sample_mod=mod)
+
+    layout_cache.build_once(idx, _build)
+    return absorb_semantic_delta(spark, emb, delta, idx, append=False)
+
+
 SPECIAL_CELLS = {
     "dedup_delta_fixed": _dedup_delta_cell(fixed=True),
     "dedup_delta_prop": _dedup_delta_cell(fixed=False),
@@ -732,6 +791,8 @@ SPECIAL_CELLS = {
     "stream_outer_join_mb": _mb_join_cell(outer=True),
     "stream_join_agg_mb": _join_agg_cell,
     "dedup_embedding_delta_fixed": _emb_delta_cell(fixed=True),
+    "dedup_semantic_scaled": _semantic_scaled_cell,
+    "dedup_semantic_delta_fixed": _semantic_delta_fixed_cell,
     "dedup_embedding_delta_prop": _emb_delta_cell(fixed=False),
     "dedup_clusters_delta_fixed": _clusters_delta_cell(fixed=True),
     "dedup_clusters_delta_prop": _clusters_delta_cell(fixed=False),
