@@ -272,6 +272,9 @@ STREAMING = (
     # r17: streaming image dedup — per-epoch hamming absorb, no
     # corpus re-read (cached base hamming index)
     "stream_phash_delta",
+    # r17b: streaming SemDeDup — frozen k-means absorb per epoch in
+    # id order (monotone verdicts), health consulted in the sink
+    "stream_semantic_delta",
     # r17: streaming embedding dedup — frozen-plane absorb per epoch,
     # geometry-drift/compaction maintenance consulted in the sink
     "stream_embedding_delta",

@@ -530,6 +530,28 @@ ORDER BY vec_id
 DEDUP_SEMANTIC_DELTA_SQL = _semantic_delta_sql()
 
 
+def stream_semantic_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SemDeDup (r17b) — the fourth streaming dedup
+    lifecycle (streaming/pipeline.py::run_stream_semantic_delta):
+    the batch ``dedup_semantic_delta`` split (bottom-80% seed, same
+    frozen md5-trained geometry), the top 20% arriving as id-ORDERED
+    epochs over a JSON file-stream topic, foreachBatch absorbing each
+    epoch (bucket-pruned membership probe, candidate vectors from the
+    landed corpus, per-epoch overwritten verdict/membership landings
+    — redelivery-safe) with semantic_index_health consulted at epoch
+    boundaries. Final verdict frame == the single-shot
+    frozen-geometry prune, so the oracle is the UNCHANGED
+    DEDUP_SEMANTIC_DELTA_SQL — the hash match proves the chained
+    epoch decomposition AND the monotone-verdict contract."""
+    from last_minute_legends_spark.streaming.pipeline import (
+        run_stream_semantic_delta,
+    )
+
+    return (run_stream_semantic_delta(spark, sf_dir, n_epochs=4,
+                                      cache_tag="v1")
+            .withColumnRenamed("id", "vec_id").orderBy("vec_id"))
+
+
 def dedup_minhash_lsh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_minhash_lsh`` with the portable md5-prefix hash
     injected (functions/portable_hash.py) in place of the production
@@ -1206,6 +1228,7 @@ SPARK = {
     "dedup_embedding": dedup_embedding,
     "dedup_semantic": dedup_semantic,
     "dedup_semantic_delta": dedup_semantic_delta,
+    "stream_semantic_delta": stream_semantic_delta,
     "dedup_embedding_delta": dedup_embedding_delta,
     "stream_embedding_delta": stream_embedding_delta,
     "dedup_clusters": dedup_clusters,
@@ -1250,6 +1273,9 @@ SQL = {
     # r17b: frozen-geometry incremental form — base-only Lloyd,
     # assign-all, same prune tail
     "dedup_semantic_delta": DEDUP_SEMANTIC_DELTA_SQL,
+    # r17b: the streaming form converges on the identical final
+    # verdict frame — same frozen-geometry oracle
+    "stream_semantic_delta": DEDUP_SEMANTIC_DELTA_SQL,
     # r16: incremental absorb vs the SAME exact all-pairs SQL — the
     # hash match proves frozen-plane recall AND the delta
     # decomposition lossless (the dedup_delta oracle pattern on the

@@ -1587,3 +1587,175 @@ def run_stream_dedup_delta(spark: SparkSession, sf_dir: str,
 
         return read_labels_store(spark, labels_dir)
     return stored_pairs(spark, idx).distinct()
+
+
+def stream_semantic_absorb_epoch(spark: SparkSession,
+                                 batch_df: DataFrame, epoch_id: int,
+                                 idx: str, corpus: str,
+                                 health_every: int = 2) -> None:
+    """ONE epoch of the streaming SEMANTIC-dedup sink (module-level
+    for the redelivery test): unit-norm the epoch's vectors, absorb
+    against the frozen k-means membership store (bucket-pruned probe,
+    candidate vectors fetched from the corpus landed so far), land
+    the epoch as an OVERWRITTEN subdir, and consult
+    ``semantic_index_health`` every ``health_every`` epochs —
+    geometry drift retrains at the grown population's adaptive k
+    (staged atomic swap). Redelivery is wrong-row-safe: the absorb's
+    verdict/membership landings are per-epoch overwrites, and a retry
+    probing its own already-landed membership rows only duplicates
+    pair candidates, which the min/arg_min verdict fold absorbs."""
+    from last_minute_legends_spark.functions.vectors import norm
+    from last_minute_legends_spark.operators.dedup_delta import (
+        absorb_semantic_delta, retrain_semantic_index,
+        semantic_index_health,
+    )
+
+    delta = (batch_df.select("id", "v")
+             .withColumn("nrm", norm(F.col("v"))))
+    indexed = (spark.read.option("recursiveFileLookup", "true")
+               .parquet(corpus))
+    absorb_semantic_delta(spark, indexed, delta, idx, append=True)
+    (delta.write.mode("overwrite")
+     .parquet(os.path.join(corpus, f"epoch{int(epoch_id):06d}")))
+    if health_every > 0 and int(epoch_id) > 0 \
+            and int(epoch_id) % health_every == 0:
+        h = semantic_index_health(spark, idx)
+        if h["retrain_recommended"]:
+            emb = (spark.read.option("recursiveFileLookup", "true")
+                   .parquet(corpus))
+            retrain_semantic_index(spark, emb, idx)
+
+
+def run_stream_semantic_delta(spark: SparkSession, sf_dir: str,
+                              n_epochs: int = 4,
+                              cache_tag: str | None = None) -> DataFrame:
+    """STREAMING SEMANTIC DEDUP (r17b) — the SemDeDup tier's
+    incremental lifecycle driven end-to-end by Structured Streaming,
+    the fourth streaming dedup lifecycle beside MinHash (r15),
+    hamming/image and sign-LSH embedding (r17):
+
+    - the bottom 80% of ids seeds the frozen k-means index (the SAME
+      split, geometry, and md5 training striping as the batch
+      ``dedup_semantic_delta`` entry — so the registry entry carries
+      that entry's UNCHANGED frozen-geometry replay oracle) and lands
+      as the corpus base;
+    - the remaining ids arrive as a JSON file-stream topic in
+      id-ORDERED epochs (ingestion order is id order — the
+      monotone-verdict contract that makes the verdict store
+      append-only), one epoch per micro-batch; ``foreachBatch``
+      absorbs each epoch and lands it for the next batch's candidate
+      fetch;
+    - every ``health_every`` epochs the sink consults
+      ``semantic_index_health`` (a retrain would fire only past 4x
+      cluster-size drift — the 20% growth here exercises the check,
+      not the rebuild, exactly like the embedding tier's reband).
+
+    Returns the maintained verdict frame after the last epoch ==
+    the single-shot frozen-geometry prune over the full corpus."""
+    from last_minute_legends_spark.functions.portable_hash import (
+        md5_id_hash,
+    )
+    from last_minute_legends_spark.operators.dedup_delta import (
+        _SEM_ASSIGN, _SEM_VERDICTS, write_semantic_index,
+    )
+    from last_minute_legends_spark.operators.similarity import (
+        with_unit_vectors,
+    )
+    from last_minute_legends_spark.plans.dedup_q import (
+        SEM_ITERS, SEM_K, SEM_TAU, _embedding_corpus,
+    )
+    from last_minute_legends_spark.sources.tables import Catalog
+
+    staging = tempfile.mkdtemp(prefix="llm_spark_ssd_")
+    atexit.register(shutil.rmtree, staging, ignore_errors=True)
+    emb = with_unit_vectors(_embedding_corpus(spark, sf_dir))
+    mx = int(Catalog(spark, sf_dir).embeddings
+             .agg(F.max("vec_id")).first()[0])
+    split = int(mx * 0.8)
+    base = emb.filter(F.col("id") < split)
+    delta_all = emb.filter(F.col("id") >= split)
+
+    idx = f"{staging}/idx"
+    corpus = f"{staging}/corpus"
+
+    def _build(tmp: str) -> None:
+        b = base.persist()
+        write_semantic_index(b, os.path.join(tmp, "idx"), SEM_TAU,
+                             k=SEM_K, iters=SEM_ITERS,
+                             id_hash=md5_id_hash)
+        (b.select("id", "v", "nrm").write.mode("overwrite")
+         .parquet(os.path.join(tmp, "corpus")))
+        b.unpersist()
+
+    if cache_tag:
+        from last_minute_legends_spark.sources.layout_cache import (
+            build_once, layout_dir,
+        )
+
+        cached = build_once(
+            layout_dir("stream_semantic_delta_base",
+                       os.path.join(sf_dir, "embeddings.parquet"),
+                       f"v1-{cache_tag}-k{SEM_K}t{SEM_TAU}"),
+            _build)
+        _clone_tree(os.path.join(cached, "idx"), idx)
+        _clone_tree(os.path.join(cached, "corpus"), corpus)
+    else:
+        tmpb = f"{staging}/build"
+        _build(tmpb)
+        os.rename(os.path.join(tmpb, "idx"), idx)
+        os.rename(os.path.join(tmpb, "corpus"), corpus)
+
+    # id-ORDERED epochs over the top-20% delta (monotone ingestion)
+    n_eps = max(1, n_epochs - 1)
+    fracs = [i / n_eps for i in range(1, n_eps)]
+    if fracs:
+        cuts = delta_all.agg(F.expr(
+            f"percentile(id, array({', '.join(map(str, fracs))}))"
+        ).alias("c")).collect()[0].c
+    else:
+        cuts = []
+    grp = F.lit(0)
+    for c in cuts:
+        grp = grp + (F.col("id") > F.lit(float(c))).cast("int")
+    tagged = delta_all.withColumn("_grp", grp)
+
+    n_files = 8
+    os.makedirs(f"{staging}/in")
+    groups = []
+    for i in range(n_eps):
+        gdir = f"{staging}/grp{i:03d}"
+        (tagged.filter(F.col("_grp") == i).drop("_grp")
+         .select(F.to_json(F.struct("id", "v")).alias("value"))
+         .repartition(n_files)
+         .write.mode("overwrite").text(gdir))
+        groups.append([
+            (f, os.path.join(f"{staging}/in",
+                             f"g{i:03d}-{os.path.basename(f)}"))
+            for f in sorted(glob.glob(os.path.join(gdir, "part-*")))])
+
+    parsed = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", n_files)
+        .load(f"{staging}/in")
+        .select(F.from_json(F.col("value"),
+                            "id long, v array<double>").alias("d"))
+        .select("d.*")
+    )
+
+    def absorb(batch_df, epoch_id):
+        stream_semantic_absorb_epoch(spark, batch_df, epoch_id, idx,
+                                     corpus)
+
+    with sentinel_paced(spark):
+        q = (parsed.writeStream.foreachBatch(absorb)
+             .option("checkpointLocation", f"{staging}/ckpt")
+             .start())
+        deliver_group(groups[0])
+        q.processAllAvailable()
+        for g in groups[1:]:
+            deliver_group(g)
+            q.processAllAvailable()
+        q.stop()
+
+    return (spark.read.parquet(os.path.join(idx, _SEM_VERDICTS))
+            .select("id", "bucket", "keep", "dup_of", "dup_cos"))

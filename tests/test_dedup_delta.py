@@ -1075,3 +1075,94 @@ def test_semantic_index_health_retrain_and_recovery(spark, tmp_path):
     assert not os.path.isdir(old)
     emb.unpersist()
     release_absorb_persists()
+
+
+def test_stream_semantic_delta_matches_single_shot(spark, sf_dir):
+    """The streaming SemDeDup form (foreachBatch absorbing id-ordered
+    epochs against the frozen k-means index) must converge on exactly
+    the single-shot frozen-geometry verdict frame over the full
+    corpus — the same value the batch dedup_semantic_delta entry's
+    oracle replays."""
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.operators.similarity import (
+        semantic_keep, train_centroids, with_unit_vectors,
+    )
+    from last_minute_legends_spark.plans.dedup_q import (
+        SEM_ITERS, SEM_K, SEM_TAU, _embedding_corpus,
+    )
+    from last_minute_legends_spark.sources.tables import Catalog
+    from last_minute_legends_spark.streaming.pipeline import (
+        run_stream_semantic_delta,
+    )
+
+    got = {(r.id, r.bucket, r.keep, r.dup_of, r.dup_cos)
+           for r in run_stream_semantic_delta(spark, sf_dir,
+                                              n_epochs=4).collect()}
+    emb = with_unit_vectors(_embedding_corpus(spark, sf_dir)).persist()
+    mx = int(Catalog(spark, sf_dir).embeddings
+             .agg(F.max("vec_id")).first()[0])
+    base = emb.filter(F.col("id") < int(mx * 0.8))
+    cent = train_centroids(base, k=SEM_K, iters=SEM_ITERS,
+                           id_hash=md5_id_hash)
+    want = {(r.id, r.bucket, r.keep, r.dup_of, r.dup_cos)
+            for r in semantic_keep(emb, cent, SEM_TAU).collect()}
+    assert got == want
+    assert any(k == 0 for _, _, k, _, _ in got), "vacuous: no drops"
+    emb.unpersist()
+
+
+def test_stream_semantic_epoch_redelivery_idempotent(spark, sf_dir,
+                                                     tmp_path):
+    """Delivering the SAME vector epoch twice — including the
+    retry-after-landed shape where the membership store already
+    contains the epoch's rows (the probe then sees the epoch's own
+    docs as stored candidates) — must leave verdicts exactly the
+    chained result: no self-drops, no duplicated verdict rows, one
+    landed copy of the epoch."""
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.operators.dedup_delta import (
+        _SEM_VERDICTS, write_semantic_index,
+    )
+    from last_minute_legends_spark.operators.similarity import (
+        semantic_keep, train_centroids, with_unit_vectors,
+    )
+    from last_minute_legends_spark.plans.dedup_q import (
+        SEM_ITERS, SEM_K, SEM_TAU, _embedding_corpus,
+    )
+    from last_minute_legends_spark.sources.tables import Catalog
+    from last_minute_legends_spark.streaming.pipeline import (
+        stream_semantic_absorb_epoch,
+    )
+
+    emb = with_unit_vectors(_embedding_corpus(spark, sf_dir)).persist()
+    mx = int(Catalog(spark, sf_dir).embeddings
+             .agg(F.max("vec_id")).first()[0])
+    split = int(mx * 0.8)
+    base = emb.filter(F.col("id") < split).persist()
+    e1 = emb.filter(F.col("id") >= split)
+    idx = str(tmp_path / "idx")
+    corpus = str(tmp_path / "corpus")
+    write_semantic_index(base, idx, SEM_TAU, k=SEM_K, iters=SEM_ITERS,
+                         id_hash=md5_id_hash)
+    base.select("id", "v", "nrm").write.mode("overwrite").parquet(corpus)
+
+    wire = e1.select("id", "v")
+    stream_semantic_absorb_epoch(spark, wire, 1, idx, corpus)
+    stream_semantic_absorb_epoch(spark, wire, 1, idx, corpus)
+
+    landed = (spark.read.option("recursiveFileLookup", "true")
+              .parquet(corpus))
+    assert landed.count() == emb.count()
+    verd = (spark.read.parquet(os.path.join(idx, _SEM_VERDICTS))
+            .select("id", "bucket", "keep", "dup_of", "dup_cos"))
+    rows = verd.collect()
+    assert len(rows) == emb.count(), "duplicated verdict rows"
+    assert all(r.dup_of != r.id for r in rows if r.keep == 0)
+    cent = train_centroids(base, k=SEM_K, iters=SEM_ITERS,
+                           id_hash=md5_id_hash)
+    want = {(r.id, r.bucket, r.keep, r.dup_of, r.dup_cos)
+            for r in semantic_keep(emb, cent, SEM_TAU).collect()}
+    assert {(r.id, r.bucket, r.keep, r.dup_of, r.dup_cos)
+            for r in rows} == want
+    base.unpersist()
+    emb.unpersist()
