@@ -1075,7 +1075,8 @@ _SEM_PARAMS = "_semantic_index_params.json"
 
 def write_semantic_index(emb: DataFrame, path: str, threshold: float,
                          k: int, iters: int, id_hash=None,
-                         sample_mod: int | None = None) -> None:
+                         sample_mod: int | None = None,
+                         use_np: bool = False) -> None:
     """Build the semantic index over the base corpus: train the
     frozen centroid model (train_centroids — deterministic, bounded
     sample at scale), persist it as model-sized JSON, write the
@@ -1087,7 +1088,7 @@ def write_semantic_index(emb: DataFrame, path: str, threshold: float,
     import json as _json
 
     from last_minute_legends_spark.operators.similarity import (
-        semantic_keep, train_centroids,
+        semantic_keep, semantic_keep_np, train_centroids,
     )
 
     import uuid as _uuid
@@ -1110,7 +1111,11 @@ def write_semantic_index(emb: DataFrame, path: str, threshold: float,
      .parquet(os.path.join(path, _SEM_ASSIGN, "epoch=0")))
     spark = emb.sparkSession
     cent_df = spark.createDataFrame(rows, "id int, v array<double>, nrm double")
-    (semantic_keep(emb, cent_df, threshold)
+    # use_np selects the BLAS verify kernel for production-scaled
+    # geometry builds (the SQL kernel is the oracle-parity default —
+    # the sf0.01 gate entries replay its exact sequential arithmetic)
+    keep_fn = semantic_keep_np if use_np else semantic_keep
+    (keep_fn(emb, cent_df, threshold)
      .write.mode("overwrite")
      .parquet(os.path.join(path, _SEM_VERDICTS, "epoch=0")))
     # params ride INSIDE the assign dir and a matching build tag
@@ -1125,6 +1130,7 @@ def write_semantic_index(emb: DataFrame, path: str, threshold: float,
         _json.dump({"threshold": threshold, "k": k, "iters": iters,
                     "sample_mod": sample_mod,
                     "id_hash": "md5" if id_hash is not None else "xx",
+                    "use_np": bool(use_np),
                     "n_indexed_at_build": emb.count(), "tag": tag,
                     "centroids": rows}, fh)
     os.replace(tmp, os.path.join(path, _SEM_ASSIGN, _SEM_PARAMS))
@@ -1307,7 +1313,7 @@ def retrain_semantic_index(spark: SparkSession, emb: DataFrame,
                 emb, staging, float(p["threshold"]), k=k,
                 iters=int(p["iters"]),
                 id_hash=md5_id_hash if p.get("id_hash") == "md5" else None,
-                sample_mod=mod)
+                sample_mod=mod, use_np=bool(p.get("use_np")))
             old = f"{path}__old_sem"
             shutil.rmtree(old, ignore_errors=True)
             os.makedirs(old)
