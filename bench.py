@@ -147,6 +147,9 @@ HEADLINE = [
     # r17b: the IVF-PQ composition (coarse probes restrict the ADC
     # scan; codebook cache shared with ann_pq_topk)
     "ann_ivfpq_topk",
+    # r17b: its frozen-model ingest (delta assigned+encoded against
+    # the frozen coarse centroids AND codebooks)
+    "ann_ivfpq_append_probe",
     "catalog_text_etl",
     "stream_json_parse",
     "events_typed_parse",

@@ -527,12 +527,17 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _ivfpq_replay_sql() -> str:
+def _ivfpq_replay_sql(with_append_delta: bool = False) -> str:
     """The composed IVF-PQ oracle: the coarse-Lloyd chain and probe
     selection from _ivf_replay_sql, the per-subspace codebook chains
     and reconstruction from _pq_replay_sql, and an ADC shortlist
     RESTRICTED to each query's probed buckets — then the exact
-    re-rank tail. All chains come from the shared _lloyd_ctes."""
+    re-rank tail. All chains come from the shared _lloyd_ctes.
+    ``with_append_delta`` extends it with the frozen-MODEL ingest:
+    the re-keyed perturbed batch assigned against the FINAL coarse
+    centroids AND encoded against the FINAL codebooks (neither model
+    re-enters training — the append_ivf_index semantics on both
+    axes), unioned into the searched set."""
     from last_minute_legends_spark.operators.similarity import (
         PQ_ITERS, PQ_K, PQ_M, PQ_RERANK,
     )
@@ -546,6 +551,22 @@ cand AS MATERIALIZED (SELECT * FROM n WHERE id >= {N_QUERIES}),
 dim AS MATERIALIZED (SELECT len(v) // {PQ_M} AS d FROM cand LIMIT 1)"""]
     parts.extend(_lloyd_ctes("cand", N_CENTROIDS, IVF_ITERS))
     parts.append(_ivf_assign_cte("bucketed", f"cent{IVF_ITERS}"))
+    searched = "bucketed"
+    if with_append_delta:
+        parts.append(f"""dn AS MATERIALIZED (
+    SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS id,
+           list_concat([v0[1] + {APPEND_EPS}], v0[2:]) AS v
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings
+          WHERE vec_id % {APPEND_MOD} = 0)
+), delta AS MATERIALIZED (
+    SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM dn
+)""")
+        parts.append(_ivf_assign_cte("delta_assigned", f"cent{IVF_ITERS}",
+                                     src="delta"))
+        parts.append("""all_bucketed AS MATERIALIZED (
+    SELECT * FROM bucketed UNION ALL SELECT * FROM delta_assigned
+)""")
+        searched = "all_bucketed"
     qcos = _IVF_COS.format(a="q", b="ct")
     parts.append(f"""probes AS MATERIALIZED (
     SELECT q_id, bucket FROM (
@@ -565,8 +586,18 @@ dim AS MATERIALIZED (SELECT len(v) // {PQ_M} AS d FROM cand LIMIT 1)"""]
     FROM cand
 )""")
         parts.extend(_lloyd_ctes(f"sub{m}", PQ_K, PQ_ITERS, prefix=f"s{m}"))
+        code_src = f"sub{m}"
+        if with_append_delta:
+            # encode the WHOLE searched set (base ∪ delta) against the
+            # codebooks trained on base only
+            parts.append(f"""asub{m} AS MATERIALIZED (
+    SELECT id, v[{lo}:{hi}] AS v,
+           sqrt(list_dot_product(v[{lo}:{hi}], v[{lo}:{hi}])) AS nrm
+    FROM {searched}
+)""")
+            code_src = f"asub{m}"
         parts.append(_ivf_assign_cte(f"s{m}coded", f"s{m}cent{PQ_ITERS}",
-                                     src=f"sub{m}"))
+                                     src=code_src))
     joins = "\n    ".join(
         f"JOIN s{m}coded a{m} ON a{m}.id = c.id "
         f"JOIN s{m}cent{PQ_ITERS} w{m} ON w{m}.cent_id = a{m}.bucket"
@@ -574,7 +605,7 @@ dim AS MATERIALIZED (SELECT len(v) // {PQ_M} AS d FROM cand LIMIT 1)"""]
     concat = " || ".join(f"w{m}.cv" for m in range(PQ_M))
     parts.append(f"""recon AS MATERIALIZED (
     SELECT c.id, c.bucket, {concat} AS rv
-    FROM bucketed c
+    FROM {searched} c
     {joins}
 )""")
     parts.append(f"""shortlist AS MATERIALIZED (
@@ -596,7 +627,7 @@ scored AS (
            list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
     FROM shortlist s
     JOIN qry q ON q.id = s.q_id
-    JOIN cand c ON c.id = s.c_id
+    JOIN {searched} c ON c.id = s.c_id
 ), ranked AS (
     SELECT q_id, c_id, cos,
            row_number() OVER (PARTITION BY q_id
@@ -610,6 +641,38 @@ ORDER BY q_id, rn
 
 
 ANN_IVFPQ_SQL = _ivfpq_replay_sql()
+ANN_IVFPQ_APPEND_SQL = _ivfpq_replay_sql(with_append_delta=True)
+
+
+def ann_ivfpq_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ INGEST (r17b): the composed tier's frozen-model append
+    — a deterministic batch of re-keyed near-dup vectors joins the
+    searched set by assignment against the FROZEN coarse centroids
+    and encoding against the FROZEN codebooks (neither model
+    retrains: the append_ivf_index discipline applied to both model
+    axes at once; at 100 TB this is new parquet files in touched
+    bucket dirs carrying only (id, codes)). The appended vectors are
+    near-dups of existing ones, so they displace top-k rows — a probe
+    that missed them value-mismatches. Oracle = the composed replay
+    EXTENDED with the same frozen-model delta (ANN_IVFPQ_APPEND_SQL),
+    value-checking that ingested vectors are assigned, encoded,
+    probed and re-ranked EXACTLY like a same-model build over
+    base ∪ delta."""
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.operators.similarity import ivfpq_topk
+
+    vecs = _vectors(spark, sf_dir, spread=True)
+    queries = vecs.filter(F.col("id") < N_QUERIES)
+    base = vecs.filter(F.col("id") >= N_QUERIES).persist()
+    centroids = train_centroids(base, k=N_CENTROIDS,
+                                iters=IVF_ITERS, id_hash=md5_id_hash)
+    cbs, d_sub = _ensure_pq_codebooks(spark, sf_dir, base)
+    searched = base.unionByName(_append_delta(spark, sf_dir))
+    out = (ivfpq_topk(queries, searched, centroids, cbs, d_sub,
+                      k=TOP_K, n_probe=IVF_N_PROBE)
+           .localCheckpoint(eager=True))
+    base.unpersist()
+    return out
 
 
 def _pq_replay_sql() -> str:
@@ -742,6 +805,7 @@ SPARK = {
     "ann_quantized_topk": ann_quantized_topk,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_append_probe": ann_ivfpq_append_probe,
 }
 
 SQL = {
@@ -766,6 +830,9 @@ SQL = {
     # r17b: the IVF-PQ composition — coarse Lloyd + probes + subspace
     # Lloyds + probe-restricted ADC shortlist + re-rank, replayed
     "ann_ivfpq_topk": ANN_IVFPQ_SQL,
+    # r17b: the composition's frozen-model ingest — the same replay
+    # extended with the delta assigned+encoded against frozen models
+    "ann_ivfpq_append_probe": ANN_IVFPQ_APPEND_SQL,
 }
 
 LOCAL_SQL = {
