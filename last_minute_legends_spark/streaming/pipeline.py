@@ -1606,8 +1606,8 @@ def stream_semantic_absorb_epoch(spark: SparkSession,
     pair candidates, which the min/arg_min verdict fold absorbs."""
     from last_minute_legends_spark.functions.vectors import norm
     from last_minute_legends_spark.operators.dedup_delta import (
-        absorb_semantic_delta, retrain_semantic_index,
-        semantic_index_health,
+        absorb_semantic_delta, release_absorb_persists,
+        retrain_semantic_index, semantic_index_health,
     )
 
     delta = (batch_df.select("id", "v")
@@ -1615,6 +1615,10 @@ def stream_semantic_absorb_epoch(spark: SparkSession,
     indexed = (spark.read.option("recursiveFileLookup", "true")
                .parquet(corpus))
     absorb_semantic_delta(spark, indexed, delta, idx, append=True)
+    # append=True materialized every landing inside the call — drop
+    # the absorb's tracked persists so a long stream can't accumulate
+    # one pinned epoch frame per micro-batch (VERDICT r16 #6 hygiene)
+    release_absorb_persists()
     (delta.write.mode("overwrite")
      .parquet(os.path.join(corpus, f"epoch{int(epoch_id):06d}")))
     if health_every > 0 and int(epoch_id) > 0 \
