@@ -150,6 +150,9 @@ HEADLINE = [
     # r17b: its frozen-model ingest (delta assigned+encoded against
     # the frozen coarse centroids AND codebooks)
     "ann_ivfpq_append_probe",
+    # r17b: the written codes-only layout (bucket-pruned probe over
+    # (id, codes) rows; min-of-2 converges on probe-only cost)
+    "ann_ivfpq_probe_indexed",
     "catalog_text_etl",
     "stream_json_parse",
     "events_typed_parse",

@@ -675,6 +675,49 @@ def ann_ivfpq_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ann_ivfpq_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed tier's WRITTEN layout (r17b,
+    sources/ivfpq_index.py): coarse-bucketed, PQ-encoded (id, codes)
+    rows partitioned by bucket — the index resident state is m small
+    ints per vector (64 bits at the shipped geometry; the codes
+    scan's ReadSchema carries no float vector, plan-asserted) and a
+    probe reads only its n_probe bucket dirs via a planning-literal
+    bucket IN (...) (the ann_ivf_probe_indexed discipline). ADC
+    reconstructs from the codeword literal at probe time; the exact
+    re-rank fetches true vectors candidate-only from the base table.
+    Value-identical to ann_ivfpq_topk over the same cached models,
+    so it shares the composed replay oracle ANN_IVFPQ_SQL — the
+    driver value-checks write → prune → decode → re-rank
+    end-to-end."""
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.operators.similarity import PQ_RERANK
+    from last_minute_legends_spark.sources import layout_cache
+    from last_minute_legends_spark.sources.ivfpq_index import (
+        ivfpq_probe_topk, write_ivfpq_index,
+    )
+
+    vecs = _vectors(spark, sf_dir, spread=True)
+    queries = vecs.filter(F.col("id") < N_QUERIES)
+    candidates = vecs.filter(F.col("id") >= N_QUERIES).persist()
+    idx = layout_cache.layout_dir(
+        "llm_spark_ivfpq_index",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        f"v1-md5-k{N_CENTROIDS}")
+
+    def _build(tmp: str) -> None:
+        cent = train_centroids(candidates, k=N_CENTROIDS,
+                               iters=IVF_ITERS, id_hash=md5_id_hash)
+        cbs, d_sub = _ensure_pq_codebooks(spark, sf_dir, candidates)
+        write_ivfpq_index(candidates, cent, cbs, d_sub, tmp)
+
+    layout_cache.build_once(idx, _build)
+    out = (ivfpq_probe_topk(spark, idx, queries, candidates, k=TOP_K,
+                            n_probe=IVF_N_PROBE, rerank=PQ_RERANK)
+           .orderBy("q_id", "rn").localCheckpoint(eager=True))
+    candidates.unpersist()
+    return out
+
+
 def _pq_replay_sql() -> str:
     """From-scratch DuckDB unroll of the full PQ derivation (the
     _ivf_replay_sql pattern applied per subspace): for each of PQ_M
@@ -806,6 +849,7 @@ SPARK = {
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_append_probe": ann_ivfpq_append_probe,
+    "ann_ivfpq_probe_indexed": ann_ivfpq_probe_indexed,
 }
 
 SQL = {
@@ -833,6 +877,9 @@ SQL = {
     # r17b: the composition's frozen-model ingest — the same replay
     # extended with the delta assigned+encoded against frozen models
     "ann_ivfpq_append_probe": ANN_IVFPQ_APPEND_SQL,
+    # r17b: the written codes-only layout probes value-identically to
+    # the in-memory composition — same composed replay oracle
+    "ann_ivfpq_probe_indexed": ANN_IVFPQ_SQL,
 }
 
 LOCAL_SQL = {

@@ -1,0 +1,157 @@
+"""Write-time IVF-PQ index: partition-pruned probes over CODES-ONLY
+resident state.
+
+The composed tier's 100 TB shape, making both claims executable at
+once: the IVF side's "a probe reads only n_probe/k of the data"
+(``partitionBy("bucket")`` parquet → static planning-time
+``PartitionFilters: bucket IN (...)``, the sources/ivf_index.py
+discipline) and the PQ side's "the index stores m small ints per
+vector" — the ``codes/`` layout carries ``(id, codes)`` and NOTHING
+else (no float vectors: 64 resident bits per 64-dim vector at the
+shipped 16x4x16 geometry; plan-asserted via the scan's ReadSchema in
+tests/test_plans.py). ADC reconstruction happens at probe time from
+the k·m·d_sub-cell codeword literal (model-parameter-sized, inlined
+into codegen), and the exact re-rank fetches TRUE vectors
+candidate-only from the base table — shortlist-sized, the absorb
+verify economics.
+
+Economics: the expensive passes (coarse assignment + 16 subspace
+encodings over the full corpus — all narrow literal folds, the
+writer's partitionBy the only exchange) are paid once at write time;
+every probe then reads n_probe bucket dirs of int-array rows.
+
+Reference parity: the reference has no ANN surface (SURVEY §2.4
+extends it); this is the storage path for the composed tier
+introduced in plans/ann_q.py::ann_ivfpq_topk.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from last_minute_legends_spark.functions.vectors import cosine, norm
+from last_minute_legends_spark.operators.similarity import (
+    assign_buckets,
+    pq_reconstruct,
+)
+from last_minute_legends_spark.sources.ivf_index import PROBE_STATIC_MAX
+
+_CODES = "codes"
+_CENTROIDS = "centroids"
+_CODEBOOKS = "codebooks"
+_META = "_ivfpq_meta.json"
+
+
+def write_ivfpq_index(candidates: DataFrame, centroids: DataFrame,
+                      codebooks: list, d_sub: int, path: str) -> None:
+    """Materialize the composed index: coarse-bucketed, PQ-encoded
+    ``(id, codes)`` rows partitioned by bucket (id-sorted files for
+    row-group skipping), plus the two model side tables (k-row coarse
+    centroids, m stacked codebooks) and a meta json."""
+    bucketed = assign_buckets(candidates, centroids)
+    coded = pq_reconstruct(bucketed, codebooks, d_sub, keep=("bucket",))
+    (coded.select("id", "codes", "bucket")
+     .repartition(1, "bucket").sortWithinPartitions("bucket", "id")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(path, _CODES)))
+    (centroids.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, _CENTROIDS)))
+    stacked = codebooks[0].select(F.lit(0).alias("sub"), "id", "v", "nrm")
+    for i, cb in enumerate(codebooks[1:], start=1):
+        stacked = stacked.unionByName(
+            cb.select(F.lit(i).alias("sub"), "id", "v", "nrm"))
+    (stacked.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, _CODEBOOKS)))
+    tmp = os.path.join(path, f"{_META}.tmp{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump({"d_sub": d_sub, "m": len(codebooks)}, fh)
+    os.replace(tmp, os.path.join(path, _META))
+
+
+def _codeword_recon(spark: SparkSession, path: str):
+    """(reconstruction Column over a ``codes`` column, m) — the
+    per-subspace codeword maps inlined as a literal expression
+    (m × k × d_sub doubles: model-parameter-sized, the
+    with_bucket/centroid-literal economics)."""
+    with open(os.path.join(path, _META)) as fh:
+        meta = json.load(fh)
+    m = int(meta["m"])
+    rows = spark.read.parquet(os.path.join(path, _CODEBOOKS)).collect()
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(int(r.sub), []).append(
+            (int(r.id), [float(x) for x in r.v]))
+    recon_cols = []
+    for i in range(m):
+        cw = F.create_map(*[c for cid, cv in sorted(by_sub[i])
+                            for c in (F.lit(cid),
+                                      F.array(*[F.lit(x) for x in cv]))])
+        recon_cols.append(F.element_at(cw, F.element_at("codes", i + 1)))
+    return F.concat(*recon_cols), m
+
+
+def ivfpq_probe_topk(spark: SparkSession, path: str, queries: DataFrame,
+                     corpus: DataFrame, k: int = 10, n_probe: int = 2,
+                     rerank: int = 100,
+                     static_max: int = PROBE_STATIC_MAX) -> DataFrame:
+    """Probe the written composed index: planning-literal
+    ``bucket IN (...)`` over the codes layout (the probe_topk static
+    path — only (q_id, bucket) int pairs ever reach the driver), ADC
+    against the codeword reconstruction, exact re-rank fetching the
+    shortlist's true vectors from ``corpus``. Value-identical to
+    operators.similarity.ivfpq_topk over the same models (same
+    tiebreaks everywhere), so the registry entry shares the composed
+    replay oracle."""
+    cent = spark.read.parquet(os.path.join(path, _CENTROIDS)).select(
+        F.col("id").alias("cent_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"))
+    q = queries.select(
+        F.col("id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"))
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    assigned = (
+        q.join(F.broadcast(cent))
+        .withColumn("cos", cosine(F.col("qv"), F.col("qn"),
+                                  F.col("cv"), F.col("cn")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "qv", "qn", F.col("cent_id").alias("bucket"))
+    )
+    rv, _m = _codeword_recon(spark, path)
+    small = q.limit(static_max + 1).count() <= static_max
+    if small:
+        pair_plan = assigned.select("q_id", "bucket")
+        pairs = pair_plan.collect()          # ints only — never vectors
+        pairs_df = spark.createDataFrame(pairs, pair_plan.schema)
+        probes = q.join(F.broadcast(pairs_df), "q_id").select(
+            "q_id", "qv", "qn", "bucket")
+        buckets = sorted({int(r.bucket) for r in pairs})
+        codes = (spark.read.parquet(os.path.join(path, _CODES))
+                 .filter(F.col("bucket").isin(buckets)))
+        adc = F.broadcast(probes).join(
+            codes.withColumn("rv", rv), "bucket")
+    else:
+        codes = spark.read.parquet(os.path.join(path, _CODES))
+        adc = assigned.join(codes.withColumn("rv", rv), "bucket")
+    adc = adc.withColumn("rn_", norm(F.col("rv"))).withColumn(
+        "cos", cosine(F.col("qv"), F.col("qn"), F.col("rv"), F.col("rn_")))
+    ws = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
+    short = (adc.withColumn("srn", F.row_number().over(ws))
+             .filter(F.col("srn") <= rerank)
+             .select("q_id", F.col("id").alias("c_id")))
+    pairs2 = short.join(F.broadcast(q), "q_id")
+    scored = (corpus
+              .select(F.col("id").alias("c_id"), F.col("v").alias("cv"),
+                      F.col("nrm").alias("cn"))
+              .join(F.broadcast(pairs2), "c_id")
+              .withColumn("cos", cosine(F.col("qv"), F.col("qn"),
+                                        F.col("cv"), F.col("cn"))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("q_id", "rn", "c_id",
+                    F.round("cos", 4).alias("cosine")))

@@ -518,3 +518,67 @@ def test_aqe_skew_join_fires_on_zipf_keys(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, old)
+
+
+def test_ivfpq_probe_prunes_and_stores_codes_only(spark, sf_dir):
+    """The written IVF-PQ layout (r17b): a probe's codes scan must
+    (a) prune at PLANNING time — static bucket IN (...)
+    PartitionFilters, empty DataFilters (the k - n_probe other bucket
+    dirs never listed/opened) — and (b) read ONLY (id, codes): no
+    float vector column in the index ReadSchema, which is the m-small-
+    ints-per-vector resident-state claim made executable. The true
+    vectors appear only in the shortlist-sized re-rank fetch against
+    the base table."""
+    from pyspark.sql import functions as F
+
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.operators.similarity import (
+        PQ_RERANK, train_centroids,
+    )
+    from last_minute_legends_spark.plans.ann_q import (
+        IVF_ITERS, IVF_N_PROBE, N_CENTROIDS, N_QUERIES, TOP_K,
+        _ensure_pq_codebooks, _vectors,
+    )
+    from last_minute_legends_spark.sources import layout_cache
+    from last_minute_legends_spark.sources.ivfpq_index import (
+        ivfpq_probe_topk, write_ivfpq_index,
+    )
+
+    import os
+
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("id") < N_QUERIES)
+    candidates = vecs.filter(F.col("id") >= N_QUERIES).persist()
+    idx = layout_cache.layout_dir(
+        "llm_spark_ivfpq_index",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        f"v1-md5-k{N_CENTROIDS}")
+
+    def _build(tmp):
+        cent = train_centroids(candidates, k=N_CENTROIDS,
+                               iters=IVF_ITERS, id_hash=md5_id_hash)
+        cbs, d_sub = _ensure_pq_codebooks(spark, sf_dir, candidates)
+        write_ivfpq_index(candidates, cent, cbs, d_sub, tmp)
+
+    layout_cache.build_once(idx, _build)
+    plan = _plan(ivfpq_probe_topk(spark, idx, queries, candidates,
+                                  k=TOP_K, n_probe=IVF_N_PROBE,
+                                  rerank=PQ_RERANK))
+    # the Location path is truncated in plan lines — identify the
+    # codes scan by its ReadSchema instead
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan" in ln and "llm_spark_ivfpq_index" in ln
+             and "codes:array<int>" in ln]
+    assert scans, "no codes scan in the probe plan:\n" + plan
+    for ln in scans:
+        part = ln.split("PartitionFilters: ", 1)
+        assert len(part) == 2 and part[1].lstrip().startswith("[bucket#"), (
+            "codes scan without a planning-time bucket partition "
+            "filter:\n" + ln)
+        assert " IN (" in part[1].split("]", 1)[0], ln
+        assert "DataFilters: []" in ln, ln
+        rs = ln.split("ReadSchema: ", 1)
+        assert len(rs) == 2 and "codes:array<int>" in rs[1] \
+            and "v:array<double>" not in rs[1], (
+            "index scan reads more than (id, codes):\n" + ln)
+    candidates.unpersist()
