@@ -1106,7 +1106,7 @@ def write_semantic_index(emb: DataFrame, path: str, threshold: float,
     # else (the per-epoch-subdir redelivery discipline the MinHash /
     # hamming / embedding tiers use for their corpus landings)
     (assigned.select("id", "bucket")
-     .repartition(1, "bucket").sortWithinPartitions("bucket", "id")
+     .repartition(F.col("bucket")).sortWithinPartitions("bucket", "id")
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(path, _SEM_ASSIGN, "epoch=0")))
     spark = emb.sparkSession
@@ -1201,7 +1201,7 @@ def absorb_semantic_delta(spark: SparkSession, corpus: DataFrame,
         epoch_verdicts.write.mode("overwrite").parquet(
             os.path.join(path, _SEM_VERDICTS, f"epoch={ep}"))
         (d.select("id", "bucket")
-         .repartition(1, "bucket").sortWithinPartitions("bucket", "id")
+         .repartition(F.col("bucket")).sortWithinPartitions("bucket", "id")
          .write.mode("overwrite").partitionBy("bucket")
          .parquet(os.path.join(path, _SEM_ASSIGN, f"epoch={ep}")))
         return (spark.read.parquet(os.path.join(path, _SEM_VERDICTS))

@@ -54,8 +54,12 @@ def write_ivfpq_index(candidates: DataFrame, centroids: DataFrame,
     centroids, m stacked codebooks) and a meta json."""
     bucketed = assign_buckets(candidates, centroids)
     coded = pq_reconstruct(bucketed, codebooks, d_sub, keep=("bucket",))
+    # column-keyed repartition (the band-write grain): each bucket's
+    # rows land in ONE partition — one id-sorted file per bucket dir,
+    # writers parallel across buckets (repartition(1, ...) would
+    # serialize the whole corpus through a single writer task)
     (coded.select("id", "codes", "bucket")
-     .repartition(1, "bucket").sortWithinPartitions("bucket", "id")
+     .repartition(F.col("bucket")).sortWithinPartitions("bucket", "id")
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(path, _CODES)))
     (centroids.coalesce(1).write.mode("overwrite")
