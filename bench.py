@@ -153,6 +153,9 @@ HEADLINE = [
     # r17b: the written codes-only layout (bucket-pruned probe over
     # (id, codes) rows; min-of-2 converges on probe-only cost)
     "ann_ivfpq_probe_indexed",
+    # r17b: the written layout after frozen-model ingest (append
+    # files land only in touched bucket dirs)
+    "ann_ivfpq_append_indexed",
     "catalog_text_etl",
     "stream_json_parse",
     "events_typed_parse",

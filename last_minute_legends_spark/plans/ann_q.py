@@ -718,6 +718,50 @@ def ann_ivfpq_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ann_ivfpq_append_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITTEN composed index after frozen-model INGEST (r17b):
+    the deterministic re-keyed batch absorbed via
+    sources/ivfpq_index.py::append_ivfpq_index — assignment against
+    the stored coarse centroids, encoding against the stored
+    codebooks, mode("append") files landing only in touched bucket
+    dirs (pre-append files byte-identical, test-locked) — then probed
+    with the same planning-pruned codes scan. Value-identical to the
+    in-memory frozen-model composition over base ∪ delta, so it
+    shares ANN_IVFPQ_APPEND_SQL: the driver value-checks the whole
+    write → ingest → prune → decode → re-rank lifecycle. Private
+    layout cache (appended rows must never leak into
+    ann_ivfpq_probe_indexed's layout)."""
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.operators.similarity import PQ_RERANK
+    from last_minute_legends_spark.sources import layout_cache
+    from last_minute_legends_spark.sources.ivfpq_index import (
+        append_ivfpq_index, ivfpq_probe_topk, write_ivfpq_index,
+    )
+
+    vecs = _vectors(spark, sf_dir, spread=True)
+    queries = vecs.filter(F.col("id") < N_QUERIES)
+    base = vecs.filter(F.col("id") >= N_QUERIES).persist()
+    idx = layout_cache.layout_dir(
+        "llm_spark_ivfpq_append",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        f"v1-md5-k{N_CENTROIDS}")
+
+    def _build(tmp: str) -> None:
+        cent = train_centroids(base, k=N_CENTROIDS,
+                               iters=IVF_ITERS, id_hash=md5_id_hash)
+        cbs, d_sub = _ensure_pq_codebooks(spark, sf_dir, base)
+        write_ivfpq_index(base, cent, cbs, d_sub, tmp)
+        append_ivfpq_index(spark, _append_delta(spark, sf_dir), tmp)
+
+    layout_cache.build_once(idx, _build)
+    corpus = base.unionByName(_append_delta(spark, sf_dir))
+    out = (ivfpq_probe_topk(spark, idx, queries, corpus, k=TOP_K,
+                            n_probe=IVF_N_PROBE, rerank=PQ_RERANK)
+           .orderBy("q_id", "rn").localCheckpoint(eager=True))
+    base.unpersist()
+    return out
+
+
 def _pq_replay_sql() -> str:
     """From-scratch DuckDB unroll of the full PQ derivation (the
     _ivf_replay_sql pattern applied per subspace): for each of PQ_M
@@ -850,6 +894,7 @@ SPARK = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_append_probe": ann_ivfpq_append_probe,
     "ann_ivfpq_probe_indexed": ann_ivfpq_probe_indexed,
+    "ann_ivfpq_append_indexed": ann_ivfpq_append_indexed,
 }
 
 SQL = {
@@ -880,6 +925,9 @@ SQL = {
     # r17b: the written codes-only layout probes value-identically to
     # the in-memory composition — same composed replay oracle
     "ann_ivfpq_probe_indexed": ANN_IVFPQ_SQL,
+    # r17b: the written layout after frozen-model ingest — the
+    # append-extended composed replay
+    "ann_ivfpq_append_indexed": ANN_IVFPQ_APPEND_SQL,
 }
 
 LOCAL_SQL = {

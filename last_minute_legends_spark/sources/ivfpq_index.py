@@ -159,3 +159,34 @@ def ivfpq_probe_topk(spark: SparkSession, path: str, queries: DataFrame,
             .filter(F.col("rn") <= k)
             .select("q_id", "rn", "c_id",
                     F.round("cos", 4).alias("cosine")))
+
+
+def _read_codebooks(spark: SparkSession, path: str) -> tuple[list, int]:
+    """(list of m per-subspace codebook frames, d_sub) read back from
+    the layout — the frozen model an append encodes against."""
+    with open(os.path.join(path, _META)) as fh:
+        meta = json.load(fh)
+    stacked = spark.read.parquet(os.path.join(path, _CODEBOOKS))
+    cbs = [stacked.filter(F.col("sub") == i).select("id", "v", "nrm")
+           for i in range(int(meta["m"]))]
+    return cbs, int(meta["d_sub"])
+
+
+def append_ivfpq_index(spark: SparkSession, new_vectors: DataFrame,
+                       path: str) -> None:
+    """Frozen-MODEL ingest into the written composed index: the new
+    vectors assign against the stored coarse centroids and encode
+    against the stored codebooks (both narrow literal folds — neither
+    model retrains), and ``mode("append")`` under ``partitionBy``
+    adds files ONLY to the touched bucket directories (pre-append
+    files byte-identical — the append_ivf_index discipline; the index
+    gains (id, codes) rows, never vectors). Probes see the ingested
+    vectors immediately via the same partition-pruned scan."""
+    cent = spark.read.parquet(os.path.join(path, _CENTROIDS))
+    cbs, d_sub = _read_codebooks(spark, path)
+    bucketed = assign_buckets(new_vectors, cent)
+    coded = pq_reconstruct(bucketed, cbs, d_sub, keep=("bucket",))
+    (coded.select("id", "codes", "bucket")
+     .repartition(F.col("bucket")).sortWithinPartitions("bucket", "id")
+     .write.mode("append").partitionBy("bucket")
+     .parquet(os.path.join(path, _CODES)))

@@ -314,3 +314,75 @@ def test_rebuild_crash_window_recovery(spark, tmp_path):
     os.makedirs(f"{root}__old")
     assert recover_interrupted_rebuild(root) is False
     assert _file_hashes(root) == before
+
+
+def test_ivfpq_append_byte_identity_and_probe(spark, sf_dir, tmp_path):
+    """The composed index's ingest discipline: append_ivfpq_index adds
+    (id, codes) files ONLY to the delta's touched bucket dirs —
+    pre-append files byte-identical, no vector column anywhere in the
+    layout — and a probe over the appended layout equals the
+    in-memory frozen-model composition over base ∪ delta."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.operators.similarity import (
+        PQ_RERANK, ivfpq_topk, pq_codebooks, train_centroids,
+        with_unit_vectors,
+    )
+    from last_minute_legends_spark.plans.ann_q import (
+        IVF_ITERS, IVF_N_PROBE, N_CENTROIDS, N_QUERIES, TOP_K,
+        _append_delta, _vectors,
+    )
+    from last_minute_legends_spark.sources.ivfpq_index import (
+        append_ivfpq_index, ivfpq_probe_topk, write_ivfpq_index,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("id") < N_QUERIES)
+    base = vecs.filter(F.col("id") >= N_QUERIES).persist()
+    cent = train_centroids(base, k=N_CENTROIDS, iters=IVF_ITERS,
+                           id_hash=md5_id_hash)
+    cbs, d_sub = pq_codebooks(base, id_hash=md5_id_hash)
+    idx = str(tmp_path / "ivfpq")
+    write_ivfpq_index(base, cent, cbs, d_sub, idx)
+
+    def file_hashes(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = hashlib.md5(
+                    open(p, "rb").read()).hexdigest()
+        return out
+
+    h0 = file_hashes(idx)
+    delta = _append_delta(spark, sf_dir)
+    append_ivfpq_index(spark, delta, idx)
+    h1 = file_hashes(idx)
+    assert set(h0) <= set(h1), "append removed files"
+    assert all(h1[f] == h for f, h in h0.items()), \
+        "append rewrote a pre-existing file"
+    # codes layout never stores vectors
+    codes_schema = spark.read.parquet(
+        os.path.join(idx, "codes")).schema.fieldNames()
+    assert "v" not in codes_schema and "codes" in codes_schema
+    corpus = base.unionByName(delta)
+    got = {(r.q_id, r.rn, r.c_id, r.cosine)
+           for r in ivfpq_probe_topk(spark, idx, queries, corpus,
+                                     k=TOP_K, n_probe=IVF_N_PROBE,
+                                     rerank=PQ_RERANK).collect()}
+    want = {(r.q_id, r.rn, r.c_id, r.cosine)
+            for r in ivfpq_topk(queries, corpus, cent, cbs, d_sub,
+                                k=TOP_K, n_probe=IVF_N_PROBE,
+                                rerank=PQ_RERANK).collect()}
+    assert got == want
+    # the ingest is non-vacuous: appended ids displace top-k rows
+    mx = int(vecs.agg(F.max("id")).first()[0])
+    assert any(c > mx - len(delta.collect()) for _, _, c, _ in got) or \
+        any(c_id >= 500 for _, _, c_id, _ in got)
+    base.unpersist()
