@@ -2367,3 +2367,43 @@ def test_semantic_np_kernel_matches_sql(spark, sf_dir):
             else:
                 assert abs(c - nc) <= 1e-4, f"{vid}: cos {c} vs {nc}"
         emb.unpersist()
+
+
+def test_global_shuffle_properties_hypothesis(spark):
+    """Property lock on hypothesis-random id sets: the shuffle is a
+    PERMUTATION (every doc exactly once), positions are a dense
+    1..size rank per shard, shard is a pure function of (seed, id)
+    (the same id in a different corpus keeps its shard — what makes
+    incremental re-shuffles stable), and changing the seed actually
+    permutes (for non-trivial sets)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from last_minute_legends_spark.operators.sampling import global_shuffle
+
+    ids = st.lists(st.integers(min_value=0, max_value=10**9),
+                   min_size=1, max_size=80, unique=True)
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(a=ids)
+    def check(a):
+        docs = spark.createDataFrame([(i,) for i in a], "doc_id long")
+        out = global_shuffle(docs, seed="h1", n_shards=4).collect()
+        assert sorted(r.doc_id for r in out) == sorted(a)
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        for ps in by_shard.values():
+            assert sorted(ps) == list(range(1, len(ps) + 1))
+        # shard is a pure (seed, id) function: recompute on a subset
+        sub = a[: max(1, len(a) // 2)]
+        sub_docs = spark.createDataFrame([(i,) for i in sub],
+                                         "doc_id long")
+        sub_shard = {r.doc_id: r.shard
+                     for r in global_shuffle(sub_docs, seed="h1",
+                                             n_shards=4).collect()}
+        full_shard = {r.doc_id: r.shard for r in out}
+        assert all(full_shard[i] == s for i, s in sub_shard.items())
+
+    check()
