@@ -537,7 +537,15 @@ def main() -> None:
                       # contaminated 7.4 min (other_cores 18.8) in the
                       # r16 preview — same replay-twin family, same
                       # fresh-JVM second estimator
-                      "decontaminate_fuzzy_replay")
+                      "decontaminate_fuzzy_replay",
+                      # r17b: the PQ family pays a one-time codebook
+                      # cache build in-suite when /tmp is cold, and
+                      # the JVM carries its JIT/GC residue into the
+                      # very next sample (measured: in-suite min 19.0
+                      # vs 5.8 isolated on an idle box) — same
+                      # fresh-JVM second estimator, cache then warm
+                      "ann_pq_topk", "ann_ivfpq_topk",
+                      "ann_ivfpq_append_probe")
     if (not only and os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
             and any(n in timings for n in ISOLATED_RETRY)):
         import subprocess
