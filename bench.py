@@ -156,6 +156,9 @@ HEADLINE = [
     # r17b: the written layout after frozen-model ingest (append
     # files land only in touched bucket dirs)
     "ann_ivfpq_append_indexed",
+    # r17b: residual IVFADC (FAISS proper — codebooks quantize
+    # v - coarse_centroid; cached residual codebooks)
+    "ann_ivfpq_residual_topk",
     "catalog_text_etl",
     "stream_json_parse",
     "events_typed_parse",

@@ -793,3 +793,76 @@ def semantic_keep_np(emb: DataFrame, centroids: DataFrame,
 
     return assigned.groupBy("bucket").applyInPandas(
         verify, "id long, bucket int, keep int, dup_of long, dup_cos double")
+
+
+def residual_frame(candidates: DataFrame,
+                   centroids: DataFrame) -> DataFrame:
+    """(id, v, nrm, bucket, cv0): each candidate's coarse bucket, its
+    assigned centroid vector (literal map — narrow), and v replaced
+    by the RESIDUAL v − centroid. The residual is what FAISS IVFADC
+    proper quantizes: residuals concentrate near the origin, so the
+    same codebook budget spends its resolution where the in-bucket
+    variance actually is. Elementwise zip_with — no float-sum-order
+    concern, exact on both engines."""
+    rows = sorted((int(r.id), [float(x) for x in r.v], float(r.nrm))
+                  for r in centroids.collect())
+    bucketed = assign_buckets(candidates, centroids)
+    cmap = F.create_map(*[c for cid, cv, _ in rows
+                          for c in (F.lit(cid),
+                                    F.array(*[F.lit(x) for x in cv]))])
+    return (bucketed
+            .withColumn("cv0", F.element_at(cmap, F.col("bucket")))
+            .withColumn("v", F.zip_with("v", "cv0", lambda x, y: x - y))
+            .withColumn("nrm", norm(F.col("v")))
+            .select("id", "v", "nrm", "bucket", "cv0"))
+
+
+def ivfpq_residual_topk(queries: DataFrame, candidates: DataFrame,
+                        centroids: DataFrame, codebooks: list,
+                        d_sub: int, k: int = 10, n_probe: int = 2,
+                        rerank: int = PQ_RERANK) -> DataFrame:
+    """IVFADC with RESIDUAL encoding (Jegou et al. 2011, the FAISS
+    default): codebooks quantize v − coarse_centroid, reconstruction
+    is centroid + decoded residual, search is the probe-restricted
+    ADC shortlist + exact re-rank. ``codebooks`` must be trained on
+    ``residual_frame(candidates, centroids)`` (the registry entry's
+    cache builder does; parity with the raw-vector composition's
+    tiebreaks everywhere)."""
+    resid = residual_frame(candidates, centroids)
+    recon_r = pq_reconstruct(resid, codebooks, d_sub,
+                             keep=("bucket", "cv0"))
+    recon = (recon_r
+             .withColumn("v", F.zip_with("v", "cv0", lambda x, y: x + y))
+             .withColumn("nrm", norm(F.col("v")))
+             .select("id", "v", "nrm", "bucket"))
+    cent = centroids.select(
+        F.col("id").alias("cent_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"))
+    q = queries.select(
+        F.col("id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"))
+    q_scored = q.join(F.broadcast(cent)).withColumn(
+        "cos", cosine(F.col("qv"), F.col("qn"), F.col("cv"), F.col("cn")))
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    probes = (q_scored.withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= n_probe)
+              .select("q_id", "qv", "qn", F.col("cent_id").alias("bucket")))
+    adc = F.broadcast(probes).join(recon, "bucket").withColumn(
+        "cos", cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")))
+    ws = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
+    short = (adc.withColumn("srn", F.row_number().over(ws))
+             .filter(F.col("srn") <= rerank)
+             .select("q_id", F.col("id").alias("c_id")))
+    pairs = short.join(F.broadcast(q), "q_id")
+    scored = (candidates
+              .select(F.col("id").alias("c_id"), F.col("v").alias("cv"),
+                      F.col("nrm").alias("cn"))
+              .join(F.broadcast(pairs), "c_id")
+              .withColumn("cos", cosine(F.col("qv"), F.col("qn"),
+                                        F.col("cv"), F.col("cn"))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("q_id", "rn", "c_id",
+                    F.round("cos", 4).alias("cosine"))
+            .orderBy("q_id", "rn"))

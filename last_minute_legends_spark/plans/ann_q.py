@@ -762,6 +762,164 @@ def ann_ivfpq_append_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with RESIDUAL encoding (r17b — FAISS IVFADC proper,
+    closing SURVEY §8's 'residual PQ' candidate): codebooks quantize
+    v − coarse_centroid instead of raw vectors, spending the same
+    64 resident bits where the in-bucket variance actually is;
+    reconstruction = centroid + decoded residual, search = the
+    probe-restricted ADC shortlist + exact re-rank. Residual
+    codebooks cached per corpus fingerprint (they derive from the
+    deterministic coarse model, so the cache key needs only the
+    corpus + geometry). md5-injected; the oracle replays coarse
+    Lloyd → per-bucket residuals (elementwise list arithmetic,
+    exact on both engines) → 16 residual-subspace Lloyds → encode →
+    centroid+codeword reconstruction → probe-restricted shortlist →
+    exact re-rank."""
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.operators.similarity import (
+        PQ_ITERS, PQ_K, PQ_M, PQ_RERANK, ivfpq_residual_topk,
+        pq_codebooks, residual_frame,
+    )
+    from last_minute_legends_spark.sources import layout_cache
+
+    vecs = _vectors(spark, sf_dir, spread=True)
+    queries = vecs.filter(F.col("id") < N_QUERIES)
+    candidates = vecs.filter(F.col("id") >= N_QUERIES).persist()
+    centroids = train_centroids(candidates, k=N_CENTROIDS,
+                                iters=IVF_ITERS, id_hash=md5_id_hash)
+
+    idx = layout_cache.layout_dir(
+        "llm_spark_pqr_codebooks",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        f"v1-md5-k{N_CENTROIDS}m{PQ_M}k{PQ_K}i{PQ_ITERS}")
+
+    def _build(tmp: str) -> None:
+        resid = residual_frame(candidates, centroids)
+        cbs, d_sub = pq_codebooks(resid.select("id", "v", "nrm"),
+                                  id_hash=md5_id_hash)
+        stacked = cbs[0].select(F.lit(0).alias("sub"), "id", "v", "nrm")
+        for i, cb in enumerate(cbs[1:], start=1):
+            stacked = stacked.unionByName(
+                cb.select(F.lit(i).alias("sub"), "id", "v", "nrm"))
+        stacked.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "codebooks"))
+        with open(os.path.join(tmp, "_PQ_PARAMS.json"), "w") as fh:
+            json.dump({"d_sub": d_sub, "m": PQ_M}, fh)
+
+    layout_cache.build_once(idx, _build)
+    with open(os.path.join(idx, "_PQ_PARAMS.json")) as fh:
+        p = json.load(fh)
+    stacked = spark.read.parquet(os.path.join(idx, "codebooks"))
+    cbs = [stacked.filter(F.col("sub") == i).select("id", "v", "nrm")
+           for i in range(p["m"])]
+    out = (ivfpq_residual_topk(queries, candidates, centroids, cbs,
+                               p["d_sub"], k=TOP_K,
+                               n_probe=IVF_N_PROBE, rerank=PQ_RERANK)
+           .localCheckpoint(eager=True))
+    candidates.unpersist()
+    return out
+
+
+def _ivfpq_residual_replay_sql() -> str:
+    """The residual-IVFADC oracle: the composed replay's coarse chain
+    and probes, per-bucket residuals via exact elementwise list
+    arithmetic, subspace Lloyd chains over the RESIDUALS, and a
+    centroid+codeword reconstruction feeding the probe-restricted
+    shortlist + re-rank tail."""
+    from last_minute_legends_spark.operators.similarity import (
+        PQ_ITERS, PQ_K, PQ_M, PQ_RERANK,
+    )
+
+    parts = [f"""n AS MATERIALIZED (
+    SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), qry AS MATERIALIZED (SELECT * FROM n WHERE id < {N_QUERIES}),
+cand AS MATERIALIZED (SELECT * FROM n WHERE id >= {N_QUERIES}),
+dim AS MATERIALIZED (SELECT len(v) // {PQ_M} AS d FROM cand LIMIT 1)"""]
+    parts.extend(_lloyd_ctes("cand", N_CENTROIDS, IVF_ITERS))
+    parts.append(_ivf_assign_cte("bucketed", f"cent{IVF_ITERS}"))
+    qcos = _IVF_COS.format(a="q", b="ct")
+    parts.append(f"""probes AS MATERIALIZED (
+    SELECT q_id, bucket FROM (
+        SELECT q.id AS q_id, ct.cent_id AS bucket,
+               row_number() OVER (
+                   PARTITION BY q.id
+                   ORDER BY {qcos} DESC, ct.cent_id) AS rn
+        FROM qry q CROSS JOIN cent{IVF_ITERS} ct
+    ) WHERE rn <= {IVF_N_PROBE}
+)""")
+    parts.append(f"""residn AS MATERIALIZED (
+    SELECT b.id,
+           list_transform(list_zip(b.v, ct.cv), x -> x[1] - x[2]) AS v,
+           sqrt(list_dot_product(
+               list_transform(list_zip(b.v, ct.cv), x -> x[1] - x[2]),
+               list_transform(list_zip(b.v, ct.cv), x -> x[1] - x[2])
+           )) AS nrm,
+           b.bucket
+    FROM bucketed b JOIN cent{IVF_ITERS} ct ON ct.cent_id = b.bucket
+)""")
+    for m in range(PQ_M):
+        lo = f"(SELECT d FROM dim) * {m} + 1"
+        hi = f"(SELECT d FROM dim) * {m + 1}"
+        parts.append(f"""rsub{m} AS MATERIALIZED (
+    SELECT id, v[{lo}:{hi}] AS v,
+           sqrt(list_dot_product(v[{lo}:{hi}], v[{lo}:{hi}])) AS nrm
+    FROM residn
+)""")
+        parts.extend(_lloyd_ctes(f"rsub{m}", PQ_K, PQ_ITERS,
+                                 prefix=f"r{m}"))
+        parts.append(_ivf_assign_cte(f"r{m}coded", f"r{m}cent{PQ_ITERS}",
+                                     src=f"rsub{m}"))
+    joins = "\n    ".join(
+        f"JOIN r{m}coded a{m} ON a{m}.id = c.id "
+        f"JOIN r{m}cent{PQ_ITERS} w{m} ON w{m}.cent_id = a{m}.bucket"
+        for m in range(PQ_M))
+    concat = " || ".join(f"w{m}.cv" for m in range(PQ_M))
+    parts.append(f"""recon AS MATERIALIZED (
+    SELECT c.id, c.bucket,
+           list_transform(list_zip({concat}, ct.cv),
+                          x -> x[1] + x[2]) AS rv
+    FROM residn c
+    JOIN cent{IVF_ITERS} ct ON ct.cent_id = c.bucket
+    {joins}
+)""")
+    parts.append(f"""shortlist AS MATERIALIZED (
+    SELECT q_id, c_id FROM (
+        SELECT p.q_id, r.id AS c_id,
+               row_number() OVER (
+                   PARTITION BY p.q_id
+                   ORDER BY list_dot_product(q.v, r.rv)
+                            / (q.nrm * sqrt(list_dot_product(r.rv, r.rv)))
+                            DESC, r.id) AS rn
+        FROM probes p
+        JOIN recon r ON r.bucket = p.bucket
+        JOIN qry q ON q.id = p.q_id
+    ) WHERE rn <= {PQ_RERANK}
+)""")
+    return "WITH " + ",\n".join(parts) + f""",
+scored AS (
+    SELECT s.q_id, s.c_id,
+           list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+    FROM shortlist s
+    JOIN qry q ON q.id = s.q_id
+    JOIN cand c ON c.id = s.c_id
+), ranked AS (
+    SELECT q_id, c_id, cos,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, c_id) AS rn
+    FROM scored
+)
+SELECT q_id, rn, c_id, round(cos, 4) AS cosine
+FROM ranked WHERE rn <= {TOP_K}
+ORDER BY q_id, rn
+"""
+
+
+ANN_IVFPQ_RESIDUAL_SQL = _ivfpq_residual_replay_sql()
+
+
 def _pq_replay_sql() -> str:
     """From-scratch DuckDB unroll of the full PQ derivation (the
     _ivf_replay_sql pattern applied per subspace): for each of PQ_M
@@ -895,6 +1053,7 @@ SPARK = {
     "ann_ivfpq_append_probe": ann_ivfpq_append_probe,
     "ann_ivfpq_probe_indexed": ann_ivfpq_probe_indexed,
     "ann_ivfpq_append_indexed": ann_ivfpq_append_indexed,
+    "ann_ivfpq_residual_topk": ann_ivfpq_residual_topk,
 }
 
 SQL = {
@@ -928,6 +1087,9 @@ SQL = {
     # r17b: the written layout after frozen-model ingest — the
     # append-extended composed replay
     "ann_ivfpq_append_indexed": ANN_IVFPQ_APPEND_SQL,
+    # r17b: residual IVFADC — coarse Lloyd + per-bucket residuals +
+    # 16 residual-subspace Lloyds + centroid+codeword reconstruction
+    "ann_ivfpq_residual_topk": ANN_IVFPQ_RESIDUAL_SQL,
 }
 
 LOCAL_SQL = {

@@ -2407,3 +2407,38 @@ def test_global_shuffle_properties_hypothesis(spark):
         assert all(full_shard[i] == s for i, s in sub_shard.items())
 
     check()
+
+
+def test_ann_ivfpq_residual_recall(spark, sf_dir):
+    """Residual IVFADC >= 0.9 recall vs the same-probe EXACT IVF
+    search (isolating residual-PQ loss from probe loss), under both
+    hash stripings — parity of mechanism, not just the md5 twin."""
+    from last_minute_legends_spark.functions.portable_hash import md5_id_hash
+    from last_minute_legends_spark.operators.similarity import (
+        ivf_topk, ivfpq_residual_topk, pq_codebooks, residual_frame,
+        train_centroids,
+    )
+    from last_minute_legends_spark.plans.ann_q import (
+        IVF_ITERS, IVF_N_PROBE, N_CENTROIDS, N_QUERIES, TOP_K, _vectors,
+    )
+
+    vecs = _vectors(spark, sf_dir).persist()
+    queries = vecs.filter(F.col("id") < N_QUERIES)
+    candidates = vecs.filter(F.col("id") >= N_QUERIES).persist()
+    for tag, h in (("md5", md5_id_hash), ("xxhash64", None)):
+        cent = train_centroids(candidates, k=N_CENTROIDS,
+                               iters=IVF_ITERS, id_hash=h)
+        resid = residual_frame(candidates, cent)
+        cbs, d_sub = pq_codebooks(resid.select("id", "v", "nrm"),
+                                  id_hash=h)
+        ivf = {(r.q_id, r.c_id)
+               for r in ivf_topk(queries, candidates, cent, k=TOP_K,
+                                 n_probe=IVF_N_PROBE).collect()}
+        res = {(r.q_id, r.c_id)
+               for r in ivfpq_residual_topk(queries, candidates, cent,
+                                            cbs, d_sub, k=TOP_K,
+                                            n_probe=IVF_N_PROBE).collect()}
+        recall = len(ivf & res) / len(ivf)
+        assert recall >= 0.9, f"residual IVFADC recall ({tag}): {recall}"
+    candidates.unpersist()
+    vecs.unpersist()
