@@ -548,7 +548,7 @@ def main() -> None:
                       # vs 5.8 isolated on an idle box) — same
                       # fresh-JVM second estimator, cache then warm
                       "ann_pq_topk", "ann_ivfpq_topk",
-                      "ann_ivfpq_append_probe")
+                      "ann_ivfpq_append_probe", "ann_ivfpq_residual_topk")
     if (not only and os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
             and any(n in timings for n in ISOLATED_RETRY)):
         import subprocess

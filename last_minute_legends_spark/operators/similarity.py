@@ -349,14 +349,19 @@ def with_bucket(df: DataFrame, cent_rows: list[tuple[int, list[float], float]],
             .drop("_carr"))
 
 
-def _argmax_bucket(carr: Column, v: str = "v", nrm: str = "nrm") -> Column:
+def _argmax_bucket(carr: Column, v="v", nrm="nrm") -> Column:
     """Nearest-centroid id by cosine for each row — a narrow fold
     over the literal centroid array: no join, no shuffle. Strict >
     keeps the earliest (lowest-id) centroid on ties, matching the
     max_by(cent_id, struct(cos, -cent_id)) tiebreak of a join
-    formulation."""
+    formulation. ``v``/``nrm`` accept column names or Columns (the
+    PQ encoder passes slice expressions inline so its whole encode is
+    ONE projection — see pq_reconstruct)."""
+    v = F.col(v) if isinstance(v, str) else v
+    nrm = F.col(nrm) if isinstance(nrm, str) else nrm
+
     def step(acc, c):
-        cos = cosine(F.col(v), F.col(nrm), c["cv"], c["cn"])
+        cos = cosine(v, nrm, c["cv"], c["cn"])
         return F.when(
             cos > acc["cos"],
             F.struct(cos.alias("cos"), c["cent_id"].alias("cent_id")),
@@ -478,30 +483,39 @@ def pq_reconstruct(candidates: DataFrame, codebooks: list,
     no join, no shuffle of the candidate side. ``keep`` names extra
     input columns to carry through (e.g. the IVF bucket, so IVF-PQ
     needs no id re-join after encoding)."""
+    # ONE projection for all m code columns, then one for the
+    # reconstruction: the original 2m chained withColumns made
+    # Catalyst re-analyze a growing plan per subspace (the BPE
+    # plan-construction budget lesson) — at m=16 the analysis cost
+    # dominated the probe-shaped cells (measured: residual-IVFADC x1
+    # 18.6 s before, plan-bound; the arithmetic is unchanged and the
+    # PQ oracles stay byte-green)
     df = candidates.select("id", "v", "nrm", *keep)
-    code_cols = []
-    recon_cols = []
+    code_exprs = []
+    maps = []
     for i, cb in enumerate(codebooks):
         rows = sorted(
             ((int(r.id), [float(x) for x in r.v], float(r.nrm))
              for r in cb.collect()),
             key=lambda t: t[0])
         sv = F.slice(F.col("v"), i * d_sub + 1, d_sub)
-        df = (df.withColumn("_sv", sv)
-              .withColumn("_sn", norm(F.col("_sv")))
-              .withColumn(f"_code{i}",
-                          _argmax_bucket(_centroid_literal(rows),
-                                         v="_sv", nrm="_sn"))
-              .drop("_sv", "_sn"))
-        cw = F.create_map(*[c for cid, cv, _ in rows
-                            for c in (F.lit(cid),
-                                      F.array(*[F.lit(x) for x in cv]))])
-        code_cols.append(F.col(f"_code{i}"))
-        recon_cols.append(F.element_at(cw, F.col(f"_code{i}")))
+        code_exprs.append(
+            _argmax_bucket(_centroid_literal(rows),
+                           v=sv, nrm=norm(sv)).alias(f"_code{i}"))
+        maps.append(F.create_map(*[c for cid, cv, _ in rows
+                                   for c in (F.lit(cid),
+                                             F.array(*[F.lit(x)
+                                                       for x in cv]))]))
+    coded = df.select("id", *keep, *code_exprs)
+    recon_cols = [F.element_at(m_, F.col(f"_code{i}"))
+                  for i, m_ in enumerate(maps)]
     rv = F.concat(*recon_cols)
-    return (df.select("id", F.array(*code_cols).alias("codes"),
-                      rv.alias("v"), *keep)
-            .withColumn("nrm", norm(F.col("v"))))
+    return (coded.select(
+        "id",
+        F.array(*[F.col(f"_code{i}")
+                  for i in range(len(codebooks))]).alias("codes"),
+        rv.alias("v"), *keep)
+        .withColumn("nrm", norm(F.col("v"))))
 
 
 def pq_topk(queries: DataFrame, candidates: DataFrame, codebooks: list,
@@ -827,8 +841,18 @@ def ivfpq_residual_topk(queries: DataFrame, candidates: DataFrame,
     ADC shortlist + exact re-rank. ``codebooks`` must be trained on
     ``residual_frame(candidates, centroids)`` (the registry entry's
     cache builder does; parity with the raw-vector composition's
-    tiebreaks everywhere)."""
-    resid = residual_frame(candidates, centroids)
+    tiebreaks everywhere).
+
+    The residual frame is eagerly materialized before encoding:
+    ``v`` is itself a computed expression (assign fold + centroid map
+    + zip_with), and Catalyst's projection collapse would substitute
+    that whole tree into EVERY one of the m slice+argmax encoder
+    expressions — measured 7.8 s of pure analysis/codegen over 2k
+    rows at m=16. At 100 TB the cut is free: a real deployment
+    materializes residual codes at index-write time anyway
+    (sources/ivfpq_index.py economics)."""
+    resid = residual_frame(candidates, centroids).localCheckpoint(
+        eager=True)
     recon_r = pq_reconstruct(resid, codebooks, d_sub,
                              keep=("bucket", "cv0"))
     recon = (recon_r

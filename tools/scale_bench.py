@@ -132,6 +132,7 @@ CELLS = [
     "ann_quantized_topk",
     "ann_pq_topk",  # r17: PQ codebook train + encode + ADC + re-rank
     "ann_ivfpq_topk",  # r17b: coarse probes restrict the ADC scan
+    "ann_ivfpq_residual_topk",  # r17b: FAISS-proper residual IVFADC
     "curated_training_set",
     # event-analytics cells (scaled events: user count grows with the
     # corpus, per-user event density constant — the production regime)
