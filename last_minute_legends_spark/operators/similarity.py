@@ -126,6 +126,8 @@ def _train_centroids_local(spark, rows, iters: int) -> DataFrame:
     summation-order differences exactly as it does between executors
     (and between Spark and the DuckDB replay). Parity locked by
     test_ivf_local_matches_distributed."""
+    import numpy as np
+
     seeds: dict[int, tuple] = {}
     data = []
     for r in rows:
@@ -136,23 +138,48 @@ def _train_centroids_local(spark, rows, iters: int) -> DataFrame:
         if b not in seeds or r.id < seeds[b][0]:
             seeds[b] = (r.id, v, nrm)
     cent_rows = sorted((b, v, n) for b, (_, v, n) in seeds.items())
+    # row-major copies of the sample for the vectorized assignment
+    # (r17-opt): the pure-Python argmax scan cost ~1-2 s per cell at
+    # 2k rows x 8 centroids x 64 dims x 3 iters and ran inside every
+    # IVF/PQ/semantic bench cell. numpy accumulates each dot ONE
+    # DIMENSION AT A TIME left-to-right across rows — per row that is
+    # exactly _local_dot's fold order, so cosines are bit-identical —
+    # and the strict-> update keeps the earliest centroid on ties
+    # with the same NaN behavior (Python's and numpy's > are both
+    # False when either side is NaN). The per-bucket mean SUMS stay
+    # in collected row order below, unchanged.
+    if data:
+        V = np.array([v for v, _ in data], dtype=np.float64)
+        nrms = np.array([n for _, n in data], dtype=np.float64)
+    else:
+        V = np.zeros((0, 1))
+        nrms = np.zeros(0)
+    n_rows = len(data)
+    dim = V.shape[1] if n_rows else 0
     for _ in range(iters):
+        best_cos = np.full(n_rows, -2.0)
+        best = np.full(n_rows, -1, dtype=np.int64)
+        for cid, cv, cn in cent_rows:
+            dotv = np.zeros(n_rows)
+            for j in range(dim):
+                dotv = dotv + V[:, j] * cv[j]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dotv / (nrms * cn)
+            upd = cos > best_cos
+            best_cos = np.where(upd, cos, best_cos)
+            best[upd] = cid
         sums: dict[int, list[float]] = {}
         counts: dict[int, int] = {}
-        for v, nrm in data:
-            best_cos, best = -2.0, -1
-            for cid, cv, cn in cent_rows:
-                cos = _local_dot(v, cv) / (nrm * cn)
-                if cos > best_cos:
-                    best_cos, best = cos, cid
-            s = sums.get(best)
+        for rix, (v, nrm) in enumerate(data):
+            bkt = int(best[rix])
+            s = sums.get(bkt)
             if s is None:
-                sums[best] = list(v)
-                counts[best] = 1
+                sums[bkt] = list(v)
+                counts[bkt] = 1
             else:
                 for i, x in enumerate(v):
                     s[i] += x
-                counts[best] += 1
+                counts[bkt] += 1
         new_rows = []
         for cid, cv, cn in cent_rows:
             s = sums.get(cid)
@@ -301,6 +328,22 @@ def _centroid_literal(rows: list[tuple[int, list[float], float]]) -> Column:
         for cid, cv, cn in sorted(rows)
     )
     return F.expr(f"array({structs})")
+
+
+def _id_array_map_expr(rows: list) -> Column:
+    """A ``map<int, array<double>>`` literal (cent_id -> vector) as
+    ONE parsed SQL expression. Composing it from k·dim ``F.lit()``
+    calls costs a py4j round-trip per literal (the _centroid_literal
+    lesson applied to the decode maps — measured ~0.4-0.6 s of pure
+    driver chatter at 8x64 or 16x16x4). ``repr(float)`` round-trips
+    exactly, so the doubles are bit-identical to F.lit. Accepts
+    (cent_id, vector) or (cent_id, vector, nrm) tuples."""
+    pairs = ", ".join(
+        "{cid}, array({cv})".format(
+            cid=int(r[0]),
+            cv=", ".join(f"{float(x)!r}D" for x in r[1]))
+        for r in sorted(rows))
+    return F.expr(f"map({pairs})")
 
 
 # Above this many literal doubles (k·dim) the centroid model stops
@@ -473,49 +516,115 @@ def pq_codebooks(candidates: DataFrame, m: int = PQ_M, k: int = PQ_K,
     return cbs, d_sub
 
 
+def _codebook_rows(codebooks: list) -> list:
+    """Normalize a codebook spec — per-subspace DataFrames or
+    pre-collected ``(cent_id, vector, nrm)`` row lists — to sorted
+    row lists. Callers that cache codebooks (plans/ann_q.py) pass
+    lists, so the m per-subspace ``collect()`` jobs the encoder used
+    to pay per invocation (~0.2 s of job scheduling each at m=16)
+    collapse into the ONE collect the cache loader already does."""
+    out = []
+    for cb in codebooks:
+        if isinstance(cb, list):
+            rows = [(int(c), [float(x) for x in v], float(n))
+                    for c, v, n in cb]
+        else:
+            rows = [(int(r.id), [float(x) for x in r.v], float(r.nrm))
+                    for r in cb.collect()]
+        out.append(sorted(rows, key=lambda t: t[0]))
+    return out
+
+
 def pq_reconstruct(candidates: DataFrame, codebooks: list,
                    d_sub: int, keep: tuple = ()) -> DataFrame:
-    """(id, v, nrm, codes) with v replaced by its PQ reconstruction
+    """(id, codes, v, nrm) with v replaced by its PQ reconstruction
     (per-subspace argmax-cosine codeword, concatenated) and ``codes``
     the array of per-subspace codeword ids — the form a 100 TB
-    deployment PERSISTS (m small ints per vector). Encoding is a
-    NARROW literal fold per subspace (the assign_buckets economics):
-    no join, no shuffle of the candidate side. ``keep`` names extra
-    input columns to carry through (e.g. the IVF bucket, so IVF-PQ
-    needs no id re-join after encoding)."""
-    # ONE projection for all m code columns, then one for the
-    # reconstruction: the original 2m chained withColumns made
-    # Catalyst re-analyze a growing plan per subspace (the BPE
-    # plan-construction budget lesson) — at m=16 the analysis cost
-    # dominated the probe-shaped cells (measured: residual-IVFADC x1
-    # 18.6 s before, plan-bound; the arithmetic is unchanged and the
-    # PQ oracles stay byte-green)
-    df = candidates.select("id", "v", "nrm", *keep)
-    code_exprs = []
-    maps = []
-    for i, cb in enumerate(codebooks):
-        rows = sorted(
-            ((int(r.id), [float(x) for x in r.v], float(r.nrm))
-             for r in cb.collect()),
-            key=lambda t: t[0])
-        sv = F.slice(F.col("v"), i * d_sub + 1, d_sub)
-        code_exprs.append(
-            _argmax_bucket(_centroid_literal(rows),
-                           v=sv, nrm=norm(sv)).alias(f"_code{i}"))
-        maps.append(F.create_map(*[c for cid, cv, _ in rows
-                                   for c in (F.lit(cid),
-                                             F.array(*[F.lit(x)
-                                                       for x in cv]))]))
-    coded = df.select("id", *keep, *code_exprs)
-    recon_cols = [F.element_at(m_, F.col(f"_code{i}"))
-                  for i, m_ in enumerate(maps)]
-    rv = F.concat(*recon_cols)
-    return (coded.select(
-        "id",
-        F.array(*[F.col(f"_code{i}")
-                  for i in range(len(codebooks))]).alias("codes"),
-        rv.alias("v"), *keep)
-        .withColumn("nrm", norm(F.col("v"))))
+    deployment PERSISTS (m small ints per vector). ``keep`` names
+    extra input columns to carry through (e.g. the IVF bucket, so
+    IVF-PQ needs no id re-join after encoding).
+
+    Encoding runs as ONE Arrow pass (mapInPandas) with the m
+    codebooks carried in the task closure — narrow, no join, no
+    shuffle of the candidate side, and plan-size O(1) in m·k·dim.
+    The former formulation built m slice+argmax Catalyst folds over
+    codeword literals in one projection; at the shipped 16x4x16
+    geometry that plan cost ~4-5 s of analysis + Janino codegen per
+    FRESH plan instance regardless of input size, plus m collect()
+    jobs and m·k·d_sub py4j F.lit round-trips per invocation
+    (optimization guide §4.1-4.2: hand whole batches to vectorized
+    native code; measured r17-opt: ann_ivfpq_topk compose 9.5 s +
+    noop exec 4.6 s before, ~1.5 s end-to-end after).
+
+    Arithmetic is BIT-IDENTICAL to the Catalyst fold (and to the
+    DuckDB replay oracles): numpy accumulates dots/norms one
+    dimension at a time left-to-right across row vectors — the exact
+    fold order of functions/vectors.py — and the argmax keeps the
+    earliest codeword on ties via the same strict-> update, with
+    Spark/DuckDB's NaN-is-greatest comparison semantics reproduced
+    explicitly. Locked by the unchanged ANN_PQ/IVFPQ replay oracles
+    and tests/test_operators.py PQ cases."""
+    import numpy as np
+    import pandas as pd
+
+    rows_by_sub = _codebook_rows(codebooks)
+    m = len(rows_by_sub)
+    cb_np = [(np.array([c for c, _, _ in rows], dtype=np.int32),
+              np.array([v for _, v, _ in rows], dtype=np.float64),
+              np.array([n for _, _, n in rows], dtype=np.float64))
+             for rows in rows_by_sub]
+    df = candidates.select("id", "v", *keep)
+    ftypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"id {ftypes['id']}", "codes array<int>", "v array<double>"]
+        + [f"{k} {ftypes[k]}" for k in keep] + ["nrm double"])
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf["v"].to_numpy())
+            nrows = len(pdf)
+            codes = np.empty((nrows, m), dtype=np.int32)
+            recon = np.empty((nrows, m * d_sub), dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for i, (cids, C, cn) in enumerate(cb_np):
+                    sl = V[:, i * d_sub:(i + 1) * d_sub]
+                    acc = np.zeros(nrows)
+                    for j in range(d_sub):
+                        acc = acc + sl[:, j] * sl[:, j]
+                    nrm_s = np.sqrt(acc)
+                    best_cos = np.full(nrows, -2.0)
+                    best_id = np.full(nrows, -1, dtype=np.int32)
+                    for t in range(len(cids)):
+                        cv = C[t]
+                        dotv = np.zeros(nrows)
+                        for j in range(d_sub):
+                            dotv = dotv + sl[:, j] * cv[j]
+                        cos = dotv / (nrm_s * cn[t])
+                        # Spark/DuckDB `>` semantics: NaN is greater
+                        # than every non-NaN value (numpy's > is
+                        # False whenever NaN is on either side)
+                        upd = np.where(
+                            np.isnan(best_cos), False,
+                            np.where(np.isnan(cos), True,
+                                     cos > best_cos))
+                        best_cos = np.where(upd, cos, best_cos)
+                        best_id = np.where(upd, cids[t], best_id)
+                    codes[:, i] = best_id
+                    pos = np.searchsorted(cids, best_id)
+                    recon[:, i * d_sub:(i + 1) * d_sub] = C[pos]
+            acc = np.zeros(nrows)
+            for j in range(m * d_sub):
+                acc = acc + recon[:, j] * recon[:, j]
+            out = {"id": pdf["id"], "codes": list(codes),
+                   "v": list(recon)}
+            for kc in keep:
+                out[kc] = pdf[kc]
+            out["nrm"] = np.sqrt(acc)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(encode, out_schema)
 
 
 def pq_topk(queries: DataFrame, candidates: DataFrame, codebooks: list,
@@ -821,9 +930,7 @@ def residual_frame(candidates: DataFrame,
     rows = sorted((int(r.id), [float(x) for x in r.v], float(r.nrm))
                   for r in centroids.collect())
     bucketed = assign_buckets(candidates, centroids)
-    cmap = F.create_map(*[c for cid, cv, _ in rows
-                          for c in (F.lit(cid),
-                                    F.array(*[F.lit(x) for x in cv]))])
+    cmap = _id_array_map_expr(rows)
     return (bucketed
             .withColumn("cv0", F.element_at(cmap, F.col("bucket")))
             .withColumn("v", F.zip_with("v", "cv0", lambda x, y: x - y))

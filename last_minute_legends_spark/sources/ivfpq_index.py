@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 
 from last_minute_legends_spark.functions.vectors import cosine, norm
 from last_minute_legends_spark.operators.similarity import (
+    _codebook_rows,
+    _id_array_map_expr,
     assign_buckets,
     pq_reconstruct,
 )
@@ -64,10 +66,16 @@ def write_ivfpq_index(candidates: DataFrame, centroids: DataFrame,
      .parquet(os.path.join(path, _CODES)))
     (centroids.coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, _CENTROIDS)))
-    stacked = codebooks[0].select(F.lit(0).alias("sub"), "id", "v", "nrm")
-    for i, cb in enumerate(codebooks[1:], start=1):
-        stacked = stacked.unionByName(
-            cb.select(F.lit(i).alias("sub"), "id", "v", "nrm"))
+    # codebooks arrive as per-subspace DataFrames OR pre-collected
+    # row lists (the plans/ann_q.py cache loader hands lists); a
+    # single createDataFrame of the flattened model replaces the
+    # former m-way unionByName plan (m frames -> one m·k-row local
+    # relation, exact doubles either way)
+    flat = [(i, cid, cv, cn)
+            for i, rows in enumerate(_codebook_rows(codebooks))
+            for cid, cv, cn in rows]
+    stacked = candidates.sparkSession.createDataFrame(
+        flat, "sub int, id int, v array<double>, nrm double")
     (stacked.coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, _CODEBOOKS)))
     tmp = os.path.join(path, f"{_META}.tmp{os.getpid()}")
@@ -91,9 +99,9 @@ def _codeword_recon(spark: SparkSession, path: str):
             (int(r.id), [float(x) for x in r.v]))
     recon_cols = []
     for i in range(m):
-        cw = F.create_map(*[c for cid, cv in sorted(by_sub[i])
-                            for c in (F.lit(cid),
-                                      F.array(*[F.lit(x) for x in cv]))])
+        # one parsed expression per subspace map — the former
+        # create_map(F.lit...) form paid m·k·d_sub py4j round-trips
+        cw = _id_array_map_expr(sorted(by_sub[i]))
         recon_cols.append(F.element_at(cw, F.element_at("codes", i + 1)))
     return F.concat(*recon_cols), m
 
@@ -162,13 +170,16 @@ def ivfpq_probe_topk(spark: SparkSession, path: str, queries: DataFrame,
 
 
 def _read_codebooks(spark: SparkSession, path: str) -> tuple[list, int]:
-    """(list of m per-subspace codebook frames, d_sub) read back from
-    the layout — the frozen model an append encodes against."""
+    """(list of m per-subspace pre-collected codebook row lists,
+    d_sub) read back from the layout in ONE collect — the frozen
+    model an append encodes against (model-parameter-sized)."""
     with open(os.path.join(path, _META)) as fh:
         meta = json.load(fh)
-    stacked = spark.read.parquet(os.path.join(path, _CODEBOOKS))
-    cbs = [stacked.filter(F.col("sub") == i).select("id", "v", "nrm")
-           for i in range(int(meta["m"]))]
+    by_sub: dict[int, list] = {}
+    for r in spark.read.parquet(os.path.join(path, _CODEBOOKS)).collect():
+        by_sub.setdefault(int(r.sub), []).append(
+            (int(r.id), [float(x) for x in r.v], float(r.nrm)))
+    cbs = [sorted(by_sub[i]) for i in range(int(meta["m"]))]
     return cbs, int(meta["d_sub"])
 
 
