@@ -144,7 +144,13 @@ def write_band_index(docs: DataFrame, path: str, threshold: float = 0.8,
      .parquet(os.path.join(path, _BANDS)))
     pairs = minhash_lsh_pairs(docs, threshold, id_col, text_col, n,
                               perm_hash, band_hash)
-    pairs.write.mode("overwrite").parquet(os.path.join(path, _PAIRS))
+    # size-adaptive pair files (guide #6): AQE rebalance targets the
+    # advisory partition size, so the store lands as few right-sized
+    # files at any corpus scale instead of one sliver per shuffle
+    # task (measured 32 files / 272 KB at sf0.1 — every downstream
+    # stored-pairs scan paid 32 tasks for KBs of data)
+    (pairs.hint("rebalance").write.mode("overwrite")
+     .parquet(os.path.join(path, _PAIRS)))
     with open(os.path.join(path, _PARAMS), "w") as fh:
         json.dump({"threshold": threshold, "n": n,
                    "bv_buckets": BV_BUCKETS}, fh)
@@ -319,7 +325,8 @@ def absorb_delta(spark: SparkSession, indexed_docs: DataFrame,
         # crash between them leaves an epoch half-absorbed — rerun
         # the absorb after restoring the layout from the previous
         # epoch's files, which both appends preserve byte-for-byte.)
-        new_pairs.write.mode("append").parquet(os.path.join(path, _PAIRS))
+        (new_pairs.hint("rebalance").write.mode("append")
+         .parquet(os.path.join(path, _PAIRS)))
         # repartition to the layout's partition grain + bv-sort before
         # the append (the write_band_index discipline): without it the
         # dynamic-partition write fans every input split across every
@@ -584,7 +591,9 @@ def write_hamming_index(sig: DataFrame, path: str,
      .parquet(os.path.join(path, _BANDS)))
     pairs = hamming_band_pairs(sig, sig_words, word_bits, band_width,
                                max_hamming)
-    pairs.write.mode("overwrite").parquet(os.path.join(path, _PAIRS))
+    # size-adaptive pair files via AQE rebalance (see write_band_index)
+    (pairs.hint("rebalance").write.mode("overwrite")
+     .parquet(os.path.join(path, _PAIRS)))
     with open(os.path.join(path, _HPARAMS), "w") as fh:
         json.dump({"sig_words": sig_words, "word_bits": word_bits,
                    "band_width": band_width, "max_hamming": max_hamming,
@@ -655,7 +664,8 @@ def absorb_hamming_delta(spark: SparkSession, delta_sig: DataFrame,
     if append:
         # pairs first: the write evaluates the cross probe against the
         # PRE-append layout (the absorb_delta ordering invariant)
-        new_pairs.write.mode("append").parquet(os.path.join(path, _PAIRS))
+        (new_pairs.hint("rebalance").write.mode("append")
+         .parquet(os.path.join(path, _PAIRS)))
         # repartition to the layout's partition grain + bv-sort before
         # the append (the write_band_index discipline): without it the
         # dynamic-partition write fans every input split across every
@@ -760,7 +770,9 @@ def write_embedding_index(emb: DataFrame, path: str,
      .parquet(os.path.join(path, _BANDS)))
     pairs = embedding_lsh_pairs(emb, planes=planes, threshold=threshold,
                                 n_bands=n_bands)
-    pairs.write.mode("overwrite").parquet(os.path.join(path, _PAIRS))
+    # size-adaptive pair files via AQE rebalance (see write_band_index)
+    (pairs.hint("rebalance").write.mode("overwrite")
+     .parquet(os.path.join(path, _PAIRS)))
     # params INSIDE the bands dir + written via temp-name replace:
     # atomic with the dir that needs them (see _eparams_path)
     tmp = _eparams_path(path) + ".tmp"
@@ -892,7 +904,8 @@ def absorb_embedding_delta(spark: SparkSession, indexed_emb: DataFrame,
     if append:
         # pairs first: the write evaluates the cross probe against the
         # PRE-append layout (the absorb_delta ordering invariant)
-        new_pairs.write.mode("append").parquet(os.path.join(path, _PAIRS))
+        (new_pairs.hint("rebalance").write.mode("append")
+         .parquet(os.path.join(path, _PAIRS)))
         # repartition to the layout's partition grain + bv-sort before
         # the append (the write_band_index discipline): without it the
         # dynamic-partition write fans every input split across every

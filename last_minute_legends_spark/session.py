@@ -48,6 +48,19 @@ def get_spark(app_name: str = "last_minute_legends_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Size-gate probes (`limit(static_max+1).collect()/count()` in
+        # the delta-dedup/ANN operators) collect FEWER rows than their
+        # limit whenever the gate passes, so the default incremental
+        # limit execution (initial 1 partition, x4 escalation) always
+        # walks every partition anyway — across 4-5 sequential Spark
+        # jobs per probe (measured r17-opt: dedup_clusters_delta runs
+        # 13 probe jobs out of 46 total). Starting at one full wave of
+        # partitions turns each probe into a single job; derived from
+        # the same shuffle-partitions knob, so it stays one scheduling
+        # wave at any scale. TakeOrderedAndProject (`orderBy().limit`)
+        # is unaffected — it never used incremental execution.
+        .config("spark.sql.limit.initialNumPartitions",
+                str(shuffle_partitions))
         # Whole-stage-codegen COMPILE cache (static conf, default 100
         # entries). An 80-query workload holds far more than 100
         # distinct generated classes, so the LRU thrashes and every
