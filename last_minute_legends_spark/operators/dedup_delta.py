@@ -250,7 +250,9 @@ def absorb_delta(spark: SparkSession, indexed_docs: DataFrame,
             F.when(F.col("_a_is_delta"), F.col("n_base"))
             .otherwise(F.col("n_delta")).alias("nb"),
         )
-        .distinct()
+        # no .distinct() here: ``cand`` below distincts the union, so a
+        # per-side distinct only added one full exchange per probe (one
+        # sequential AQE stage-job per epoch) for the same final set
     )
 
     # ---- delta × delta candidates (the single-shot self-join shape,
@@ -266,7 +268,7 @@ def absorb_delta(spark: SparkSession, indexed_docs: DataFrame,
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
                 na2.alias("na"), nb2.alias("nb"))
-        .distinct()
+        # distinct deferred to ``cand`` (see cross)
     )
     cand = cross.unionByName(selfc).distinct().persist()
 
@@ -654,8 +656,10 @@ def absorb_hamming_delta(spark: SparkSession, delta_sig: DataFrame,
             F.greatest(F.col("d.doc_id"), F.col("b.doc_id")).alias("doc_b"),
             hamming.alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        # distinct deferred to ``new_pairs`` below (hamming is a pure
+        # function of the pair, so the deferred distinct yields the
+        # same set with one exchange instead of two)
     )
     selfp = hamming_band_pairs(delta_sig, sig_words, p["word_bits"],
                                p["band_width"], max_hamming)
@@ -847,7 +851,8 @@ def absorb_embedding_delta(spark: SparkSession, indexed_emb: DataFrame,
             F.least(F.col("d.doc_id"), F.col("b.doc_id")).alias("vec_a"),
             F.greatest(F.col("d.doc_id"), F.col("b.doc_id")).alias("vec_b"),
         )
-        .distinct()
+        # distinct deferred to ``cand`` (one exchange instead of three
+        # across the probe union — same final set)
     )
     a2, b2 = bands_d.alias("a"), bands_d.alias("b")
     selfc = (
@@ -856,7 +861,7 @@ def absorb_embedding_delta(spark: SparkSession, indexed_emb: DataFrame,
                 & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("vec_a"),
                 F.col("b.doc_id").alias("vec_b"))
-        .distinct()
+        # distinct deferred to ``cand`` (see cross)
     )
     cand = cross.unionByName(selfc).distinct().persist()
 

@@ -44,6 +44,20 @@ def get_spark(app_name: str = "last_minute_legends_spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions by SIZE, not core count
+        # (guide §2.2 "fewer, larger reduce partitions"): the default
+        # parallelismFirst=true re-expands every small shuffle to
+        # ~cores partitions, so a KB-sized exchange still schedules 32
+        # reduce tasks — pure fixed overhead repeated across the many
+        # small stages of the delta/absorb operators (measured: 33-task
+        # jobs over <1 MB shuffles throughout). Sizing by
+        # advisoryPartitionSizeInBytes is the scale-correct policy: at
+        # 100 TB a shuffle stage gets bytes/64MB partitions (plenty of
+        # parallelism), locally a tiny stage collapses to 1 task.
+        # Env-overridable for A/B runs.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST",
+                               "false"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -79,7 +93,11 @@ def get_spark(app_name: str = "last_minute_legends_spark",
         # sentinel_paced) — scoping it there keeps the library-wide
         # default correct for always-on deployments, which need
         # windows/sessions/timeouts to emit on watermark progress.
-        .config("spark.ui.enabled", "false")
+        # Diagnostics (tools/probe_jobs.py) re-enable the UI via env to
+        # read per-job timings from the REST API; default stays off so
+        # the driver's 2000-char capture window is never polluted.
+        .config("spark.ui.enabled",
+                os.environ.get("SPARK_GRAFT_UI", "false"))
         # The driver's bench gate captures the LAST 2000 chars of
         # combined stdout+stderr; the stage progress bar (stderr)
         # shares that window with bench.py's one machine-readable

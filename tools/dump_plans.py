@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Dump .explain('formatted') for named registry cells into
+plans/r17/<cell>_<suffix>.txt (the judge-facing before/after evidence).
+
+Usage: python tools/dump_plans.py before|after <cell> [<cell> ...]
+
+The header records compose wall seconds (plan construction + any
+eager work the entry does before returning its frame) — for operators
+whose cost lives before execution that header IS the measurement.
+"""
+from __future__ import annotations
+
+import io
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    suffix, cells = sys.argv[1], sys.argv[2:]
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from last_minute_legends_spark.session import get_spark
+
+    spark = get_spark("dump_plans")
+    spark.range(10).selectExpr("md5(string(id)) h").groupBy(
+        "h").count().write.format("noop").mode("overwrite").save()
+    from last_minute_legends_spark.plans.queries import QUERIES
+
+    out_dir = os.path.join(REPO, "plans", "r17")
+    os.makedirs(out_dir, exist_ok=True)
+    for cell in cells:
+        t0 = time.time()
+        df = QUERIES[cell](spark, SF_DIR)
+        compose = time.time() - t0
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        path = os.path.join(out_dir, f"{cell}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(f"# {cell} ({suffix}) — explain('formatted') at "
+                    f"{os.path.basename(SF_DIR)}; compose wall "
+                    f"{compose:.1f}s (plan construction + eager "
+                    f"entry work before the frame returns)\n")
+            f.write(plan)
+        print(f"{cell}: compose={compose:.1f}s -> {path}")
+        spark.catalog.clearCache()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
