@@ -87,6 +87,22 @@ def get_spark(app_name: str = "last_minute_legends_spark",
         .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # RocksDB state store for stateful streaming (stream-stream
+        # joins, session windows, dedup state). The default HDFS-backed
+        # provider holds all state on-heap (GC pressure at scale, state
+        # bounded by executor memory) and its per-commit delta-file
+        # handling measured 0.4-1.7 s of task time PER STORE COMMIT on
+        # this workload (32 partitions x 4 join stores = 128 commits a
+        # micro-batch: commitTimeMs 54-216 s per batch for ~7k state
+        # rows). RocksDB is the production-standard provider for large
+        # state (incremental checkpoints, off-heap, spills to disk);
+        # measured on the stream-stream join pipeline: 50-55 s -> 27-35
+        # s end-to-end. Env-overridable for A/B runs.
+        .config("spark.sql.streaming.stateStore.providerClass",
+                os.environ.get(
+                    "SPARK_GRAFT_STATE_STORE",
+                    "org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider"))
         # NOTE: spark.sql.streaming.noDataMicroBatches stays at the
         # engine default here. The run-to-completion streaming drivers
         # disable it around their own queries (streaming/pipeline.py
