@@ -1149,7 +1149,7 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         land_events_partitioned,
     )
 
-    landed_path = land_events_partitioned(spark, sf_dir)
+    landed_path = land_events_partitioned(spark, sf_dir, cache=True)
     landed = spark.read.parquet(landed_path)
 
     def delta_of(ep):
@@ -1208,7 +1208,7 @@ def incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         land_events_partitioned,
     )
 
-    landed_path = land_events_partitioned(spark, sf_dir)
+    landed_path = land_events_partitioned(spark, sf_dir, cache=True)
     landed = spark.read.parquet(landed_path)
     regs = _fold_epochs(
         _landed_epochs(landed_path),
@@ -1248,7 +1248,7 @@ def incremental_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         land_events_partitioned,
     )
 
-    landed_path = land_events_partitioned(spark, sf_dir)
+    landed_path = land_events_partitioned(spark, sf_dir, cache=True)
     epochs = _landed_epochs(landed_path)
     landed = spark.read.parquet(landed_path)
 

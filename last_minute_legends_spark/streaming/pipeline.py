@@ -935,14 +935,27 @@ def batch_join_agg_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 LANDED_SCHEMA = "event_day_us long, n_events long, sum_value double"
 
 
-def land_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
+def land_events_partitioned(spark: SparkSession, sf_dir: str,
+                            cache: bool = False) -> str:
     """Stage the events topic as multi-file parquet and stream it
     (one file per trigger — real multi-epoch accumulation) through
     ``foreachBatch(day_partition_epoch_sink)`` into a
     ``partitionBy(event_day_us, epoch)`` layout; returns the landed
     path (``<staging>/landed``; topic + checkpoints are consumed).
     Shared by the landing entry and the incremental-rollup
-    maintenance entry."""
+    maintenance entry.
+
+    ``cache=True`` (r17-opt) serves the landed layout from the
+    write-once derived-layout cache, keyed per corpus fingerprint,
+    with a private hardlink clone per call: the landing is a
+    production artifact that exists once per corpus (it is what the
+    ``stream_partitioned_landing`` entry builds and MEASURES — that
+    caller keeps ``cache=False`` and streams for real every run),
+    while the three incremental-maintenance entries only READ it as
+    their epoch source — re-streaming the identical landing per
+    maintenance cell measured 8-12 s per bench sample, ~60% of each
+    cell, none of it maintenance cost (the cached band/IVF index
+    economics, applied to the landing)."""
     from last_minute_legends_spark.sources.partitioned_events import (
         day_partition_epoch_sink,
     )
@@ -954,42 +967,58 @@ def land_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
     # input staging cached per corpus fingerprint (the
     # stage_events_json pattern): the parquet topic render is harness
     # overhead — a production topic exists — while the landing stream
-    # itself (the thing the callers measure) still runs per call.
+    # itself (the thing the landing entry measures) still runs per
+    # call unless the caller opted into the landed-layout cache.
     # Hardlinks are safe: the file source only READS the topic files.
     from last_minute_legends_spark.sources.layout_cache import (
         build_once, layout_dir,
     )
 
     src = os.path.join(sf_dir, "events.parquet")
-    cache = layout_dir("staged_topic_parquet", src, version=f"v1-n{n_files}")
+    topic_cache = layout_dir("staged_topic_parquet", src,
+                             version=f"v1-n{n_files}")
 
-    def _build(tmp: str) -> None:
+    def _build_topic(tmp: str) -> None:
         events = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
         (events.repartition(n_files)
          .write.mode("overwrite").parquet(os.path.join(tmp, "in")))
 
-    build_once(cache, _build)
-    os.makedirs(f"{staging}/in")
-    for f in sorted(glob.glob(os.path.join(cache, "in", "part-*"))):
-        dst = os.path.join(f"{staging}/in", os.path.basename(f))
-        try:
-            os.link(f, dst)
-        except OSError:  # cross-device cache root: fall back to a copy
-            shutil.copy2(f, dst)
+    def _run_landing(landed_dir: str) -> None:
+        build_once(topic_cache, _build_topic)
+        os.makedirs(f"{staging}/in", exist_ok=True)
+        for f in sorted(glob.glob(os.path.join(topic_cache, "in",
+                                               "part-*"))):
+            dst = os.path.join(f"{staging}/in", os.path.basename(f))
+            try:
+                os.link(f, dst)
+            except OSError:  # cross-device cache root: copy instead
+                shutil.copy2(f, dst)
 
-    stream = (spark.readStream.schema(EVENT_SCHEMA)
-              .option("maxFilesPerTrigger", "1")
-              .parquet(f"{staging}/in"))
-    q = (
-        stream.writeStream
-        .foreachBatch(day_partition_epoch_sink(f"{staging}/landed"))
-        .option("checkpointLocation", f"{staging}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(f"{staging}/in", ignore_errors=True)
-    shutil.rmtree(f"{staging}/ckpt", ignore_errors=True)
+        stream = (spark.readStream.schema(EVENT_SCHEMA)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(f"{staging}/in"))
+        q = (
+            stream.writeStream
+            .foreachBatch(day_partition_epoch_sink(landed_dir))
+            .option("checkpointLocation", f"{staging}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(f"{staging}/in", ignore_errors=True)
+        shutil.rmtree(f"{staging}/ckpt", ignore_errors=True)
+
+    if cache:
+        landed_cache = build_once(
+            layout_dir("landed_day_epoch", src, version=f"v1-n{n_files}"),
+            lambda tmp: _run_landing(os.path.join(tmp, "landed")))
+        # private clone even though current readers are read-only: a
+        # future caller mutating its landing (the CDC merge pattern)
+        # must never reach back into the shared cache
+        _clone_tree(os.path.join(landed_cache, "landed"),
+                    f"{staging}/landed")
+    else:
+        _run_landing(f"{staging}/landed")
     return f"{staging}/landed"
 
 
