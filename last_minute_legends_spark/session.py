@@ -103,6 +103,36 @@ def get_spark(app_name: str = "last_minute_legends_spark",
                     "SPARK_GRAFT_STATE_STORE",
                     "org.apache.spark.sql.execution.streaming.state."
                     "RocksDBStateStoreProvider"))
+        # Spark 4.1 writes a sibling checksum file for EVERY checkpoint
+        # file (offsets/commits/every state-store file) through a
+        # blocking await on a shared pool — thread dumps of the
+        # stream-stream join showed all 32 tasks parked in
+        # ChecksumCheckpointFileManager.awaitResult, each commit
+        # doubling its file ops (and each local-FS create forking a
+        # shell chmod: no native hadoop lib here). Measured A/B on
+        # stream_join_multibatch: 33.2/26.6 s on vs 20.0/19.6/17.9 s
+        # off. The checkpoint COMMIT protocol (atomic rename + fsync)
+        # is unaffected — the checksum is a bitrot detector for
+        # unreliable object stores; enable it there via env.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+                os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+        # Changelog checkpointing: commit uploads the batch's CHANGES
+        # (a changelog file) instead of zipping a full RocksDB
+        # snapshot; snapshots move to the background maintenance
+        # thread. The production-standard setting for large state —
+        # per-commit work becomes O(delta), not O(store). Measured A/B
+        # (checksum off): stream_join_multibatch 24.4/19.3 s full
+        # snapshots vs 17.4/16.7 s changelog.
+        .config("spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                os.environ.get("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true"))
+        # numRowsTotal bookkeeping costs a RocksDB get per put; with it
+        # off the metric reads -1 and nothing else changes (the Spark
+        # tuning docs' recommendation for write-heavy state). Measured
+        # A/B: 18.5 -> 16.7 s on the same cell.
+        .config("spark.sql.streaming.stateStore.rocksdb."
+                "trackTotalNumberOfRows",
+                os.environ.get("SPARK_GRAFT_ROCKSDB_TRACK_ROWS", "false"))
         # NOTE: spark.sql.streaming.noDataMicroBatches stays at the
         # engine default here. The run-to-completion streaming drivers
         # disable it around their own queries (streaming/pipeline.py

@@ -1064,6 +1064,56 @@ def _clone_tree(src: str, dst: str) -> None:
                 shutil.copy2(s, d)
 
 
+def _split_by_percentile(df: DataFrame, id_col: str,
+                         n_groups: int) -> DataFrame:
+    """Tag ``df`` with ``_grp`` = its id-range group (0..n_groups-1),
+    boundaries at exact id percentiles — the epoch split every
+    streaming delta runner stages its topic from."""
+    fracs = [i / n_groups for i in range(1, n_groups)]
+    if fracs:
+        cuts = df.agg(F.expr(
+            f"percentile({id_col}, array({', '.join(map(str, fracs))}))"
+        ).alias("c")).collect()[0].c
+    else:
+        cuts = []
+    grp = F.lit(0)
+    for c in cuts:
+        grp = grp + (F.col(id_col) > F.lit(float(c))).cast("int")
+    return df.withColumn("_grp", grp)
+
+
+def _render_topic_groups(tagged: DataFrame, json_cols, dest: str,
+                         group_ids, n_files: int) -> None:
+    """Render each ``_grp`` group as ``n_files`` JSON text files under
+    ``dest/grp<i>`` — the staged topic the producer loop delivers.
+    Rendering is part of staging the HARNESS's topic (a production
+    topic simply exists), so the delta runners build it inside their
+    write-once cached layout (the stage_events_json discipline) and
+    hardlink it out per run."""
+    for i in group_ids:
+        (tagged.filter(F.col("_grp") == i).drop("_grp")
+         .select(F.to_json(F.struct(*json_cols)).alias("value"))
+         .repartition(n_files)
+         .write.mode("overwrite").text(os.path.join(dest, f"grp{i:03d}")))
+
+
+def _link_topic_groups(src: str, staging: str, group_ids) -> list:
+    """Hardlink the staged group files into ``<staging>/in`` delivery
+    tuples (the deliver_group shape); content-identical, ~free."""
+    groups = []
+    for i in group_ids:
+        files = sorted(glob.glob(os.path.join(src, f"grp{i:03d}",
+                                              "part-*")))
+        if not files:
+            raise RuntimeError(f"no staged group files under "
+                               f"{src}/grp{i:03d}")
+        groups.append([
+            (f, os.path.join(f"{staging}/in",
+                             f"g{i:03d}-{os.path.basename(f)}"))
+            for f in files])
+    return groups
+
+
 def stream_absorb_epoch(spark: SparkSession, batch_df: DataFrame,
                         epoch_id: int, idx: str, corpus: str,
                         threshold: float, perm_hash=None, band_hash=None,
@@ -1206,24 +1256,28 @@ def run_stream_phash_delta(spark: SparkSession, sf_dir: str,
     atexit.register(shutil.rmtree, staging, ignore_errors=True)
     payloads = _phash_payloads(spark, sf_dir)
 
-    fracs = [i / n_epochs for i in range(1, n_epochs)]
-    cuts = payloads.agg(F.expr(
-        f"percentile(doc_id, array({', '.join(map(str, fracs))}))"
-    ).alias("c")).collect()[0].c
-    grp = F.lit(0)
-    for c in cuts:
-        grp = grp + (F.col("doc_id") > F.lit(float(c))).cast("int")
-    tagged = payloads.withColumn("_grp", grp)
-
     idx = f"{staging}/idx"
-    base = tagged.filter(F.col("_grp") == 0).drop("_grp")
+    n_files = 8
+    os.makedirs(f"{staging}/in")
 
     def _build(tmp: str) -> None:
+        # hamming index + staged topic groups, both deterministic in
+        # the corpus — built once per fingerprint (r17-opt: the topic
+        # render joined the cached layout; it was a percentile job +
+        # 3 base64 renders per run, none of it absorb cost)
+        tagged = _split_by_percentile(payloads, "doc_id", n_epochs)
+        base = tagged.filter(F.col("_grp") == 0).drop("_grp")
         sig = phash_images(base).persist()
-        write_hamming_index(sig, tmp, ["ph0", "ph1"], [32, 32],
+        write_hamming_index(sig, os.path.join(tmp, "idx"),
+                            ["ph0", "ph1"], [32, 32],
                             band_width=16,
                             max_hamming=PHASH_MAX_HAMMING)
         sig.unpersist()
+        _render_topic_groups(
+            tagged,
+            (F.col("doc_id"),
+             F.base64(F.col("payload")).alias("payload_b64")),
+            tmp, range(1, n_epochs), n_files)
 
     if cache_tag:
         from last_minute_legends_spark.sources.layout_cache import (
@@ -1233,27 +1287,14 @@ def run_stream_phash_delta(spark: SparkSession, sf_dir: str,
         cached = build_once(
             layout_dir("stream_phash_delta_base",
                        os.path.join(sf_dir, "documents.parquet"),
-                       f"v1-{cache_tag}-e{n_epochs}-h{PHASH_MAX_HAMMING}"),
+                       f"v2-{cache_tag}-e{n_epochs}-h{PHASH_MAX_HAMMING}"),
             _build)
-        _clone_tree(cached, idx)
+        src = cached
+        _clone_tree(os.path.join(cached, "idx"), idx)
     else:
-        _build(idx)
-
-    n_files = 8
-    os.makedirs(f"{staging}/in")
-    groups = []
-    for i in range(1, n_epochs):
-        gdir = f"{staging}/grp{i:03d}"
-        (tagged.filter(F.col("_grp") == i).drop("_grp")
-         .select(F.to_json(F.struct(
-             F.col("doc_id"),
-             F.base64(F.col("payload")).alias("payload_b64"))).alias("value"))
-         .repartition(n_files)
-         .write.mode("overwrite").text(gdir))
-        groups.append([
-            (f, os.path.join(f"{staging}/in",
-                             f"g{i:03d}-{os.path.basename(f)}"))
-            for f in sorted(glob.glob(os.path.join(gdir, "part-*")))])
+        _build(staging)
+        src = staging
+    groups = _link_topic_groups(src, staging, range(1, n_epochs))
 
     parsed = (
         spark.readStream.format("text")
@@ -1369,26 +1410,24 @@ def run_stream_embedding_delta(spark: SparkSession, sf_dir: str,
     atexit.register(shutil.rmtree, staging, ignore_errors=True)
     emb = with_unit_vectors(_embedding_corpus(spark, sf_dir))
 
-    fracs = [i / n_epochs for i in range(1, n_epochs)]
-    cuts = emb.agg(F.expr(
-        f"percentile(id, array({', '.join(map(str, fracs))}))"
-    ).alias("c")).collect()[0].c
-    grp = F.lit(0)
-    for c in cuts:
-        grp = grp + (F.col("id") > F.lit(float(c))).cast("int")
-    tagged = emb.withColumn("_grp", grp)
-
     idx = f"{staging}/idx"
     corpus = f"{staging}/corpus"
-    base = tagged.filter(F.col("_grp") == 0).drop("_grp")
+    n_files = 8
+    os.makedirs(f"{staging}/in")
 
     def _build(tmp: str) -> None:
-        b = base.persist()
+        # frozen-geometry index + landed base + staged topic groups,
+        # all deterministic in the corpus — one write-once layout
+        # (r17-opt: the topic render joined the cache)
+        tagged = _split_by_percentile(emb, "id", n_epochs)
+        b = tagged.filter(F.col("_grp") == 0).drop("_grp").persist()
         write_embedding_index(b, os.path.join(tmp, "idx"),
                               COSINE_THRESHOLD)
         (b.select("id", "v", "nrm").write.mode("overwrite")
          .parquet(os.path.join(tmp, "corpus")))
         b.unpersist()
+        _render_topic_groups(tagged, ("id", "v"), tmp,
+                             range(1, n_epochs), n_files)
 
     if cache_tag:
         from last_minute_legends_spark.sources.layout_cache import (
@@ -1398,30 +1437,15 @@ def run_stream_embedding_delta(spark: SparkSession, sf_dir: str,
         cached = build_once(
             layout_dir("stream_embedding_delta_base",
                        os.path.join(sf_dir, "embeddings.parquet"),
-                       f"v1-{cache_tag}-e{n_epochs}-t{COSINE_THRESHOLD}"),
+                       f"v2-{cache_tag}-e{n_epochs}-t{COSINE_THRESHOLD}"),
             _build)
-        _clone_tree(os.path.join(cached, "idx"), idx)
-        _clone_tree(os.path.join(cached, "corpus"), corpus)
+        src = cached
     else:
-        os.makedirs(staging, exist_ok=True)
-        tmpb = f"{staging}/build"
-        _build(tmpb)
-        os.rename(os.path.join(tmpb, "idx"), idx)
-        os.rename(os.path.join(tmpb, "corpus"), corpus)
-
-    n_files = 8
-    os.makedirs(f"{staging}/in")
-    groups = []
-    for i in range(1, n_epochs):
-        gdir = f"{staging}/grp{i:03d}"
-        (tagged.filter(F.col("_grp") == i).drop("_grp")
-         .select(F.to_json(F.struct("id", "v")).alias("value"))
-         .repartition(n_files)
-         .write.mode("overwrite").text(gdir))
-        groups.append([
-            (f, os.path.join(f"{staging}/in",
-                             f"g{i:03d}-{os.path.basename(f)}"))
-            for f in sorted(glob.glob(os.path.join(gdir, "part-*")))])
+        src = f"{staging}/build"
+        _build(src)
+    _clone_tree(os.path.join(src, "idx"), idx)
+    _clone_tree(os.path.join(src, "corpus"), corpus)
+    groups = _link_topic_groups(src, staging, range(1, n_epochs))
 
     parsed = (
         spark.readStream.format("text")
@@ -1503,6 +1527,12 @@ def run_stream_dedup_delta(spark: SparkSession, sf_dir: str,
     single-shot connected_components over the full corpus' pair
     graph, so the md5 registry form (stream_clusters_delta) carries
     the full recursive-closure DuckDB oracle."""
+    from last_minute_legends_spark.operators.dedup import (
+        connected_components,
+    )
+    from last_minute_legends_spark.operators.labels_store import (
+        write_labels_store,
+    )
     from last_minute_legends_spark.operators.dedup_delta import (
         stored_pairs, write_band_index,
     )
@@ -1511,18 +1541,30 @@ def run_stream_dedup_delta(spark: SparkSession, sf_dir: str,
     atexit.register(shutil.rmtree, staging, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
-    fracs = [i / n_epochs for i in range(1, n_epochs)]
-    cuts = docs.agg(F.expr(
-        f"percentile(doc_id, array({', '.join(map(str, fracs))}))"
-    ).alias("c")).collect()[0].c
-    grp = F.lit(0)
-    for c in cuts:
-        grp = grp + (F.col("doc_id") > F.lit(float(c))).cast("int")
-    tagged = docs.withColumn("_grp", grp)
-
     idx = f"{staging}/idx"
     corpus = f"{staging}/corpus"
-    base = tagged.filter(F.col("_grp") == 0).drop("_grp")
+    n_files = 8
+    os.makedirs(f"{staging}/in")
+
+    def _build(tmp: str) -> None:
+        # base index + landed base corpus + the staged topic groups +
+        # the seed labels — ALL deterministic functions of the corpus,
+        # built once per fingerprint. The seed labels are the
+        # maintained store's INITIAL state (CC over the base pair
+        # graph), so caching them is the same write-once discipline as
+        # the index itself; every per-epoch fold still runs live.
+        tagged = _split_by_percentile(docs, "doc_id", n_epochs)
+        base = tagged.filter(F.col("_grp") == 0).drop("_grp")
+        write_band_index(base, os.path.join(tmp, "idx"), threshold,
+                         perm_hash=perm_hash, band_hash=band_hash)
+        base.write.mode("overwrite").parquet(os.path.join(tmp, "corpus"))
+        _render_topic_groups(tagged, ("doc_id", "text"), tmp,
+                             range(1, n_epochs), n_files)
+        write_labels_store(
+            connected_components(
+                stored_pairs(spark, os.path.join(tmp, "idx"))),
+            os.path.join(tmp, "labels"))
+
     if cache_tag:
         # the base build (a full single-shot dedup of the seed
         # quarter) is immutable and identical across runs — cache it
@@ -1530,42 +1572,26 @@ def run_stream_dedup_delta(spark: SparkSession, sf_dir: str,
         # staging, since the STREAM then mutates its copy via add-only
         # appends. Measured: dropped the sf0.1 bench cell 47.9 → the
         # absorb-only cost, the same write-once economics as the IVF
-        # probe entries.
+        # probe entries. r17-opt: the staged topic groups and the seed
+        # labels joined the cached layout (they were rebuilt per run —
+        # a percentile job + 3 renders + a full CC per invocation,
+        # none of it absorb cost).
         from last_minute_legends_spark.sources.layout_cache import (
             build_once, layout_dir,
         )
 
-        def _build(tmp: str) -> None:
-            write_band_index(base, os.path.join(tmp, "idx"), threshold,
-                             perm_hash=perm_hash, band_hash=band_hash)
-            base.write.mode("overwrite").parquet(
-                os.path.join(tmp, "corpus"))
-
         cached = build_once(
             layout_dir("stream_dedup_delta_base",
                        os.path.join(sf_dir, "documents.parquet"),
-                       f"v1-{cache_tag}-e{n_epochs}-t{threshold}"),
+                       f"v2-{cache_tag}-e{n_epochs}-t{threshold}"),
             _build)
+        src = cached
         _clone_tree(os.path.join(cached, "idx"), idx)
         _clone_tree(os.path.join(cached, "corpus"), corpus)
     else:
-        write_band_index(base, idx, threshold,
-                         perm_hash=perm_hash, band_hash=band_hash)
-        base.write.mode("overwrite").parquet(corpus)
-
-    n_files = 8
-    os.makedirs(f"{staging}/in")
-    groups = []
-    for i in range(1, n_epochs):
-        gdir = f"{staging}/grp{i:03d}"
-        (tagged.filter(F.col("_grp") == i).drop("_grp")
-         .select(F.to_json(F.struct("doc_id", "text")).alias("value"))
-         .repartition(n_files)
-         .write.mode("overwrite").text(gdir))
-        groups.append([
-            (f, os.path.join(f"{staging}/in",
-                             f"g{i:03d}-{os.path.basename(f)}"))
-            for f in sorted(glob.glob(os.path.join(gdir, "part-*")))])
+        _build(staging)
+        src = staging
+    groups = _link_topic_groups(src, staging, range(1, n_epochs))
 
     parsed = (
         spark.readStream.format("text")
@@ -1581,17 +1607,13 @@ def run_stream_dedup_delta(spark: SparkSession, sf_dir: str,
         # seed the maintained-labels state: keeper labels of the base
         # index's pair graph, persisted as the bucket-partitioned
         # store each epoch's fold then rewrites touched-buckets-only
-        # (operators/labels_store.py — VERDICT r16 #1)
-        from last_minute_legends_spark.operators.dedup import (
-            connected_components,
-        )
-        from last_minute_legends_spark.operators.labels_store import (
-            write_labels_store,
-        )
-
+        # (operators/labels_store.py — VERDICT r16 #1). The seed comes
+        # out of the write-once layout (built in _build above); the
+        # clone is private, so the folds' bucket swaps never touch the
+        # cache.
         labels_dir = f"{staging}/labels"
-        write_labels_store(connected_components(stored_pairs(spark, idx)),
-                           labels_dir)
+        if src != staging:
+            _clone_tree(os.path.join(src, "labels"), labels_dir)
 
     def absorb(batch_df, epoch_id):
         stream_absorb_epoch(spark, batch_df, epoch_id, idx, corpus,
@@ -1711,7 +1733,14 @@ def run_stream_semantic_delta(spark: SparkSession, sf_dir: str,
     idx = f"{staging}/idx"
     corpus = f"{staging}/corpus"
 
+    # id-ORDERED epochs over the top-20% delta (monotone ingestion)
+    n_eps = max(1, n_epochs - 1)
+    n_files = 8
+    os.makedirs(f"{staging}/in")
+
     def _build(tmp: str) -> None:
+        # frozen k-means index + landed base + staged topic groups
+        # (r17-opt: the topic render joined the cached layout)
         b = base.persist()
         write_semantic_index(b, os.path.join(tmp, "idx"), SEM_TAU,
                              k=SEM_K, iters=SEM_ITERS,
@@ -1719,6 +1748,8 @@ def run_stream_semantic_delta(spark: SparkSession, sf_dir: str,
         (b.select("id", "v", "nrm").write.mode("overwrite")
          .parquet(os.path.join(tmp, "corpus")))
         b.unpersist()
+        _render_topic_groups(_split_by_percentile(delta_all, "id", n_eps),
+                             ("id", "v"), tmp, range(n_eps), n_files)
 
     if cache_tag:
         from last_minute_legends_spark.sources.layout_cache import (
@@ -1728,43 +1759,15 @@ def run_stream_semantic_delta(spark: SparkSession, sf_dir: str,
         cached = build_once(
             layout_dir("stream_semantic_delta_base",
                        os.path.join(sf_dir, "embeddings.parquet"),
-                       f"v1-{cache_tag}-k{SEM_K}t{SEM_TAU}"),
+                       f"v2-{cache_tag}-k{SEM_K}t{SEM_TAU}-e{n_epochs}"),
             _build)
-        _clone_tree(os.path.join(cached, "idx"), idx)
-        _clone_tree(os.path.join(cached, "corpus"), corpus)
+        src = cached
     else:
-        tmpb = f"{staging}/build"
-        _build(tmpb)
-        os.rename(os.path.join(tmpb, "idx"), idx)
-        os.rename(os.path.join(tmpb, "corpus"), corpus)
-
-    # id-ORDERED epochs over the top-20% delta (monotone ingestion)
-    n_eps = max(1, n_epochs - 1)
-    fracs = [i / n_eps for i in range(1, n_eps)]
-    if fracs:
-        cuts = delta_all.agg(F.expr(
-            f"percentile(id, array({', '.join(map(str, fracs))}))"
-        ).alias("c")).collect()[0].c
-    else:
-        cuts = []
-    grp = F.lit(0)
-    for c in cuts:
-        grp = grp + (F.col("id") > F.lit(float(c))).cast("int")
-    tagged = delta_all.withColumn("_grp", grp)
-
-    n_files = 8
-    os.makedirs(f"{staging}/in")
-    groups = []
-    for i in range(n_eps):
-        gdir = f"{staging}/grp{i:03d}"
-        (tagged.filter(F.col("_grp") == i).drop("_grp")
-         .select(F.to_json(F.struct("id", "v")).alias("value"))
-         .repartition(n_files)
-         .write.mode("overwrite").text(gdir))
-        groups.append([
-            (f, os.path.join(f"{staging}/in",
-                             f"g{i:03d}-{os.path.basename(f)}"))
-            for f in sorted(glob.glob(os.path.join(gdir, "part-*")))])
+        src = f"{staging}/build"
+        _build(src)
+    _clone_tree(os.path.join(src, "idx"), idx)
+    _clone_tree(os.path.join(src, "corpus"), corpus)
+    groups = _link_topic_groups(src, staging, range(n_eps))
 
     parsed = (
         spark.readStream.format("text")
