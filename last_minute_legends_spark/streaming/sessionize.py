@@ -49,6 +49,7 @@ from last_minute_legends_spark.sources.streams import (
 )
 from last_minute_legends_spark.streaming.pipeline import (
     append_sentinels,
+    scaled_state_partitions,
     sentinel_paced,
     stage_events_json,
     staged_file_count,
@@ -112,7 +113,8 @@ def _drive(spark: SparkSession, staging: str, sessions: DataFrame,
     deterministically (append mode only emits a session once the
     watermark passes its gap deadline); result read back from the
     parquet sink (distributed)."""
-    with sentinel_paced(spark):
+    with sentinel_paced(spark), \
+            scaled_state_partitions(spark, f"{staging}/in"):
         q = (
             sessions.writeStream.format("parquet")
             .option("path", f"{staging}/out")
