@@ -26,6 +26,19 @@ import tempfile
 _DONE = "_LAYOUT_DONE"
 _ENV_ROOT = "SPARK_GRAFT_LAYOUT_CACHE"
 
+# In-process build-vs-hit accounting per layout namespace (VERDICT r17
+# honesty item: a cached layout moves its build cost OUT of the cells
+# that read it, so the bench diag must record, per cell, whether a
+# layout was BUILT inside the timed window or served as a hit — a
+# reviewer can then separate measurement-boundary moves from real
+# speedups mechanically). bench.py snapshots this around every cell.
+STATS: dict[str, dict] = {}
+
+
+def _stat(path: str) -> dict:
+    ns = os.path.basename(os.path.dirname(path)) or path
+    return STATS.setdefault(ns, {"hits": 0, "builds": 0, "build_sec": 0.0})
+
 
 def cache_root() -> str:
     """Per-user 0700 cache root, created on first use. Honors
@@ -100,15 +113,22 @@ def build_once(path: str, build) -> str:
     Readers never observe a directory that exists-but-is-partial,
     because ``path`` only comes into existence complete."""
     import shutil
+    import time
     import uuid
 
     if is_built(path):
+        _stat(path)["hits"] += 1
         return path
+    t0 = time.perf_counter()
     tmp = f"{path}__build_{os.getpid()}_{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)
     try:
         build(tmp)
         mark_built(tmp)
+        s = _stat(path)
+        s["builds"] += 1
+        s["build_sec"] = round(s["build_sec"]
+                               + (time.perf_counter() - t0), 3)
         try:
             os.rename(tmp, path)
         except OSError:

@@ -31,7 +31,8 @@ def main() -> None:
         "h").count().write.format("noop").mode("overwrite").save()
     from last_minute_legends_spark.plans.queries import QUERIES
 
-    out_dir = os.path.join(REPO, "plans", "r17")
+    out_dir = os.path.join(REPO, "plans",
+                           os.environ.get("SPARK_GRAFT_PLANS_DIR", "r18"))
     os.makedirs(out_dir, exist_ok=True)
     for cell in cells:
         t0 = time.time()

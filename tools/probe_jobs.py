@@ -98,7 +98,10 @@ def main() -> None:
         }
         spark.catalog.clearCache()
 
-    out = os.path.join(REPO, "plans", "r17", "probe_jobs.json")
+    out_dir = os.path.join(REPO, "plans",
+                           os.environ.get("SPARK_GRAFT_PLANS_DIR", "r18"))
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "probe_jobs.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     for cell, r in report.items():
