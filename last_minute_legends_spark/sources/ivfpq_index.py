@@ -36,7 +36,6 @@ from pyspark.sql import functions as F
 from last_minute_legends_spark.functions.vectors import cosine, norm
 from last_minute_legends_spark.operators.similarity import (
     _codebook_rows,
-    _id_array_map_expr,
     assign_buckets,
     pq_reconstruct,
 )
@@ -84,11 +83,22 @@ def write_ivfpq_index(candidates: DataFrame, centroids: DataFrame,
     os.replace(tmp, os.path.join(path, _META))
 
 
-def _codeword_recon(spark: SparkSession, path: str):
-    """(reconstruction Column over a ``codes`` column, m) — the
-    per-subspace codeword maps inlined as a literal expression
-    (m × k × d_sub doubles: model-parameter-sized, the
-    with_bucket/centroid-literal economics)."""
+def _decode_codes(spark: SparkSession, path: str,
+                  codes_df: DataFrame) -> DataFrame:
+    """(id, bucket, rv, rn_) — ADC reconstruction of a ``(id, codes,
+    bucket)`` frame in ONE Arrow pass with the m codeword tables in
+    the task closure (r18, VERDICT r17 #3: the former per-subspace
+    ``map(...)`` literal expressions put m·k·d_sub doubles of parsed
+    SQL text into every probe plan — ~18 KB at the shipped geometry,
+    re-analyzed per fresh plan instance). Decoding is pure table
+    lookup + concatenation (no arithmetic), and ``rn_`` accumulates
+    one dimension at a time left-to-right — functions/vectors.py's
+    ``norm`` fold order, bit-identical (the probe previously computed
+    the same norm per (probe, row) join OUTPUT row; computing it once
+    per code row before the join is both exact and cheaper)."""
+    import numpy as np
+    import pandas as pd
+
     with open(os.path.join(path, _META)) as fh:
         meta = json.load(fh)
     m = int(meta["m"])
@@ -97,13 +107,36 @@ def _codeword_recon(spark: SparkSession, path: str):
     for r in rows:
         by_sub.setdefault(int(r.sub), []).append(
             (int(r.id), [float(x) for x in r.v]))
-    recon_cols = []
+    cb_np = []
     for i in range(m):
-        # one parsed expression per subspace map — the former
-        # create_map(F.lit...) form paid m·k·d_sub py4j round-trips
-        cw = _id_array_map_expr(sorted(by_sub[i]))
-        recon_cols.append(F.element_at(cw, F.element_at("codes", i + 1)))
-    return F.concat(*recon_cols), m
+        srows = sorted(by_sub[i])
+        cb_np.append((np.array([c for c, _ in srows], dtype=np.int32),
+                      np.array([v for _, v in srows], dtype=np.float64)))
+    d_sub = cb_np[0][1].shape[1]
+    dim = m * d_sub
+
+    df = codes_df.select("id", "codes", "bucket")
+    ftypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (f"id {ftypes['id']}, bucket {ftypes['bucket']}, "
+                  "rv array<double>, rn_ double")
+
+    def decode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            nrows = len(pdf)
+            R = np.empty((nrows, dim), dtype=np.float64)
+            for i, (cids, C) in enumerate(cb_np):
+                R[:, i * d_sub:(i + 1) * d_sub] = \
+                    C[np.searchsorted(cids, codes[:, i])]
+            acc = np.zeros(nrows)
+            for j in range(dim):
+                acc = acc + R[:, j] * R[:, j]
+            yield pd.DataFrame({"id": pdf["id"], "bucket": pdf["bucket"],
+                                "rv": list(R), "rn_": np.sqrt(acc)})
+
+    return df.mapInPandas(decode, out_schema)
 
 
 def ivfpq_probe_topk(spark: SparkSession, path: str, queries: DataFrame,
@@ -133,7 +166,6 @@ def ivfpq_probe_topk(spark: SparkSession, path: str, queries: DataFrame,
         .filter(F.col("rn") <= n_probe)
         .select("q_id", "qv", "qn", F.col("cent_id").alias("bucket"))
     )
-    rv, _m = _codeword_recon(spark, path)
     small = q.limit(static_max + 1).count() <= static_max
     if small:
         pair_plan = assigned.select("q_id", "bucket")
@@ -144,12 +176,12 @@ def ivfpq_probe_topk(spark: SparkSession, path: str, queries: DataFrame,
         buckets = sorted({int(r.bucket) for r in pairs})
         codes = (spark.read.parquet(os.path.join(path, _CODES))
                  .filter(F.col("bucket").isin(buckets)))
-        adc = F.broadcast(probes).join(
-            codes.withColumn("rv", rv), "bucket")
+        adc = F.broadcast(probes).join(_decode_codes(spark, path, codes),
+                                       "bucket")
     else:
         codes = spark.read.parquet(os.path.join(path, _CODES))
-        adc = assigned.join(codes.withColumn("rv", rv), "bucket")
-    adc = adc.withColumn("rn_", norm(F.col("rv"))).withColumn(
+        adc = assigned.join(_decode_codes(spark, path, codes), "bucket")
+    adc = adc.withColumn(
         "cos", cosine(F.col("qv"), F.col("qn"), F.col("rv"), F.col("rn_")))
     ws = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
     short = (adc.withColumn("srn", F.row_number().over(ws))
