@@ -117,6 +117,22 @@ def release_absorb_persists() -> None:
             pass
 
 
+def _fanout_parts(df: DataFrame) -> int:
+    """Explicit partition count for a dynamic-partition (band, bvb)
+    write: defaultParallelism, USER-SPECIFIED so AQE cannot coalesce
+    it away. The size-based coalescing (session default) folds a
+    KB-sized epoch's exchange to ONE task, which then creates every
+    touched partition dir's file SEQUENTIALLY — measured 1.6-1.9 s of
+    single-task executor time per epoch append at 128 (band, bvb)
+    dirs on this native-lib-less sandbox, where each local-FS
+    create/commit forks a shell chmod. The commit cost is per FILE
+    (CPU/fork), not per byte, so CPU spread is the right rule — the
+    _spread rationale applied to the write side. Each key still
+    hashes to exactly ONE task, so the one-file-per-dir append
+    discipline is unchanged; empty partitions write nothing."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 def band_rows(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text", n: int = 3,
               perm_hash=None, band_hash=None) -> DataFrame:
@@ -169,7 +185,8 @@ def absorb_delta(spark: SparkSession, indexed_docs: DataFrame,
                  threshold: float = 0.8, id_col: str = "doc_id",
                  text_col: str = "text", n: int = 3,
                  perm_hash=None, band_hash=None, append: bool = True,
-                 static_max: int = DELTA_STATIC_MAX) -> DataFrame:
+                 static_max: int = DELTA_STATIC_MAX,
+                 return_new: bool = False, post_pairs=None) -> DataFrame:
     """Absorb one epoch: returns the FULL updated pair set
     (stored pairs ∪ all pairs involving a delta doc), value-identical
     to a single-shot ``minhash_lsh_pairs`` over indexed ∪ delta
@@ -205,11 +222,20 @@ def absorb_delta(spark: SparkSession, indexed_docs: DataFrame,
         sh_d, perm_hash or _xx_perm_hash, band_hash or F.xxhash64).persist()
 
     # ---- delta × indexed candidates off the persisted layout ----
+    sc = spark.sparkContext
     base_bands = spark.read.parquet(os.path.join(path, _BANDS))
-    keys = (bands_d.select("band", F.col("bv"),
-                           _bvb(F.col("bv")).alias("bvb"))
-            .distinct().limit(static_max + 1).collect())
-    if len(keys) <= static_max:
+    sc.setJobDescription("absorb: delta signatures + key gate")
+    # cheap pre-gate (r18): the band-row COUNT bounds the distinct key
+    # count from above, so a delta whose rows exceed 2x the gate skips
+    # the distinct + 2k-row collect it could never need — plan choice
+    # only (both probe forms are value-identical); a dup-heavy epoch
+    # between 1x and 2x still gets the exact distinct check
+    keys = None
+    if bands_d.count() <= static_max * 2:
+        keys = (bands_d.select("band", F.col("bv"),
+                               _bvb(F.col("bv")).alias("bvb"))
+                .distinct().limit(static_max + 1).collect())
+    if keys is not None and len(keys) <= static_max:
         # planning-time literals: band/bvb prune partition dirs, the
         # pushed bv IN-literal skips row groups via the in-file sort;
         # the equi-join below re-checks exactly, so the conjunctive
@@ -275,6 +301,7 @@ def absorb_delta(spark: SparkSession, indexed_docs: DataFrame,
     # ---- exact-Jaccard verify: delta shingles from the persisted
     # frame, indexed-side shingles re-derived for CANDIDATE docs only
     # (size-gated id pushdown into the corpus scan) ----
+    sc.setJobDescription("absorb: candidate probe")
     cand_base_ids = [
         r.doc_id for r in
         cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
@@ -319,6 +346,15 @@ def absorb_delta(spark: SparkSession, indexed_docs: DataFrame,
     )
 
     if append:
+        # ``return_new=True`` (r18): also hand the caller THIS epoch's
+        # freshly-derived pair set, persisted and materialized by the
+        # pairs write below — the streaming label fold consumes it as
+        # its edge set instead of re-scanning the whole stored pair
+        # set per epoch (an epoch's ids are new, so the stored pairs
+        # touching them are exactly these pairs). Caller unpersists.
+        if return_new:
+            new_pairs = new_pairs.persist()
+        sc.setJobDescription("absorb: verify + pairs append")
         # ORDER MATTERS: the new-pairs write is the action that
         # evaluates the cross probe, which reads the bands layout off
         # disk — it must run BEFORE the delta's band rows land there,
@@ -329,6 +365,20 @@ def absorb_delta(spark: SparkSession, indexed_docs: DataFrame,
         # epoch's files, which both appends preserve byte-for-byte.)
         (new_pairs.hint("rebalance").write.mode("append")
          .parquet(os.path.join(path, _PAIRS)))
+        # ``post_pairs`` (r18, guide #2.6 "overlap independent jobs"):
+        # work that needs the pairs write done but is INDEPENDENT of
+        # the band-rows append (the streaming sink's label fold and
+        # epoch landing — they touch the labels store / corpus dir,
+        # never the bands dir) runs on one worker thread while the
+        # append executes; joined before return, so the absorb's
+        # layout contract (fully appended on return) is unchanged and
+        # an exception on either side still propagates.
+        fut = pool = None
+        if post_pairs is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1)
+            fut = pool.submit(post_pairs, new_pairs)
         # repartition to the layout's partition grain + bv-sort before
         # the append (the write_band_index discipline): without it the
         # dynamic-partition write fans every input split across every
@@ -336,14 +386,26 @@ def absorb_delta(spark: SparkSession, indexed_docs: DataFrame,
         # per epoch at sf0.1 vs ~1 s and 1 file/dir repartitioned
         # (VERDICT r15 #4) — and appended files kept no in-file bv
         # sort for the probe's row-group skipping to use
+        sc.setJobDescription("absorb: band rows append")
+        # explicit (band, bvb, bv) sort: prefix-satisfies the
+        # dynamic-partition writer's required ordering, so no
+        # implicit partition-column sort is inserted above ours
+        # and the in-file bv order is guaranteed by construction
         (bands_d.withColumn("bvb", _bvb(F.col("bv")))
-         .repartition(F.col("band"), F.col("bvb"))
-         .sortWithinPartitions("bv")
+         .repartition(_fanout_parts(bands_d), F.col("band"), F.col("bvb"))
+         .sortWithinPartitions("band", "bvb", "bv")
          .write.partitionBy("band", "bvb").mode("append")
          .parquet(os.path.join(path, _BANDS)))
+        if fut is not None:
+            try:
+                fut.result()
+            finally:
+                pool.shutdown()
+        sc.setJobDescription(None)
         for f in (sh_d, bands_d, cand):
             f.unpersist()
-        return stored_pairs(spark, path)
+        full = stored_pairs(spark, path)
+        return (full, new_pairs) if return_new else full
     _ABSORB_PERSISTS.extend([sh_d, bands_d, cand])
     return stored_pairs(spark, path).unionByName(new_pairs)
 
@@ -409,9 +471,11 @@ def compact_band_index(spark: SparkSession, path: str) -> None:
         staging = f"{path}__compact_{os.getpid()}_{uuid.uuid4().hex[:8]}"
         os.makedirs(staging)
         try:
-            (spark.read.parquet(bands_dir)
-             .repartition(F.col("band"), F.col("bvb"))
-             .sortWithinPartitions("bv")
+            bands_all = spark.read.parquet(bands_dir)
+            (bands_all
+             .repartition(_fanout_parts(bands_all),
+                          F.col("band"), F.col("bvb"))
+             .sortWithinPartitions("band", "bvb", "bv")
              .write.partitionBy("band", "bvb").mode("overwrite")
              .parquet(os.path.join(staging, _BANDS)))
             (spark.read.parquet(pairs_dir).coalesce(1)
@@ -628,10 +692,13 @@ def absorb_hamming_delta(spark: SparkSession, delta_sig: DataFrame,
     bands_d = hamming_band_rows(delta_sig, sig_words, p["word_bits"],
                                 p["band_width"]).persist()
     base_bands = spark.read.parquet(os.path.join(path, _BANDS))
-    keys = (bands_d.select("band", F.col("bv"),
-                           _bvb(F.col("bv")).alias("bvb"))
-            .distinct().limit(static_max + 1).collect())
-    if len(keys) <= static_max:
+    # row-count pre-gate — see absorb_delta
+    keys = None
+    if bands_d.count() <= static_max * 2:
+        keys = (bands_d.select("band", F.col("bv"),
+                               _bvb(F.col("bv")).alias("bvb"))
+                .distinct().limit(static_max + 1).collect())
+    if keys is not None and len(keys) <= static_max:
         base_bands = base_bands.filter(
             F.col("band").isin(sorted({k.band for k in keys}))
             & F.col("bvb").isin(sorted({int(k.bvb) for k in keys}))
@@ -678,8 +745,8 @@ def absorb_hamming_delta(spark: SparkSession, delta_sig: DataFrame,
         # (VERDICT r15 #4) — and appended files kept no in-file bv
         # sort for the probe's row-group skipping to use
         (bands_d.withColumn("bvb", _bvb(F.col("bv")))
-         .repartition(F.col("band"), F.col("bvb"))
-         .sortWithinPartitions("bv")
+         .repartition(_fanout_parts(bands_d), F.col("band"), F.col("bvb"))
+         .sortWithinPartitions("band", "bvb", "bv")
          .write.partitionBy("band", "bvb").mode("append")
          .parquet(os.path.join(path, _BANDS)))
         for f in (delta_sig, bands_d):
@@ -831,10 +898,13 @@ def absorb_embedding_delta(spark: SparkSession, indexed_emb: DataFrame,
                .withColumnRenamed("id", "doc_id").persist())
 
     base_bands = spark.read.parquet(os.path.join(path, _BANDS))
-    keys = (bands_d.select("band", F.col("bv"),
-                           _bvb(F.col("bv")).alias("bvb"))
-            .distinct().limit(static_max + 1).collect())
-    if len(keys) <= static_max:
+    # row-count pre-gate — see absorb_delta
+    keys = None
+    if bands_d.count() <= static_max * 2:
+        keys = (bands_d.select("band", F.col("bv"),
+                               _bvb(F.col("bv")).alias("bvb"))
+                .distinct().limit(static_max + 1).collect())
+    if keys is not None and len(keys) <= static_max:
         base_bands = base_bands.filter(
             F.col("band").isin(sorted({k.band for k in keys}))
             & F.col("bvb").isin(sorted({int(k.bvb) for k in keys}))
@@ -919,8 +989,8 @@ def absorb_embedding_delta(spark: SparkSession, indexed_emb: DataFrame,
         # (VERDICT r15 #4) — and appended files kept no in-file bv
         # sort for the probe's row-group skipping to use
         (bands_d.withColumn("bvb", _bvb(F.col("bv")))
-         .repartition(F.col("band"), F.col("bvb"))
-         .sortWithinPartitions("bv")
+         .repartition(_fanout_parts(bands_d), F.col("band"), F.col("bvb"))
+         .sortWithinPartitions("band", "bvb", "bv")
          .write.partitionBy("band", "bvb").mode("append")
          .parquet(os.path.join(path, _BANDS)))
         for f in (delta_emb, bands_d, cand):

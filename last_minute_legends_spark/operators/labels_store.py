@@ -50,7 +50,12 @@ from pyspark.sql import functions as F
 _LABELS = "labels"
 _LPARAMS = "_labels_store_params.json"
 
-# Minimum bucket count for the partitioned layout. Layout-only (never
+# Minimum bucket count for the partitioned layout (r18: 64 -> 16 —
+# a tiny store's fold touched ~60 of 64 dirs per epoch, paying ~60
+# file creates + dir swaps of pure commit overhead per fold on this
+# fork-per-chmod sandbox; 16 keeps growth head-room to 65k rows
+# before auto-sizing kicks in while quartering the small-store fold's
+# file ops. Layout-only: stores record their own n_buckets). Layout-only (never
 # enters the label semantics). The default build SIZES the bucket
 # count to the label count (next power of two of
 # rows / TARGET_ROWS_PER_BUCKET, floored at LABEL_BUCKETS — the
@@ -59,7 +64,7 @@ _LPARAMS = "_labels_store_params.json"
 # SIZE, not bounded bucket count — an epoch touches O(epoch) buckets
 # of O(TARGET) rows each, so fold I/O ∝ epoch at any corpus size
 # (measured by the dedup_clusters_delta_fixed ladder cell).
-LABEL_BUCKETS = 64
+LABEL_BUCKETS = 16
 TARGET_ROWS_PER_BUCKET = 4_096
 
 
@@ -99,9 +104,17 @@ def write_labels_store(labels: DataFrame, path: str,
         n_buckets = _auto_buckets(lab.count())
     with_bucket = lab.withColumn("lbk", _lbk(F.col("cluster_id"),
                                              n_buckets))
+    # explicit partition count (USER-SPECIFIED, so AQE cannot fold
+    # the fan-out write to one task that creates every bucket file
+    # sequentially — the dedup_delta._fanout_parts rationale) and an
+    # explicit (lbk, id) sort that prefix-satisfies the dynamic-
+    # partition writer's required ordering: id order in-file by
+    # construction, one file per bucket dir
+    n_write = min(lab.sparkSession.sparkContext.defaultParallelism,
+                  n_buckets)
     (with_bucket
-     .repartition(F.col("lbk"))
-     .sortWithinPartitions("id")
+     .repartition(n_write, F.col("lbk"))
+     .sortWithinPartitions("lbk", "id")
      .write.partitionBy("lbk").mode("overwrite")
      .parquet(os.path.join(path, _LABELS)))
     tmp = _params_path(path) + ".tmp"
@@ -270,12 +283,125 @@ def merge_labels_store(spark: SparkSession, path: str,
 
 def _merge_impl(spark: SparkSession, path: str, new_edges: DataFrame,
                 write: bool) -> DataFrame:
+    recover_labels_store(path)
+    params = _read_params(path)
+
+    # size-gated LOCAL fold (r18, VERDICT r17 #1/#2): an epoch's edge
+    # set is epoch-sized by construction, so collect it (bounded probe
+    # — the connected_components LOCAL_EDGES_MAX discipline) and run
+    # the contracted-graph fold with driver-side union-find instead of
+    # 5-6 scheduled jobs of persist + iterative-CC checkpoint/count/
+    # collect + touched-collect. Identical labels: same min-label
+    # semantics (locked by tests/test_labels_store.py, which runs both
+    # paths). Larger epochs keep the distributed path below.
+    from last_minute_legends_spark.operators.dedup import LOCAL_EDGES_MAX
+
+    rows = (new_edges.select("doc_a", "doc_b")
+            .limit(LOCAL_EDGES_MAX + 1).collect())
+    if len(rows) <= LOCAL_EDGES_MAX:
+        edges = [(r.doc_a, r.doc_b) for r in rows]
+        if all(a is not None and b is not None for a, b in edges):
+            return _merge_local(spark, path, params, edges, write)
+    return _merge_distributed(spark, path, params, new_edges, write)
+
+
+def _merge_local(spark: SparkSession, path: str, params: dict,
+                 edges: list, write: bool) -> DataFrame:
+    """Driver-side contracted fold for an epoch-sized edge list: ONE
+    corpus-sized job (the endpoint label lookup the fold semantically
+    needs — the store is bucketed by cluster_id, so an id-keyed lookup
+    cannot prune; identical in the distributed path), one tiny
+    local-relation probe for the bucket routing (xxhash64 must come
+    from the JVM so routing stays bit-identical to the store writes),
+    and the same staged touched-buckets-only write. The union-find
+    keeps min(root_a, root_b) on every merge, so each root is its
+    component's min label by induction — connected_components'
+    min-label invariant on the contracted graph."""
+    from pyspark.sql.types import StructField, StructType
+
+    n_buckets = params["n_buckets"]
+    root = os.path.join(path, _LABELS)
+    store = _store_df(spark, path, params)
+    id_t = store.schema["id"].dataType
+    cl_t = store.schema["cluster_id"].dataType
+
+    nodes = sorted({a for a, b in edges} | {b for a, b in edges})
+    ids_df = spark.createDataFrame(
+        [(n,) for n in nodes], StructType([StructField("id", id_t)]))
+    label = {r.id: r.cluster_id
+             for r in store.join(F.broadcast(ids_df), "id")
+             .select("id", "cluster_id").collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, r) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    members = set()
+    for a, b in edges:
+        la = label.get(a, a)
+        lb = label.get(b, b)
+        if la == lb:
+            continue
+        members.add(la)
+        members.add(lb)
+        ra, rb = find(la), find(lb)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    remap = {l: find(l) for l in members}
+    remap = {l: r for l, r in remap.items() if l != r}
+    fresh = [n for n in nodes if n not in label]
+
+    # touched buckets: every merge-map key (old AND new — destinations
+    # gain rows) plus the fresh singletons' pre-remap labels
+    touch_labels = set(remap) | set(remap.values()) | set(fresh)
+    if not touch_labels:
+        return read_labels_store(spark, path)
+    tl_df = spark.createDataFrame(
+        [(l,) for l in sorted(touch_labels)],
+        StructType([StructField("l", cl_t)]))
+    touched = sorted({
+        int(r.b) for r in
+        tl_df.select(_lbk(F.col("l"), n_buckets).alias("b"))
+        .distinct().collect()})
+
+    remap_df = spark.createDataFrame(
+        sorted(remap.items()),
+        StructType([StructField("cluster_id", cl_t),
+                    StructField("_new", cl_t)]))
+    fresh_df = spark.createDataFrame(
+        sorted((n, remap.get(n, n)) for n in fresh),
+        StructType([StructField("id", id_t),
+                    StructField("cluster_id", cl_t)]))
+    in_touched = F.col("lbk").isin(touched)
+    updated = (
+        store.filter(in_touched)  # planning-time partition pruning
+        .select("id", "cluster_id")
+        .join(F.broadcast(remap_df), "cluster_id", "left")
+        .select("id", F.coalesce("_new", "cluster_id").alias("cluster_id"))
+        .unionByName(fresh_df)
+    )
+    if not write:
+        # nothing persisted on this path: the merge map and fresh rows
+        # are local relations, so the lazy result needs no
+        # _ABSORB_PERSISTS bookkeeping
+        return (store.filter(~in_touched).select("id", "cluster_id")
+                .unionByName(updated))
+    _stage_and_swap(spark, root, updated, touched, n_buckets)
+    return read_labels_store(spark, path)
+
+
+def _merge_distributed(spark: SparkSession, path: str, params: dict,
+                       new_edges: DataFrame, write: bool) -> DataFrame:
     from last_minute_legends_spark.operators.dedup import (
         connected_components,
     )
 
-    recover_labels_store(path)
-    params = _read_params(path)
     n_buckets = params["n_buckets"]
     root = os.path.join(path, _LABELS)
     store = _store_df(spark, path, params)
@@ -354,15 +480,24 @@ def _merge_impl(spark: SparkSession, path: str, new_edges: DataFrame,
         _ABSORB_PERSISTS.extend([looked, remap])
         return out
 
-    # stage ONLY the touched buckets, then swap each directory in.
-    # Every updated row's destination bucket is itself touched (see
-    # module docstring), so the complement partitions need no staging
-    # and keep byte identity.
+    _stage_and_swap(spark, root, updated, touched, n_buckets)
+    looked.unpersist()
+    remap.unpersist()
+    return read_labels_store(spark, path)
+
+
+def _stage_and_swap(spark: SparkSession, root: str, updated: DataFrame,
+                    touched: list, n_buckets: int) -> None:
+    """Stage ONLY the touched buckets, then swap each directory in.
+    Every updated row's destination bucket is itself touched (see
+    module docstring), so the complement partitions need no staging
+    and keep byte identity."""
     staging = f"{root}__merge_staged_{os.getpid()}"
     shutil.rmtree(staging, ignore_errors=True)
+    n_write = min(spark.sparkContext.defaultParallelism, n_buckets)
     (updated.withColumn("lbk", _lbk(F.col("cluster_id"), n_buckets))
-     .repartition(F.col("lbk"))
-     .sortWithinPartitions("id")
+     .repartition(n_write, F.col("lbk"))
+     .sortWithinPartitions("lbk", "id")
      .write.partitionBy("lbk").mode("overwrite").parquet(staging))
     try:
         for b in touched:
@@ -380,8 +515,5 @@ def _merge_impl(spark: SparkSession, path: str, new_edges: DataFrame,
             shutil.rmtree(old, ignore_errors=True)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-    looked.unpersist()
-    remap.unpersist()
     # refresh: the swap changed files under the read path
     spark.catalog.refreshByPath(root)
-    return read_labels_store(spark, path)

@@ -815,7 +815,7 @@ def dedup_clusters_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab_dir = layout_cache.layout_dir(
         "dedup_base_labels",
         os.path.join(sf_dir, "documents.parquet"),
-        f"v3-store-md5-mod{DELTA_MOD}-t{JACCARD_THRESHOLD}")
+        f"v4-store-md5-mod{DELTA_MOD}-t{JACCARD_THRESHOLD}")
     layout_cache.build_once(lab_dir, lambda tmp: write_labels_store(
         connected_components(stored_pairs(spark, idx)), tmp))
     full = absorb_delta(

@@ -255,8 +255,35 @@ def sentinel_paced(spark: SparkSession):
             spark.conf.set(key, prev)
 
 
+def _parse_byte_string(s: str) -> int:
+    """Spark byte-string conf value → bytes, in Python (ADVICE r17:
+    the former call through ``sparkContext._jvm...JavaUtils`` coupled
+    to a py4j private API and breaks under Spark Connect, where there
+    is no sparkContext). Semantics match
+    ``JavaUtils.byteStringAsBytes`` for conf values: a bare number is
+    BYTES; case-insensitive k/m/g/t/p suffixes with optional trailing
+    'b' are binary (1024-based) multiples."""
+    s = str(s).strip().lower()
+    for suffix, m in (("k", 1024), ("m", 1024 ** 2), ("g", 1024 ** 3),
+                      ("t", 1024 ** 4), ("p", 1024 ** 5)):
+        for suf in (suffix + "b", suffix):
+            if s.endswith(suf):
+                return int(s[:-len(suf)].strip() or 0) * m
+    if s.endswith("b"):
+        s = s[:-1].strip()
+    return int(s or 0)
+
+
 def _dir_bytes(path: str) -> int:
-    """Total bytes under a directory (the staged topic's size)."""
+    """Total bytes under a directory (the staged topic's size).
+
+    Multi-batch caveat (ADVICE r17): for a batched topic only group 0
+    is linked into the dir at query start (later groups are delivered
+    while the query runs), so for those drivers this measures
+    PER-BATCH bytes, not whole-topic bytes — which is the right
+    operand for sizing per-micro-batch state exchanges anyway; for the
+    stream-stream joins both input streams re-read the same files, so
+    the estimate is per-side."""
     total = 0
     for dirpath, _dirs, files in os.walk(path):
         for f in files:
@@ -298,11 +325,9 @@ def scaled_state_partitions(spark: SparkSession, topic_dir: str):
     if forced:
         n = max(1, int(forced))
     else:
-        advisory = (spark.sparkContext._jvm.org.apache.spark.network.util
-                    .JavaUtils.byteStringAsBytes(
-                        spark.conf.get(
-                            "spark.sql.adaptive."
-                            "advisoryPartitionSizeInBytes", "64MB")))
+        advisory = _parse_byte_string(
+            spark.conf.get("spark.sql.adaptive."
+                           "advisoryPartitionSizeInBytes", "64MB"))
         n = max(1, min(int(sess),
                        -(-_dir_bytes(topic_dir) // max(advisory, 1))))
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
@@ -1163,7 +1188,14 @@ def _render_topic_groups(tagged: DataFrame, json_cols, dest: str,
 
 def _link_topic_groups(src: str, staging: str, group_ids) -> list:
     """Hardlink the staged group files into ``<staging>/in`` delivery
-    tuples (the deliver_group shape); content-identical, ~free."""
+    tuples (the deliver_group shape); content-identical, ~free.
+
+    An EMPTY staged group raises, DELIBERATELY (ADVICE r17 kept as
+    fail-fast): the delta runners' percentile splits over their
+    planted corpora always produce non-empty groups, so a groupless
+    dir means the cached layout is truncated/corrupt — delivering
+    nothing and silently absorbing zero epochs would pass the row
+    gate while skipping the work under test."""
     groups = []
     for i in group_ids:
         files = sorted(glob.glob(os.path.join(src, f"grp{i:03d}",
@@ -1191,12 +1223,15 @@ def stream_absorb_epoch(spark: SparkSession, batch_df: DataFrame,
        against the corpus landed so far (recursive listing: base
        files at the root, epochs in subdirs);
     2. with ``labels_dir``, fold the epoch into the MAINTAINED
-       cluster labels: the fold's edge set is EVERY stored pair
-       touching one of the epoch's doc ids — not a pre/post pairs
-       diff — because already-connected edges merge as no-ops, which
-       is what makes a redelivered (or crashed-before-labels) epoch
-       converge to the same labels instead of silently skipping its
-       merges. Labels live in a BUCKET-PARTITIONED store
+       cluster labels: the fold's edge set is the absorb's OWN
+       freshly-derived pair set (r18) — value-identical to "every
+       stored pair touching one of the epoch's doc ids" (epoch ids
+       are strictly new, so only this epoch's pairs can touch them)
+       without re-scanning the whole stored pair set per epoch, and
+       still redelivery-convergent: a retried (or
+       crashed-before-labels) epoch re-derives the identical pair set
+       deterministically and already-connected edges merge as no-ops.
+       Labels live in a BUCKET-PARTITIONED store
        (operators/labels_store.py, r17 — VERDICT r16 #1): the fold
        rewrites only the bucket directories holding a merge-map key,
        so per-epoch label I/O is epoch-sized, not corpus-sized; a
@@ -1210,33 +1245,55 @@ def stream_absorb_epoch(spark: SparkSession, batch_df: DataFrame,
        and compact the appended layout when it recommends."""
     from last_minute_legends_spark.operators.dedup_delta import (
         absorb_delta, band_index_health, compact_band_index,
-        stored_pairs,
     )
 
+    sc = spark.sparkContext
     indexed = (spark.read.option("recursiveFileLookup", "true")
                .parquet(corpus))
-    absorb_delta(spark, indexed, batch_df, idx, threshold,
-                 perm_hash=perm_hash, band_hash=band_hash,
-                 append=True)
-    if labels_dir:
-        from last_minute_legends_spark.operators.labels_store import (
-            merge_labels_store,
-        )
+    def _fold_and_land(new_pairs) -> None:
+        """Runs CONCURRENTLY with the absorb's band-rows append
+        (absorb_delta ``post_pairs`` — guide #2.6 "overlap independent
+        jobs"): both units only need the pairs write done, and they
+        touch disjoint state (labels store + corpus epoch dir vs the
+        bands dir). Job descriptions are thread-local, so the probe
+        labels stay correct."""
+        if labels_dir:
+            from last_minute_legends_spark.operators.labels_store import (
+                merge_labels_store,
+            )
 
-        ids = batch_df.select(F.col("doc_id")).distinct()
-        pairs = stored_pairs(spark, idx)
-        edges = (
-            pairs.join(ids.withColumnRenamed("doc_id", "doc_a"),
-                       "doc_a", "left_semi")
-            .unionByName(
-                pairs.join(ids.withColumnRenamed("doc_id", "doc_b"),
-                           "doc_b", "left_semi"))
-            .select("doc_a", "doc_b").distinct().persist()
-        )
-        merge_labels_store(spark, labels_dir, edges, write=True)
-        edges.unpersist()
-    (batch_df.write.mode("overwrite")
-     .parquet(os.path.join(corpus, f"epoch{int(epoch_id):06d}")))
+            # the fold's edge set is the absorb's OWN freshly-derived
+            # pair set (r18): an epoch's doc ids are strictly new, so
+            # the stored pairs touching them are exactly this epoch's
+            # new pairs — the former per-epoch scan of the WHOLE
+            # stored pair set + two semi-joins + distinct recovered
+            # precisely what the absorb had just computed. Redelivery
+            # still converges: a retried epoch re-derives the
+            # identical pair set deterministically (the absorb's probe
+            # guards make the re-probe self-pair-safe), and
+            # already-folded edges merge as no-ops in the confluent
+            # fold.
+            sc.setJobDescription(f"sdd epoch {epoch_id}: labels fold")
+            merge_labels_store(spark, labels_dir,
+                               new_pairs.select("doc_a", "doc_b"),
+                               write=True)
+        sc.setJobDescription(f"sdd epoch {epoch_id}: land epoch")
+        # size-targeted epoch files (guide #6): every later epoch's
+        # verify re-scans the landed corpus, so an 8-sliver epoch dir
+        # charges 8 task launches + listing paths per later absorb
+        (batch_df.hint("rebalance").write.mode("overwrite")
+         .parquet(os.path.join(corpus, f"epoch{int(epoch_id):06d}")))
+        sc.setJobDescription(None)
+
+    sc.setJobDescription(f"sdd epoch {epoch_id}: absorb")
+    res = absorb_delta(spark, indexed, batch_df, idx, threshold,
+                       perm_hash=perm_hash, band_hash=band_hash,
+                       append=True, return_new=bool(labels_dir),
+                       post_pairs=_fold_and_land)
+    if labels_dir:
+        _full, new_pairs = res
+        new_pairs.unpersist()
+    sc.setJobDescription(None)
     # fire on epoch_id % health_every == 0 (skipping epoch 0, which has
     # absorbed nothing before it): with the default health_every=2 the
     # shipped n_epochs=4 registry runs (foreachBatch epoch ids 0..2)
@@ -1410,7 +1467,7 @@ def stream_embedding_absorb_epoch(spark: SparkSession,
     indexed = (spark.read.option("recursiveFileLookup", "true")
                .parquet(corpus))
     absorb_embedding_delta(spark, indexed, delta, idx, append=True)
-    (delta.write.mode("overwrite")
+    (delta.hint("rebalance").write.mode("overwrite")
      .parquet(os.path.join(corpus, f"epoch{int(epoch_id):06d}")))
     if health_every > 0 and int(epoch_id) > 0 \
             and int(epoch_id) % health_every == 0:
@@ -1487,7 +1544,8 @@ def run_stream_embedding_delta(spark: SparkSession, sf_dir: str,
         b = tagged.filter(F.col("_grp") == 0).drop("_grp").persist()
         write_embedding_index(b, os.path.join(tmp, "idx"),
                               COSINE_THRESHOLD)
-        (b.select("id", "v", "nrm").write.mode("overwrite")
+        (b.select("id", "v", "nrm").hint("rebalance")
+         .write.mode("overwrite")
          .parquet(os.path.join(tmp, "corpus")))
         b.unpersist()
         _render_topic_groups(tagged, ("id", "v"), tmp,
@@ -1501,7 +1559,7 @@ def run_stream_embedding_delta(spark: SparkSession, sf_dir: str,
         cached = build_once(
             layout_dir("stream_embedding_delta_base",
                        os.path.join(sf_dir, "embeddings.parquet"),
-                       f"v2-{cache_tag}-e{n_epochs}-t{COSINE_THRESHOLD}"),
+                       f"v3-{cache_tag}-e{n_epochs}-t{COSINE_THRESHOLD}"),
             _build)
         src = cached
     else:
@@ -1610,24 +1668,33 @@ def run_stream_dedup_delta(spark: SparkSession, sf_dir: str,
     n_files = 8
     os.makedirs(f"{staging}/in")
 
-    def _build(tmp: str) -> None:
+    def _build(tmp: str, with_labels: bool = True) -> None:
         # base index + landed base corpus + the staged topic groups +
         # the seed labels — ALL deterministic functions of the corpus,
         # built once per fingerprint. The seed labels are the
         # maintained store's INITIAL state (CC over the base pair
         # graph), so caching them is the same write-once discipline as
-        # the index itself; every per-epoch fold still runs live.
+        # the index itself; every per-epoch fold still runs live. The
+        # CACHED layout always carries them (both the pairs-only and
+        # labels entries share one fingerprint dir); an UNCACHED
+        # pairs-only run (tests) skips the full CC it would never read
+        # (ADVICE r17).
         tagged = _split_by_percentile(docs, "doc_id", n_epochs)
         base = tagged.filter(F.col("_grp") == 0).drop("_grp")
         write_band_index(base, os.path.join(tmp, "idx"), threshold,
                          perm_hash=perm_hash, band_hash=band_hash)
-        base.write.mode("overwrite").parquet(os.path.join(tmp, "corpus"))
+        # size-targeted base files (guide #6): the verify side scans
+        # this dir every epoch with recursive listing — 32 task-grain
+        # slivers cost ~40 scan tasks + a 60-path listing per absorb
+        (base.hint("rebalance").write.mode("overwrite")
+         .parquet(os.path.join(tmp, "corpus")))
         _render_topic_groups(tagged, ("doc_id", "text"), tmp,
                              range(1, n_epochs), n_files)
-        write_labels_store(
-            connected_components(
-                stored_pairs(spark, os.path.join(tmp, "idx"))),
-            os.path.join(tmp, "labels"))
+        if with_labels:
+            write_labels_store(
+                connected_components(
+                    stored_pairs(spark, os.path.join(tmp, "idx"))),
+                os.path.join(tmp, "labels"))
 
     if cache_tag:
         # the base build (a full single-shot dedup of the seed
@@ -1647,13 +1714,13 @@ def run_stream_dedup_delta(spark: SparkSession, sf_dir: str,
         cached = build_once(
             layout_dir("stream_dedup_delta_base",
                        os.path.join(sf_dir, "documents.parquet"),
-                       f"v2-{cache_tag}-e{n_epochs}-t{threshold}"),
+                       f"v4-{cache_tag}-e{n_epochs}-t{threshold}"),
             _build)
         src = cached
         _clone_tree(os.path.join(cached, "idx"), idx)
         _clone_tree(os.path.join(cached, "corpus"), corpus)
     else:
-        _build(staging)
+        _build(staging, with_labels=maintain_labels)
         src = staging
     groups = _link_topic_groups(src, staging, range(1, n_epochs))
 
@@ -1734,7 +1801,7 @@ def stream_semantic_absorb_epoch(spark: SparkSession,
     # the absorb's tracked persists so a long stream can't accumulate
     # one pinned epoch frame per micro-batch (VERDICT r16 #6 hygiene)
     release_absorb_persists()
-    (delta.write.mode("overwrite")
+    (delta.hint("rebalance").write.mode("overwrite")
      .parquet(os.path.join(corpus, f"epoch{int(epoch_id):06d}")))
     if health_every > 0 and int(epoch_id) > 0 \
             and int(epoch_id) % health_every == 0:
@@ -1809,7 +1876,8 @@ def run_stream_semantic_delta(spark: SparkSession, sf_dir: str,
         write_semantic_index(b, os.path.join(tmp, "idx"), SEM_TAU,
                              k=SEM_K, iters=SEM_ITERS,
                              id_hash=md5_id_hash)
-        (b.select("id", "v", "nrm").write.mode("overwrite")
+        (b.select("id", "v", "nrm").hint("rebalance")
+         .write.mode("overwrite")
          .parquet(os.path.join(tmp, "corpus")))
         b.unpersist()
         _render_topic_groups(_split_by_percentile(delta_all, "id", n_eps),
@@ -1823,7 +1891,7 @@ def run_stream_semantic_delta(spark: SparkSession, sf_dir: str,
         cached = build_once(
             layout_dir("stream_semantic_delta_base",
                        os.path.join(sf_dir, "embeddings.parquet"),
-                       f"v2-{cache_tag}-k{SEM_K}t{SEM_TAU}-e{n_epochs}"),
+                       f"v3-{cache_tag}-k{SEM_K}t{SEM_TAU}-e{n_epochs}"),
             _build)
         src = cached
     else:

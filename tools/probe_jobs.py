@@ -76,7 +76,8 @@ def main() -> None:
                 "dur": round(end - sub, 3),
                 "gap_before": round(gap, 3),
                 "tasks": j.get("numTasks"),
-                "desc": (j.get("name", "") or "")[:110],
+                "desc": (j.get("description") or j.get("name", "")
+                         or "")[:110],
                 "stream": bool((j.get("description") or "").startswith("\nid")),
             })
         agg: dict[str, list[float]] = {}
