@@ -59,20 +59,16 @@ def get_spark(app_name: str = "last_minute_legends_spark",
                 os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST",
                                "false"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Let AQE re-optimize (coalesce/skew-split) the plan UNDER a
-        # persist() too: the default false pins cached-plan output
-        # partitioning, so every persisted intermediate (the absorb
-        # operators' shingle/band/candidate frames, CC edge lists, …)
-        # materializes through FULL-width exchanges — measured r18:
-        # 32-task stages over KB-sized epoch frames throughout the
-        # delta-absorb job trains while everything outside a persist
-        # coalesced to 1. Scale-correct on every deployment (the
-        # cached partitioning follows data size exactly like uncached
-        # exchanges); the cost is only that a cache's partitioning is
-        # no longer a stable constant across re-materializations,
-        # which nothing here relies on. Env-overridable for A/B.
+        # Cached-plan AQE (coalesce/skew-split UNDER a persist()) is
+        # left at the upstream default (false). r18 A/B'd true: it
+        # collapses the full-width exchanges persisted intermediates
+        # materialize through, and helped the stream-join family
+        # (~20%), but the incremental/landing family regressed up to
+        # 2x (incremental_quantile 6.1 -> 11.3 s subset A/B, 5.7 ->
+        # 8.0 in-suite) — net mixed, so the suite keeps the safe
+        # default; flip per-run via env to re-examine.
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-                os.environ.get("SPARK_GRAFT_AQE_CACHED", "true"))
+                os.environ.get("SPARK_GRAFT_AQE_CACHED", "false"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")

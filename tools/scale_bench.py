@@ -132,6 +132,11 @@ CELLS = [
     "ann_quantized_topk",
     "ann_pq_topk",  # r17: PQ codebook train + encode + ADC + re-rank
     "ann_ivfpq_topk",  # r17b: coarse probes restrict the ADC scan
+    # r18 (VERDICT r17 #5): the written-layout probe — index built
+    # once per corpus fingerprint, so min-of-2 converges on
+    # probe-only cost; the probe should ladder FLAT while the topk
+    # form (which re-encodes per invocation) scales with the corpus
+    "ann_ivfpq_probe_indexed",
     "ann_ivfpq_residual_topk",  # r17b: FAISS-proper residual IVFADC
     "curated_training_set",
     # event-analytics cells (scaled events: user count grows with the
